@@ -1,0 +1,176 @@
+"""Typed configuration for the TPU-native MPPI / NMPC framework.
+
+The reference repo (SokhengDin/DNN-MPPI-MPC) hard-codes every hyperparameter as a
+per-script ``__main__`` constant (e.g. ``controllers/mppi_differential_drive.py:392-443``).
+Here configuration is split into
+
+* **static config** — hashable frozen dataclasses that shape the compiled program
+  (sample count K, horizon T, temperature convention, filter kind, ...). These are
+  passed as ``static_argnums`` style arguments so XLA sees fixed shapes.
+* **runtime params** — JAX pytrees of arrays (noise covariance, cost weights,
+  reference path, obstacles) that can change between calls without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+class Temperature(enum.Enum):
+    """Softmax inverse-temperature convention used when weighting samples.
+
+    The reference uses two conventions:
+    * ``LAMBDA``      — weight ∝ exp(-(S-ρ)/λ)            (mppi_race_car_obstacle.py:222-224)
+    * ``EXPLORATION`` — weight ∝ exp(-(S-ρ)/exploration)  (mppi_differential_drive.py:175-178)
+    """
+
+    LAMBDA = "lambda"
+    EXPLORATION = "exploration"
+
+
+class CostAccumulation(enum.Enum):
+    """Stage-cost accumulation over the horizon.
+
+    ``SUM`` is the textbook MPPI accumulation (mppi_race_car_obstacle.py:94, ``+=``).
+    ``LAST`` replicates the reference quirk at mppi_differential_drive.py:124 where
+    ``S[k] =`` overwrites each step, leaving only the last stage cost (+ terminal).
+    Only used for oracle-parity testing; ``SUM`` is the default.
+    """
+
+    SUM = "sum"
+    LAST = "last"
+
+
+class SmoothingFilter(enum.Enum):
+    """Control-sequence smoothing filter applied to the weighted noise update.
+
+    * ``MOVING_AVERAGE_EDGE``   — np.convolve 'same' with edge rescaling
+      (mppi_differential_drive.py:257-271)
+    * ``MOVING_AVERAGE_PADDED`` — edge-padded convolution
+      (mppi_race_car_obstacle.py:228-239)
+    * ``SAVGOL``                — Savitzky-Golay (test/test_mppi_diff_obs.py:275-300)
+    * ``NONE``                  — no smoothing
+    """
+
+    MOVING_AVERAGE_EDGE = "ma_edge"
+    MOVING_AVERAGE_PADDED = "ma_padded"
+    SAVGOL = "savgol"
+    NONE = "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig:
+    """Static (compile-time) MPPI solver configuration.
+
+    Mirrors the hyperparameter surface of ``MPPIAlgorithms.__init__``
+    (controllers/mppi_differential_drive.py:44-85) and
+    ``MPPIRacecarController.__init__`` (controllers/mppi_race_car_obstacle.py:11-62),
+    minus array-valued parameters which live in :class:`MPPIParams`.
+    """
+
+    num_samples: int  # K
+    horizon: int  # T
+    dim_x: int
+    dim_u: int
+    dt: float
+    lam: float = 1.0  # λ, information-theoretic temperature
+    alpha: float = 0.2  # α, decoupling of control-cost term; γ = λ(1-α)
+    exploration: float = 0.0001  # fraction of pure-noise samples AND alt temperature
+    temperature: Temperature = Temperature.LAMBDA
+    accumulation: CostAccumulation = CostAccumulation.SUM
+    filter: SmoothingFilter = SmoothingFilter.MOVING_AVERAGE_EDGE
+    filter_window: int = 10
+    savgol_polyorder: int = 3
+    waypoint_search_len: int = 20  # SEARCH_IDX_LEN (mppi_differential_drive.py:204)
+    num_rollout_repeats: int = 1  # M in pytorch_mppi (_compute_rollout_costs)
+    rollout_var_cost: float = 0.0
+    rollout_var_discount: float = 0.95
+    use_pallas: bool = False  # fused Pallas rollout kernel for the hot path
+
+    @property
+    def gamma(self) -> float:
+        return self.lam * (1.0 - self.alpha)
+
+    @property
+    def inv_temperature(self) -> float:
+        if self.temperature == Temperature.LAMBDA:
+            return 1.0 / self.lam
+        return 1.0 / self.exploration
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class MPPIParams:
+    """Runtime (traced) MPPI parameters — a JAX pytree of arrays.
+
+    ``sigma`` is the control noise covariance Σ (dim_u × dim_u); ``u_min``/``u_max``
+    are the clamp bounds applied inside the rollout (``_g``,
+    mppi_differential_drive.py:285-289); ``stage_weight``/``terminal_weight`` are the
+    diagonal tracking weights; ``ref_path`` is the (P, dim_ref) waypoint table.
+    """
+
+    sigma: jnp.ndarray
+    stage_weight: jnp.ndarray
+    terminal_weight: jnp.ndarray
+    u_min: jnp.ndarray
+    u_max: jnp.ndarray
+    ref_path: jnp.ndarray
+    obstacles: Optional[jnp.ndarray] = None  # (n_obs, 3): x, y, radius
+    model_params: Optional[object] = None  # extra params for the dynamics fn
+
+    def tree_flatten(self):
+        children = (
+            self.sigma,
+            self.stage_weight,
+            self.terminal_weight,
+            self.u_min,
+            self.u_max,
+            self.ref_path,
+            self.obstacles,
+            self.model_params,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPConfig:
+    """Static configuration of the SQP-RTI NMPC engine.
+
+    TPU-native replacement for the acados solver options set at
+    controllers/mpc_differential_drive_obstacle_static.py:236-247
+    (FULL_CONDENSING_HPIPM / GAUSS_NEWTON / ERK / SQP_RTI,
+    sim_method_num_stages=4, sim_method_num_steps=3).
+    """
+
+    N: int  # shooting intervals
+    dim_x: int
+    dim_u: int
+    dt: float
+    num_rk4_steps: int = 3  # ERK substeps per interval (sim_method_num_steps=3)
+    sqp_iters: int = 1  # 1 == SQP-RTI; >1 == converged SQP (mpc_racecar_casadi.py)
+    qp_iters: int = 12  # interior-point iterations per QP solve
+    n_h_constraints: int = 0  # nonlinear inequality constraints (obstacles)
+    slack_weight_l2: float = 1.0e4  # L2 slack penalty (test_diff_mpc_dyna_slack.py:178-182)
+    slack_weight_l1: float = 1.0e3
+    levenberg: float = 1.0e-6  # Gauss-Newton Hessian regularization
+    ip_mu0: float = 1.0e-1  # initial interior-point barrier weight
+    ip_kappa: float = 0.25  # barrier decrease factor per iteration
+
+
+__all__ = [
+    "Temperature",
+    "CostAccumulation",
+    "SmoothingFilter",
+    "MPPIConfig",
+    "MPPIParams",
+    "SQPConfig",
+]

@@ -1,0 +1,148 @@
+"""Control-sequence smoothing filters, exact to the reference's edge semantics.
+
+Three filters smooth the weighted-noise update of the control sequence:
+
+* :func:`moving_average_edge` — np.convolve 'same' with the reference's edge
+  rescaling loop, including its quirks (controllers/mppi_differential_drive.py:257-271).
+* :func:`moving_average_padded` — head/tail-slice padded convolution
+  (controllers/mppi_race_car_obstacle.py:228-239).
+* :func:`savgol_filter` — Savitzky-Golay with polynomial edge interpolation,
+  matching scipy.signal.savgol_filter(mode='interp') as used by
+  test/test_mppi_diff_obs.py:275-300.
+
+All operate on (T, d) sequences along axis 0 and are jit/vmap friendly
+(window sizes are static).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _convolve_same_cols(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """np.convolve(mode='same') applied independently to each column of (T, d)."""
+    conv = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="same"), 1, 1)
+    return conv(x)
+
+
+def moving_average_edge(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """Moving average with the reference's edge rescaling.
+
+    Bit-matches controllers/mppi_differential_drive.py:257-271, including the
+    quirk that the *last* element's scale is a cumulative product over the
+    rescaling loop (the ``xx_mean[-1, d] *=`` line executes once per loop
+    iteration) while elements -2..-n_conv are never rescaled.
+    """
+    T = x.shape[0]
+    w = window_size
+    kernel = jnp.ones((w,), dtype=x.dtype) / w
+    out = _convolve_same_cols(x, kernel)
+
+    n_conv = math.ceil(w / 2)
+    scale = np.ones((T,), dtype=np.float64)
+    scale[0] = w / n_conv
+    last = 1.0
+    for i in range(1, n_conv):
+        scale[i] = w / (i + n_conv)
+        last *= w / (i + n_conv - (w % 2))
+    scale[-1] *= last
+    return out * jnp.asarray(scale, dtype=x.dtype)[:, None]
+
+
+def moving_average_padded(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """Head/tail-slice padded moving average.
+
+    Bit-matches controllers/mppi_race_car_obstacle.py:228-239: the left pad is
+    the *first* w//2 samples and the right pad the *last* w//2 samples (copied,
+    not reflected), then a 'same' convolution with the pad stripped.
+    """
+    w = window_size
+    kernel = jnp.ones((w,), dtype=x.dtype) / w
+    padded = jnp.concatenate([x[: w // 2], x, x[-(w // 2):]], axis=0)
+    out = _convolve_same_cols(padded, kernel)
+    return out[w // 2 : -(w // 2)]
+
+
+def savgol_coefficients(window_size: int, polyorder: int) -> np.ndarray:
+    """Center-point Savitzky-Golay coefficients (host-side, static).
+
+    Same construction as test/test_mppi_diff_obs.py:154-160: pseudo-inverse of
+    the Vandermonde design matrix over the centered window; row 0 gives the
+    smoothing (0th-derivative) coefficients.
+    """
+    half = (window_size - 1) // 2
+    j = np.arange(-half, half + 1, dtype=np.float64)
+    b = np.stack([j**i for i in range(polyorder + 1)], axis=1)  # (w, p+1)
+    m = np.linalg.pinv(b)  # (p+1, w)
+    return m[0]
+
+
+def savgol_filter(x: jnp.ndarray, window_size: int, polyorder: int) -> jnp.ndarray:
+    """Savitzky-Golay smoothing along axis 0 with polynomial edge interpolation.
+
+    Matches scipy.signal.savgol_filter(..., mode='interp') semantics (the filter
+    used at test/test_mppi_diff_obs.py:293): interior points are the windowed
+    least-squares fit evaluated at the center; the first/last half-windows are a
+    single polynomial fit to the first/last ``window_size`` samples evaluated at
+    their positions. Window/polyorder are clamped the way smooth_control_input
+    does (window ≤ T, odd; polyorder < window).
+    """
+    T = x.shape[0]
+    w = min(window_size, T)
+    if w % 2 == 0:
+        w -= 1
+    p = min(polyorder, w - 1)
+    if w <= 1:
+        return x
+
+    half = (w - 1) // 2
+    coeffs = jnp.asarray(savgol_coefficients(w, p)[::-1].copy(), dtype=x.dtype)
+    interior = _convolve_same_cols(x, coeffs)
+
+    # Edge handling: polynomial LSQ fit to the first/last w samples, evaluated
+    # at positions 0..half-1 (head) and T-half..T-1 (tail).
+    j = np.arange(w, dtype=np.float64)
+    design = np.stack([j**i for i in range(p + 1)], axis=1)  # (w, p+1)
+    pinv = np.linalg.pinv(design)  # (p+1, w)
+    head_eval = np.stack([np.arange(half) ** i for i in range(p + 1)], axis=1)
+    tail_pos = np.arange(w - half, w, dtype=np.float64)
+    tail_eval = np.stack([tail_pos**i for i in range(p + 1)], axis=1)
+    head_mat = jnp.asarray(head_eval @ pinv, dtype=x.dtype)  # (half, w)
+    tail_mat = jnp.asarray(tail_eval @ pinv, dtype=x.dtype)  # (half, w)
+
+    head = head_mat @ x[:w]  # (half, d)
+    tail = tail_mat @ x[-w:]
+    out = interior
+    out = out.at[:half].set(head)
+    out = out.at[T - half :].set(tail)
+    return out
+
+
+def apply_filter(x: jnp.ndarray, kind, window: int, polyorder: int = 3) -> jnp.ndarray:
+    """Dispatch on config.SmoothingFilter (string value or enum)."""
+    from ..config import SmoothingFilter
+
+    kind = SmoothingFilter(kind) if not isinstance(kind, SmoothingFilter) else kind
+    if kind == SmoothingFilter.NONE:
+        return x
+    if kind == SmoothingFilter.MOVING_AVERAGE_EDGE:
+        return moving_average_edge(x, window)
+    if kind == SmoothingFilter.MOVING_AVERAGE_PADDED:
+        return moving_average_padded(x, window)
+    if kind == SmoothingFilter.SAVGOL:
+        return savgol_filter(x, window, polyorder)
+    raise ValueError(f"unknown filter: {kind!r}")
+
+
+__all__ = [
+    "moving_average_edge",
+    "moving_average_padded",
+    "savgol_coefficients",
+    "savgol_filter",
+    "apply_filter",
+]

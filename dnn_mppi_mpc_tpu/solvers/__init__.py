@@ -1,0 +1,8 @@
+from .mppi import (  # noqa: F401
+    MPPIAux,
+    MPPISolver,
+    MPPIState,
+    make_tracking_costs,
+    mppi_step,
+    sampled_trajectories,
+)

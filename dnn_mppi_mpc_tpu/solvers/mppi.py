@@ -1,0 +1,334 @@
+"""Batched information-theoretic MPPI engine (Williams et al.) — the product core.
+
+One solver replaces all eight reference MPPI variants (numpy/torch/cupy,
+diff-drive/race-car, with/without obstacles — SURVEY §2.1): the K·T scalar
+Python loops of controllers/mppi_differential_drive.py:111-126 become a single
+``lax.scan`` over the horizon whose carry holds all K rollout states, so every
+step is a wide VPU op over the sample dimension. The derivation being
+implemented is the information-theoretic MPPI of notebook/mppi_note.ipynb.
+
+Semantics preserved (with file:line provenance):
+* exploration split: first ⌊(1−explore)·K⌋ samples perturb the nominal sequence,
+  the rest are pure noise            — mppi_differential_drive.py:116-119
+* in-rollout control clamp ``_g``     — mppi_differential_drive.py:285-289
+  (the clamped value also enters the control-energy term, as the reference's
+  in-place ``_g(v[k,t-1])`` mutation does)
+* stage cost + γ·uᵀΣ⁻¹v               — mppi_differential_drive.py:124
+* softmax weights with ρ=min S        — mppi_differential_drive.py:167-180 and
+  the vectorized λ-convention at mppi_race_car_obstacle.py:216-226
+* weighted-noise update over the *unclamped* ε, then smoothing filter
+                                      — mppi_differential_drive.py:132-141
+* receding-horizon shift              — mppi_differential_drive.py:162-163
+* returned u0 is the updated, unclamped first control
+                                      — mppi_differential_drive.py:165
+
+The nearest-waypoint search is made pure: the window start is fixed per control
+tick and carried in :class:`MPPIState` (the reference mutates it per cost call,
+mppi_differential_drive.py:228 — an order-dependent quirk deliberately not
+replicated; see SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ..config import CostAccumulation, MPPIConfig, MPPIParams, SmoothingFilter
+from ..models.integrators import euler_step
+from ..ops.costs import (
+    COLLISION_PENALTY,
+    circle_robot_collision,
+    soft_obstacle_cost,
+    vehicle_polygon_collision,
+)
+from ..ops.filters import apply_filter
+from ..ops.sampling import sample_noise, sigma_inverse
+from ..ops.waypoints import nearest_waypoint
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class MPPIState:
+    """Per-controller carry: nominal sequence, waypoint window start, PRNG key."""
+
+    u_prev: jnp.ndarray  # (T, dim_u)
+    waypoint_idx: jnp.ndarray  # scalar int32
+    key: jax.Array
+
+    def tree_flatten(self):
+        return (self.u_prev, self.waypoint_idx, self.key), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def init(cls, cfg: MPPIConfig, key: Optional[jax.Array] = None) -> "MPPIState":
+        return cls(
+            u_prev=jnp.zeros((cfg.horizon, cfg.dim_u), dtype=jnp.float32),
+            waypoint_idx=jnp.zeros((), dtype=jnp.int32),
+            key=key if key is not None else jax.random.PRNGKey(0),
+        )
+
+
+class CostContext(NamedTuple):
+    """Tick-level context threaded to stage/terminal cost functions."""
+
+    params: MPPIParams
+    waypoint_start: jnp.ndarray  # int32 window start for this control tick
+
+
+# stage_cost(x: (..., nx), t: int32, ctx) -> (...,); terminal likewise without t.
+StageCost = Callable[[jnp.ndarray, jnp.ndarray, CostContext], jnp.ndarray]
+TerminalCost = Callable[[jnp.ndarray, CostContext], jnp.ndarray]
+
+
+class MPPIAux(NamedTuple):
+    """Diagnostics returned by one MPPI step (cheap; no [K,T,nx] buffers)."""
+
+    costs: jnp.ndarray  # (K,) sample costs S
+    weights: jnp.ndarray  # (K,) softmax weights
+    optimal_traj: jnp.ndarray  # (T, dim_x) rollout of the updated sequence
+    waypoint_idx: jnp.ndarray  # int32 tick window start after update
+
+
+def make_tracking_costs(
+    cfg: MPPIConfig,
+    *,
+    wrap_yaw: bool = False,
+    collision: str = "none",
+    robot_radius: float = 0.5,
+    vehicle_length: float = 4.0,
+    vehicle_width: float = 3.0,
+    safety_margin_rate: float = 1.5,
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+) -> Tuple[StageCost, TerminalCost]:
+    """Build the reference's waypoint-tracking stage/terminal costs.
+
+    ``collision``:
+      * 'none'    — plain tracking (mppi_differential_drive.py:222-249)
+      * 'circle'  — +1e10-style penalty on circle-robot overlap
+                    (mppi_differential_drive_obs.py:242,301-313)
+      * 'polygon' — 9-point vehicle outline vs circles
+                    (mppi_race_car_obstacle.py:157,255-274)
+      * 'soft'    — exponential soft penalty (test_mppi_diff_obs.py:59-64)
+    """
+
+    def tracking(x: jnp.ndarray, weight: jnp.ndarray, ctx: CostContext) -> jnp.ndarray:
+        _, ref = nearest_waypoint(
+            ctx.params.ref_path, x[..., :2], ctx.waypoint_start, cfg.waypoint_search_len
+        )
+        n = weight.shape[-1]
+        err = x[..., :n] - ref[..., :n]
+        if wrap_yaw:
+            # yaw wrapped to [0, 2π) before differencing (mppi_race_car_obstacle.py:151)
+            yaw = jnp.mod(x[..., 2] + 2.0 * jnp.pi, 2.0 * jnp.pi)
+            err = err.at[..., 2].set(yaw - ref[..., 2])
+        return jnp.sum(weight * err * err, axis=-1)
+
+    def collision_cost(x: jnp.ndarray, ctx: CostContext) -> jnp.ndarray:
+        obs = ctx.params.obstacles
+        if collision == "none" or obs is None:
+            return jnp.zeros(x.shape[:-1], dtype=x.dtype)
+        if collision == "circle":
+            return circle_robot_collision(x[..., :2], obs, robot_radius) * COLLISION_PENALTY
+        if collision == "polygon":
+            return (
+                vehicle_polygon_collision(
+                    x, obs, vehicle_length, vehicle_width, safety_margin_rate
+                )
+                * COLLISION_PENALTY
+            )
+        if collision == "soft":
+            return soft_obstacle_cost(x[..., :2], obs, soft_safety_distance, soft_weight)
+        raise ValueError(f"unknown collision mode: {collision!r}")
+
+    def stage(x, t, ctx):
+        del t
+        return tracking(x, ctx.params.stage_weight, ctx) + collision_cost(x, ctx)
+
+    def terminal(x, ctx):
+        return tracking(x, ctx.params.terminal_weight, ctx) + collision_cost(x, ctx)
+
+    return stage, terminal
+
+
+def mppi_step(
+    cfg: MPPIConfig,
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    stage_cost: StageCost,
+    terminal_cost: TerminalCost,
+    params: MPPIParams,
+    state: MPPIState,
+    x0: jnp.ndarray,
+    noise: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, MPPIState, MPPIAux]:
+    """One MPPI control tick: sample → rollout → weight → update → shift.
+
+    ``dynamics_step`` is the *discrete* transition F(x, u) (Euler by default,
+    matching mppi_differential_drive.py:182-198). ``noise`` injects a fixed ε
+    (K, T, dim_u) for oracle parity; otherwise ε is drawn from the carried key.
+    """
+    K, T = cfg.num_samples, cfg.horizon
+    u = state.u_prev
+    x0 = x0.astype(u.dtype)
+
+    # Advance the waypoint window to the vehicle position (tick-level, pure).
+    wp_idx, _ = nearest_waypoint(
+        params.ref_path, x0[:2], state.waypoint_idx, cfg.waypoint_search_len
+    )
+    ctx = CostContext(params=params, waypoint_start=wp_idx)
+
+    key, sub = jax.random.split(state.key)
+    if noise is None:
+        eps = sample_noise(sub, params.sigma, K, T, dtype=u.dtype)
+    else:
+        eps = noise.astype(u.dtype)
+
+    # Exploration split (mppi_differential_drive.py:116-119): sample index mask.
+    k_idx = jnp.arange(K, dtype=jnp.float32)
+    exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
+    v = jnp.where(exploit, u[None] + eps, eps)  # (K, T, nu)
+    v = jnp.clip(v, params.u_min, params.u_max)  # _g, applied to the buffer
+
+    sig_inv = sigma_inverse(params.sigma)
+    gamma = jnp.asarray(cfg.gamma, dtype=u.dtype)
+    # γ·u_tᵀΣ⁻¹v_{k,t} for all (k, t) in one einsum (MXU-friendly).
+    energy = gamma * jnp.einsum("ti,ij,ktj->kt", u, sig_inv, v)
+
+    v_time = jnp.swapaxes(v, 0, 1)  # (T, K, nu) — time-leading for scan
+
+    def body(carry, inp):
+        x, s = carry
+        v_t, e_t, t = inp
+        x = dynamics_step(x, v_t)  # (K, nx)
+        c = stage_cost(x, t, ctx) + e_t
+        if cfg.accumulation == CostAccumulation.SUM:
+            s = s + c
+        else:  # LAST: reference overwrite quirk (mppi_differential_drive.py:124)
+            s = c
+        return (x, s), None
+
+    x_init = jnp.broadcast_to(x0, (K,) + x0.shape)
+    s_init = jnp.zeros((K,), dtype=u.dtype)
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (x_final, S), _ = jax.lax.scan(
+        body, (x_init, s_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
+    )
+    S = S + terminal_cost(x_final, ctx)
+
+    # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180).
+    inv_temp = jnp.asarray(cfg.inv_temperature, dtype=u.dtype)
+    w = jax.nn.softmax(-inv_temp * (S - jax.lax.stop_gradient(jnp.min(S))))
+
+    # Weighted noise over the unclamped ε, then smoothing (…:132-141).
+    w_eps = jnp.einsum("k,ktu->tu", w, eps)
+    w_eps = apply_filter(w_eps, cfg.filter, cfg.filter_window, cfg.savgol_polyorder)
+    u_new = u + w_eps
+
+    # Optimal trajectory of the updated (clamped-in-rollout) sequence (…:144-149).
+    def opt_body(x, u_t):
+        x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
+        return x, x
+
+    _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+
+    # Receding-horizon shift (…:162-163).
+    u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)
+    new_state = MPPIState(u_prev=u_shift, waypoint_idx=wp_idx, key=key)
+    aux = MPPIAux(costs=S, weights=w, optimal_traj=optimal_traj, waypoint_idx=wp_idx)
+    return u_new[0], new_state, aux
+
+
+def sampled_trajectories(
+    cfg: MPPIConfig,
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    params: MPPIParams,
+    state: MPPIState,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    costs: jnp.ndarray,
+    top_fraction: float = 1.0,
+) -> jnp.ndarray:
+    """Re-roll sampled sequences for visualization, cost-sorted (best first).
+
+    Separate from the hot path so [K,T,nx] is only materialized on demand —
+    mirrors the viz re-rollout at mppi_differential_drive.py:151-159 and the
+    top-10% extraction of test/test_mppi_diff_obs.py:102-110.
+    """
+    K = cfg.num_samples
+    u = state.u_prev
+    k_idx = jnp.arange(K, dtype=jnp.float32)
+    exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
+    v = jnp.where(exploit, u[None] + noise, noise)
+    v = jnp.clip(v, params.u_min, params.u_max)
+
+    def body(x, v_t):
+        x = dynamics_step(x, v_t)
+        return x, x
+
+    x_init = jnp.broadcast_to(x0, (K,) + x0.shape)
+    _, trajs = jax.lax.scan(body, x_init, jnp.swapaxes(v, 0, 1))  # (T, K, nx)
+    trajs = jnp.swapaxes(trajs, 0, 1)  # (K, T, nx)
+    order = jnp.argsort(costs)
+    n_top = max(1, int(K * top_fraction))
+    return jnp.take(trajs, order[:n_top], axis=0)
+
+
+class MPPISolver:
+    """Convenience wrapper: binds config + dynamics + costs, jits the step.
+
+    Covers the constructor surface of MPPIAlgorithms
+    (mppi_differential_drive.py:44-85) / MPPIRacecarController
+    (mppi_race_car_obstacle.py:11-62) with explicit state instead of mutation.
+    """
+
+    def __init__(
+        self,
+        cfg: MPPIConfig,
+        dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        stage_cost: StageCost,
+        terminal_cost: TerminalCost,
+        use_pallas: Optional[bool] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.dynamics_step = dynamics_step
+        self._step = jax.jit(
+            functools.partial(mppi_step, cfg, dynamics_step, stage_cost, terminal_cost)
+        )
+        self._sampled = jax.jit(
+            functools.partial(sampled_trajectories, cfg, dynamics_step),
+            static_argnames=("top_fraction",),
+        )
+
+    def init(self, key: Optional[jax.Array] = None) -> MPPIState:
+        return MPPIState.init(self.cfg, key)
+
+    def step(
+        self,
+        params: MPPIParams,
+        state: MPPIState,
+        x0: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, MPPIState, MPPIAux]:
+        return self._step(params, state, x0, noise)
+
+    def sampled_trajectories(self, params, state, x0, noise, costs, top_fraction=1.0):
+        return self._sampled(params, state, x0, noise, costs, top_fraction=top_fraction)
+
+
+__all__ = [
+    "MPPIState",
+    "MPPIAux",
+    "CostContext",
+    "make_tracking_costs",
+    "mppi_step",
+    "sampled_trajectories",
+    "MPPISolver",
+]
