@@ -38,6 +38,9 @@ def nearest_waypoint(
       the corresponding waypoint rows.
     """
     P = ref_path.shape[0]
+    # A window longer than the path degenerates to a global search (the race-car
+    # demo uses SEARCH_INDEX_LEN=200 over a 100-point path).
+    search_len = min(search_len, P)
     start = jnp.clip(start_idx, 0, max(P - search_len, 0)).astype(jnp.int32)
     window = jax.lax.dynamic_slice_in_dim(ref_path, start, search_len, axis=0)
     # (..., W) squared distances — one broadcasted FMA, no gather per query.

@@ -178,6 +178,12 @@ def mppi_step(
     K, T = cfg.num_samples, cfg.horizon
     u = state.u_prev
     x0 = x0.astype(u.dtype)
+    # Keep the whole tick in one dtype (f32 on the hot path); under x64 test
+    # mode, float64 params would otherwise promote the scan carry.
+    params = jax.tree.map(
+        lambda a: a.astype(u.dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
 
     # Advance the waypoint window to the vehicle position (tick-level, pure).
     wp_idx, _ = nearest_waypoint(

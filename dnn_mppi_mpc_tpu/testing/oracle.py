@@ -166,4 +166,140 @@ class OracleMPPI:
         return u[0], u, S
 
 
-__all__ = ["OracleMPPI"]
+@dataclasses.dataclass
+class OracleRacecarMPPI:
+    """Scalar-loop race-car MPPI (kinematic bicycle + polygon collision).
+
+    Independent re-implementation of controllers/mppi_race_car_obstacle.py:65-131:
+    λ-convention softmax (:222-224), ``+=`` accumulation (:94), yaw wrapped to
+    [0, 2π) in the cost (:151), padded moving-average filter (:228-239),
+    9-point vehicle outline vs circles with 1.5× margin (:255-274). The cost-side
+    waypoint lookup here is already pure (window start fixed per tick, :153), so
+    the TPU engine matches this oracle exactly under injected noise.
+    """
+
+    ref_path: np.ndarray
+    dt: float = 0.05
+    wheel_base: float = 2.5
+    K: int = 100
+    T: int = 10
+    lam: float = 50.0
+    alpha: float = 1.0
+    exploration: float = 0.01
+    sigma: np.ndarray = None
+    stage_weight: np.ndarray = None
+    terminal_weight: np.ndarray = None
+    max_steer: float = 0.523
+    max_accel: float = 2.0
+    obstacles: np.ndarray = None  # (n, 3) x, y, r
+    vehicle_w: float = 3.0
+    vehicle_l: float = 4.0
+    margin_rate: float = 1.5
+    collision_penalty: float = 1.0e7
+    search_len: int = 200
+    filter_window: int = 10
+
+    def __post_init__(self):
+        if self.sigma is None:
+            self.sigma = np.array([[0.5, 0.0], [0.0, 0.1]])
+        if self.stage_weight is None:
+            self.stage_weight = np.array([50.0, 50.0, 1.0, 20.0])
+        if self.terminal_weight is None:
+            self.terminal_weight = np.array([50.0, 50.0, 1.0, 20.0])
+        if self.obstacles is None:
+            self.obstacles = np.zeros((0, 3))
+        self.u_prev = np.zeros((self.T, 2))
+        self.prev_idx = 0
+        self.gamma = self.lam * (1.0 - self.alpha)
+        self.sigma_inv = np.linalg.inv(self.sigma)
+
+    def _transition(self, x, v):
+        steer, accel = v
+        return np.array(
+            [
+                x[0] + x[3] * np.cos(x[2]) * self.dt,
+                x[1] + x[3] * np.sin(x[2]) * self.dt,
+                x[2] + x[3] / self.wheel_base * np.tan(steer) * self.dt,
+                x[3] + accel * self.dt,
+            ]
+        )
+
+    def _clamp(self, v):
+        return np.array(
+            [
+                np.clip(v[0], -self.max_steer, self.max_steer),
+                np.clip(v[1], -self.max_accel, self.max_accel),
+            ]
+        )
+
+    def _nearest(self, x, y, start):
+        P = self.ref_path.shape[0]
+        w = min(self.search_len, P)
+        start = min(max(start, 0), max(P - w, 0))
+        window = self.ref_path[start : start + w]
+        d = (x - window[:, 0]) ** 2 + (y - window[:, 1]) ** 2
+        return int(np.argmin(d)) + start
+
+    def _collided(self, x_t):
+        x, y, yaw = x_t[0], x_t[1], x_t[2]
+        hl = 0.5 * self.vehicle_l * self.margin_rate
+        hw = 0.5 * self.vehicle_w * self.margin_rate
+        bx = np.array([-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0]) * hl
+        by = np.array([0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0]) * hw
+        px = bx * np.cos(yaw) - by * np.sin(yaw) + x
+        py = bx * np.sin(yaw) + by * np.cos(yaw) + y
+        for ox, oy, r in self.obstacles:
+            if np.any((px - ox) ** 2 + (py - oy) ** 2 < r**2):
+                return 1.0
+        return 0.0
+
+    def _cost(self, x_t, weight, tick_start):
+        idx = self._nearest(x_t[0], x_t[1], tick_start)
+        ref = self.ref_path[idx]
+        yaw = np.mod(x_t[2] + 2.0 * np.pi, 2.0 * np.pi)
+        e = np.array([x_t[0] - ref[0], x_t[1] - ref[1], yaw - ref[2], x_t[3] - ref[3]])
+        c = float(np.sum(weight * e * e))
+        return c + self._collided(x_t) * self.collision_penalty
+
+    def _moving_average_padded(self, xx):
+        k = self.filter_window
+        kernel = np.ones(k) / k
+        out = np.zeros_like(xx)
+        for d in range(xx.shape[1]):
+            padded = np.concatenate([xx[: k // 2, d], xx[:, d], xx[-(k // 2):, d]])
+            out[:, d] = np.convolve(padded, kernel, mode="same")[k // 2 : -(k // 2)]
+        return out
+
+    def step(self, x0: np.ndarray, epsilon: np.ndarray):
+        u = self.u_prev.copy()
+        self.prev_idx = self._nearest(x0[0], x0[1], self.prev_idx)
+        tick_start = self.prev_idx
+
+        S = np.zeros(self.K)
+        n_exploit = (1.0 - self.exploration) * self.K
+        for k in range(self.K):
+            x = x0.copy()
+            for t in range(1, self.T + 1):
+                if k < n_exploit:
+                    v = u[t - 1] + epsilon[k, t - 1]
+                else:
+                    v = epsilon[k, t - 1].copy()
+                v = self._clamp(v)
+                x = self._transition(x, v)
+                S[k] += self._cost(x, self.stage_weight, tick_start)
+                S[k] += self.gamma * float(u[t - 1] @ self.sigma_inv @ v)
+            S[k] += self._cost(x, self.terminal_weight, tick_start)
+
+        rho = S.min()
+        w = np.exp(-(1.0 / self.lam) * (S - rho))
+        w /= w.sum()
+
+        w_eps = np.einsum("k,ktu->tu", w, epsilon)
+        w_eps = self._moving_average_padded(w_eps)
+        u = u + w_eps
+        self.u_prev[:-1] = u[1:]
+        self.u_prev[-1] = u[-1]
+        return u[0], u, S
+
+
+__all__ = ["OracleMPPI", "OracleRacecarMPPI"]
