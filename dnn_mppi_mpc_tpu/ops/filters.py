@@ -39,7 +39,7 @@ def moving_average_edge(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
     iteration) while elements -2..-n_conv are never rescaled.
     """
     T = x.shape[0]
-    w = window_size
+    w = min(window_size, T)  # reference configs always satisfy w ≤ T
     kernel = jnp.ones((w,), dtype=x.dtype) / w
     out = _convolve_same_cols(x, kernel)
 
@@ -61,7 +61,7 @@ def moving_average_padded(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
     the *first* w//2 samples and the right pad the *last* w//2 samples (copied,
     not reflected), then a 'same' convolution with the pad stripped.
     """
-    w = window_size
+    w = min(window_size, x.shape[0])
     kernel = jnp.ones((w,), dtype=x.dtype) / w
     padded = jnp.concatenate([x[: w // 2], x, x[-(w // 2):]], axis=0)
     out = _convolve_same_cols(padded, kernel)

@@ -28,14 +28,19 @@ def sample_noise(
     controllers/mppi_differential_drive.py:282 but deterministic under a key.
     """
     dim_u = sigma.shape[-1]
-    chol = jnp.linalg.cholesky(sigma.astype(jnp.float64)).astype(dtype)
+    chol = jnp.linalg.cholesky(sigma.astype(_hi_dtype())).astype(dtype)
     z = jax.random.normal(key, (num_samples, horizon, dim_u), dtype=dtype)
     return z @ chol.T
 
 
+def _hi_dtype():
+    """f64 when enabled (tests), else f32 — avoids noisy truncation warnings."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def sigma_inverse(sigma: jnp.ndarray) -> jnp.ndarray:
-    """Σ⁻¹ for the control-energy term; solved in f64 then cast for stability."""
-    return jnp.linalg.inv(sigma.astype(jnp.float64)).astype(sigma.dtype)
+    """Σ⁻¹ for the control-energy term; solved at max available precision."""
+    return jnp.linalg.inv(sigma.astype(_hi_dtype())).astype(sigma.dtype)
 
 
 __all__ = ["sample_noise", "sigma_inverse"]

@@ -168,16 +168,24 @@ def mppi_step(
     state: MPPIState,
     x0: jnp.ndarray,
     noise: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, MPPIState, MPPIAux]:
     """One MPPI control tick: sample → rollout → weight → update → shift.
 
     ``dynamics_step`` is the *discrete* transition F(x, u) (Euler by default,
     matching mppi_differential_drive.py:182-198). ``noise`` injects a fixed ε
     (K, T, dim_u) for oracle parity; otherwise ε is drawn from the carried key.
+
+    ``axis_name`` enables sample-sharded execution under ``shard_map``: each
+    device rolls out its K/n shard and the three cross-sample reductions —
+    ρ = min S (pmin), η = Σ exp (psum), and the weighted-noise sum (psum) —
+    ride the ICI mesh (SURVEY §2.10). cfg.num_samples stays the *global* K.
     """
     K, T = cfg.num_samples, cfg.horizon
     u = state.u_prev
     x0 = x0.astype(u.dtype)
+    n_shards = 1 if axis_name is None else jax.lax.axis_size(axis_name)
+    local_K = K // n_shards
     # Keep the whole tick in one dtype (f32 on the hot path); under x64 test
     # mode, float64 params would otherwise promote the scan carry.
     params = jax.tree.map(
@@ -193,12 +201,17 @@ def mppi_step(
 
     key, sub = jax.random.split(state.key)
     if noise is None:
-        eps = sample_noise(sub, params.sigma, K, T, dtype=u.dtype)
+        if axis_name is not None:
+            sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
+        eps = sample_noise(sub, params.sigma, local_K, T, dtype=u.dtype)
     else:
         eps = noise.astype(u.dtype)
 
-    # Exploration split (mppi_differential_drive.py:116-119): sample index mask.
-    k_idx = jnp.arange(K, dtype=jnp.float32)
+    # Exploration split (mppi_differential_drive.py:116-119): sample index mask
+    # over *global* sample indices so sharding preserves semantics.
+    k_idx = jnp.arange(local_K, dtype=jnp.float32)
+    if axis_name is not None:
+        k_idx = k_idx + jax.lax.axis_index(axis_name).astype(jnp.float32) * local_K
     exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
     v = jnp.where(exploit, u[None] + eps, eps)  # (K, T, nu)
     v = jnp.clip(v, params.u_min, params.u_max)  # _g, applied to the buffer
@@ -221,8 +234,8 @@ def mppi_step(
             s = c
         return (x, s), None
 
-    x_init = jnp.broadcast_to(x0, (K,) + x0.shape)
-    s_init = jnp.zeros((K,), dtype=u.dtype)
+    x_init = jnp.broadcast_to(x0, (local_K,) + x0.shape)
+    s_init = jnp.zeros((local_K,), dtype=u.dtype)
     ts = jnp.arange(T, dtype=jnp.int32)
     (x_final, S), _ = jax.lax.scan(
         body, (x_init, s_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
@@ -230,11 +243,21 @@ def mppi_step(
     S = S + terminal_cost(x_final, ctx)
 
     # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180).
+    # Sharded: ρ via pmin, normalizer η via psum — the only cross-chip scalars.
     inv_temp = jnp.asarray(cfg.inv_temperature, dtype=u.dtype)
-    w = jax.nn.softmax(-inv_temp * (S - jax.lax.stop_gradient(jnp.min(S))))
+    rho = jnp.min(S)
+    if axis_name is not None:
+        rho = jax.lax.pmin(rho, axis_name)
+    m = jnp.exp(-inv_temp * (S - jax.lax.stop_gradient(rho)))
+    eta = jnp.sum(m)
+    if axis_name is not None:
+        eta = jax.lax.psum(eta, axis_name)
+    w = m / eta
 
     # Weighted noise over the unclamped ε, then smoothing (…:132-141).
     w_eps = jnp.einsum("k,ktu->tu", w, eps)
+    if axis_name is not None:
+        w_eps = jax.lax.psum(w_eps, axis_name)
     w_eps = apply_filter(w_eps, cfg.filter, cfg.filter_window, cfg.savgol_polyorder)
     u_new = u + w_eps
 

@@ -1,0 +1,77 @@
+"""Sample-sharded MPPI on the virtual 8-device CPU mesh must match single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.parallel.sharding import (
+    make_batched_mppi_step,
+    make_mesh,
+    make_sharded_mppi_step,
+)
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.models.integrators import euler_step
+from dnn_mppi_mpc_tpu.solvers.mppi import MPPIState, make_tracking_costs, mppi_step
+
+from test_mppi_parity import _make_pair, DT, K, T
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_unsharded():
+    cfg, params, solver, _ = _make_pair()
+    # rebuild with K divisible by the 8-device mesh
+    import dataclasses
+
+    cfg8 = dataclasses.replace(cfg, num_samples=96)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg8)
+
+    mesh = make_mesh(("k",))
+    sharded = make_sharded_mppi_step(cfg8, step_fn, stage, terminal, mesh)
+
+    rng = np.random.default_rng(5)
+    eps = jnp.asarray(
+        rng.multivariate_normal(np.zeros(2), np.asarray(params.sigma), size=(96, T)),
+        jnp.float32,
+    )
+    x0 = jnp.array([0.0, 0.0, 0.0])
+    state = MPPIState.init(cfg8)
+
+    u0_s, state_s, aux_s = sharded(params, state, x0, eps)
+    u0_r, state_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg8, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+
+    np.testing.assert_allclose(np.asarray(u0_s), np.asarray(u0_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_s.u_prev), np.asarray(state_r.u_prev), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_s.costs), np.asarray(aux_r.costs), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_scenario_batched_step():
+    cfg, params, _, _ = _make_pair()
+    import dataclasses
+
+    cfg_b = dataclasses.replace(cfg, num_samples=64)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg_b)
+    mesh = make_mesh(("batch",))
+    step = make_batched_mppi_step(cfg_b, step_fn, stage, terminal, mesh)
+
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: MPPIState.init(cfg_b, k))(keys)
+    # broadcast params across the batch
+    batched_params = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape) if a is not None else None, params
+    )
+    x0s = jnp.zeros((B, 3))
+    u0, new_states, aux = step(batched_params, states, x0s)
+    assert u0.shape == (B, 2)
+    assert new_states.u_prev.shape == (B, T, 2)
+    assert np.all(np.isfinite(np.asarray(u0)))
