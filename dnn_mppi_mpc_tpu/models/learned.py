@@ -1,0 +1,211 @@
+"""Learned dynamics in Flax — the in-graph replacement for l4casadi/TorchScript.
+
+The reference embeds torch nets into CasADi via generated C++ shims and traced
+jacobians (`_l4c_generated/learned_dynamics_differential_drive.cpp:39-52`); in
+JAX the net is just a function, so NMPC linearization uses jax.jacfwd/hessian
+directly (SURVEY §2.9). Architectures mirrored:
+
+* :class:`MLP` — dnn/simple_mlp.py:5-24 (in→512, 2×(512→512, tanh), 512→out,
+  zero-initialized output layer so the residual starts at 0) and the 5→512×2→3
+  variant of simulation/bullet_differential_drive_dnn.py:37-60.
+* :class:`ResNet1D` — the 1-D conv ResNet-18/50 of dnn/resnet18.py /
+  dnn/resnet50.py (BasicBlock / BottleNeck over (B, C, L) with tanh head).
+* :class:`Standardizer` — sklearn StandardScaler folded in-graph, the
+  approach the reference itself validates at test/test_diff_dyna_eval.py:50-56.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+class MLP(nn.Module):
+    """tanh MLP with zero-init head (residual-dynamics regressor).
+
+    Defaults replicate dnn/simple_mlp.py: hidden=512, depth=2 tanh hidden
+    layers; note the reference applies NO activation after the input layer
+    (simple_mlp.py:19-22: x = input_layer(x); then tanh(hidden(x))...).
+    """
+
+    out_dim: int = 3
+    hidden: int = 512
+    depth: int = 2
+    zero_init_head: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden)(x)
+        for _ in range(self.depth):
+            x = jnp.tanh(nn.Dense(self.hidden)(x))
+        head_init = (
+            nn.initializers.zeros if self.zero_init_head else nn.initializers.lecun_normal()
+        )
+        x = nn.Dense(
+            self.out_dim, kernel_init=head_init, bias_init=nn.initializers.zeros
+        )(x)
+        return x
+
+
+class BasicBlock1D(nn.Module):
+    """ResNet-18 basic block over 1-D feature maps (dnn/resnet18.py:5-29)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        y = nn.Conv(self.planes, (3,), strides=(self.stride,), padding=1, use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3,), strides=(1,), padding=1, use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = nn.Conv(
+                self.planes, (1,), strides=(self.stride,), use_bias=False
+            )(x)
+            residual = nn.BatchNorm(use_running_average=not train)(residual)
+        return nn.relu(y + residual)
+
+
+class BottleneckBlock1D(nn.Module):
+    """ResNet-50 bottleneck block over 1-D feature maps (dnn/resnet50.py:6-41)."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_planes = self.planes * self.expansion
+        residual = x
+        y = nn.Conv(self.planes, (1,), use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3,), strides=(self.stride,), padding=1, use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_planes, (1,), use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        if self.stride != 1 or x.shape[-1] != out_planes:
+            residual = nn.Conv(
+                out_planes, (1,), strides=(self.stride,), use_bias=False
+            )(x)
+            residual = nn.BatchNorm(use_running_average=not train)(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet1D(nn.Module):
+    """1-D conv ResNet over (B, L, C) with tanh regression head.
+
+    ``variant='18'`` mirrors dnn/resnet18.py:31-69 (BasicBlock ×[2,2,2,2],
+    3-wide stem, avg-pool, linear, tanh); ``variant='50'`` mirrors
+    dnn/resnet50.py:44-105 (BottleNeck ×[3,4,6,3], 7-wide stride-2 stem with
+    max-pool). Inputs follow Flax channel-last convention: the reference's
+    (B, C=input_dim, L) tensors transpose to (B, L, input_dim).
+    """
+
+    out_dim: int
+    variant: str = "18"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.variant == "18":
+            blocks, block_cls = [2, 2, 2, 2], BasicBlock1D
+            x = nn.Conv(64, (3,), strides=(1,), padding=1, use_bias=False)(x)
+            x = nn.relu(nn.BatchNorm(use_running_average=not train)(x))
+        elif self.variant == "50":
+            blocks, block_cls = [3, 4, 6, 3], BottleneckBlock1D
+            x = nn.Conv(64, (7,), strides=(2,), padding=3, use_bias=False)(x)
+            x = nn.relu(nn.BatchNorm(use_running_average=not train)(x))
+            x = nn.max_pool(x, (3,), strides=(2,), padding=((1, 1),))
+        else:
+            raise ValueError(f"unknown variant {self.variant!r}")
+
+        for stage, n_blocks in enumerate(blocks):
+            planes = 64 * (2**stage)
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = block_cls(planes=planes, stride=stride)(x, train=train)
+
+        x = jnp.mean(x, axis=-2)  # adaptive average pool over length
+        x = nn.Dense(self.out_dim)(x)
+        return jnp.tanh(x)
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class Standardizer:
+    """StandardScaler folded in-graph (test/test_diff_dyna_eval.py:50-56).
+
+    ``transform`` maps raw features to z-scores; ``inverse`` maps network
+    outputs back to physical units — both pure array ops that live inside the
+    jitted dynamics, replacing the pickled sklearn scalers of
+    train/train_diff_mlp.py:179-189.
+    """
+
+    mean: jnp.ndarray
+    std: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.mean, self.std), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def fit(cls, data: jnp.ndarray) -> "Standardizer":
+        return cls(mean=jnp.mean(data, axis=0), std=jnp.std(data, axis=0) + 1e-8)
+
+    def transform(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x - self.mean) / self.std
+
+    def inverse(self, z: jnp.ndarray) -> jnp.ndarray:
+        return z * self.std + self.mean
+
+
+def make_residual_fn(
+    model: nn.Module,
+    params,
+    in_scaler: Optional[Standardizer] = None,
+    out_scaler: Optional[Standardizer] = None,
+    needs_length_axis: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Bind a Flax module into a plain feature→residual function.
+
+    The returned closure is what :func:`models.dynamics.residual_dynamics`
+    composes with analytic dynamics — the role of
+    ``l4c.L4CasADi(model, model_expects_batch_dim=True)``
+    (simulation/bullet_differential_drive_dnn.py:288-292) with scalers folded
+    in-graph. ``needs_length_axis`` inserts the L=1 axis the conv ResNets
+    expect (the reference feeds (B, C, 1) tensors, dnn/resnet18.py:79-82).
+    """
+
+    def f(feats: jnp.ndarray) -> jnp.ndarray:
+        z = in_scaler.transform(feats) if in_scaler is not None else feats
+        batch_shape = z.shape[:-1]
+        z2 = z.reshape((-1, z.shape[-1]))
+        if needs_length_axis:
+            z2 = z2[:, None, :]  # (B, L=1, C)
+        out = model.apply(params, z2)
+        out = out.reshape(batch_shape + (out.shape[-1],))
+        return out_scaler.inverse(out) if out_scaler is not None else out
+
+    return f
+
+
+__all__ = [
+    "MLP",
+    "BasicBlock1D",
+    "BottleneckBlock1D",
+    "ResNet1D",
+    "Standardizer",
+    "make_residual_fn",
+]

@@ -1,0 +1,163 @@
+"""Residual-dynamics regression training (Flax/optax), data-parallel over a mesh.
+
+Re-designs train/train_diff_mlp.py:64-192 TPU-first: the torch DataLoader loop
+becomes a jitted epoch of minibatch steps over device-sharded arrays; the
+pickled StandardScalers become in-graph :class:`~..models.learned.Standardizer`
+pytrees; MSE + MAE metrics match the reference's reporting (:159-172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.learned import Standardizer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters of the regression loop (train/train_diff_mlp.py defaults:
+    Adam, lr=1e-3, MSE loss, batch training over the residual-error dataset)."""
+
+    learning_rate: float = 1.0e-3
+    batch_size: int = 256
+    num_epochs: int = 100
+    weight_decay: float = 0.0
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: FrozenDict
+    opt_state: optax.OptState
+    in_scaler: Standardizer
+    out_scaler: Standardizer
+
+
+def prepare_residual_dataset(
+    states: jnp.ndarray, controls: jnp.ndarray, errors: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, Standardizer, Standardizer]:
+    """Standardize (state, control) features and residual-error targets.
+
+    The reference scales states/controls/errors with separate StandardScalers
+    (train/train_diff_mlp.py:70-90); here features are the concatenated
+    (state, control) rows — the 5-feature input of the flagship DNN-NMPC MLP
+    (simulation/bullet_differential_drive_dnn.py:37-60).
+    """
+    feats = jnp.concatenate([states, controls], axis=-1)
+    in_scaler = Standardizer.fit(feats)
+    out_scaler = Standardizer.fit(errors)
+    return in_scaler.transform(feats), out_scaler.transform(errors), in_scaler, out_scaler
+
+
+def make_train_step(
+    model: nn.Module, tx: optax.GradientTransformation
+) -> Callable:
+    """One jitted SGD step: MSE loss, grads, update. Returns (state, metrics)."""
+
+    def loss_fn(params, x, y):
+        pred = model.apply(params, x)
+        mse = jnp.mean((pred - y) ** 2)
+        mae = jnp.mean(jnp.abs(pred - y))
+        return mse, mae
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        (mse, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"mse": mse, "mae": mae}
+
+    return step
+
+
+def train_residual_model(
+    model: nn.Module,
+    states: jnp.ndarray,
+    controls: jnp.ndarray,
+    errors: jnp.ndarray,
+    cfg: TrainConfig = TrainConfig(),
+    mesh: Optional[Mesh] = None,
+    val_fraction: float = 0.3,
+) -> Tuple[TrainState, dict]:
+    """Full training run: split, standardize, minibatch SGD, MSE/MAE curves.
+
+    Mirrors the train/val split + per-epoch metric reporting of
+    train/train_diff_mlp.py:97-172. With ``mesh`` the batch dimension is
+    sharded over the 'batch' axis (pure data parallelism — gradients reduce
+    via XLA's automatic psum through the jitted step).
+    """
+    x, y, in_scaler, out_scaler = prepare_residual_dataset(states, controls, errors)
+
+    n = x.shape[0]
+    n_val = int(n * val_fraction)
+    rng = jax.random.PRNGKey(cfg.seed)
+    perm = jax.random.permutation(rng, n)
+    x, y = x[perm], y[perm]
+    x_train, y_train = x[n_val:], y[n_val:]
+    x_val, y_val = x[:n_val], y[:n_val]
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch"))
+        pad = (-x_train.shape[0]) % mesh.shape["batch"]
+        if pad:
+            x_train = jnp.concatenate([x_train, x_train[:pad]], axis=0)
+            y_train = jnp.concatenate([y_train, y_train[:pad]], axis=0)
+        x_train = jax.device_put(x_train, sharding)
+        y_train = jax.device_put(y_train, sharding)
+
+    params = model.init(jax.random.PRNGKey(cfg.seed + 1), x_train[:2])
+    tx = (
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay
+        else optax.adam(cfg.learning_rate)
+    )
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+
+    n_train = x_train.shape[0]
+    bs = min(cfg.batch_size, n_train)
+    steps_per_epoch = max(1, n_train // bs)
+    history = {"train_mse": [], "train_mae": [], "val_mse": [], "val_mae": []}
+
+    @jax.jit
+    def eval_metrics(params, x, y):
+        pred = model.apply(params, x)
+        return jnp.mean((pred - y) ** 2), jnp.mean(jnp.abs(pred - y))
+
+    shuffle_key = jax.random.PRNGKey(cfg.seed + 2)
+    for epoch in range(cfg.num_epochs):
+        shuffle_key, sub = jax.random.split(shuffle_key)
+        order = jax.random.permutation(sub, n_train)
+        ep_mse = ep_mae = 0.0
+        for i in range(steps_per_epoch):
+            idx = order[i * bs : (i + 1) * bs]
+            params, opt_state, m = step(params, opt_state, x_train[idx], y_train[idx])
+            ep_mse += float(m["mse"])
+            ep_mae += float(m["mae"])
+        v_mse, v_mae = eval_metrics(params, x_val, y_val)
+        history["train_mse"].append(ep_mse / steps_per_epoch)
+        history["train_mae"].append(ep_mae / steps_per_epoch)
+        history["val_mse"].append(float(v_mse))
+        history["val_mae"].append(float(v_mae))
+
+    state = TrainState(
+        params=params, opt_state=opt_state, in_scaler=in_scaler, out_scaler=out_scaler
+    )
+    return state, history
+
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "prepare_residual_dataset",
+    "make_train_step",
+    "train_residual_model",
+]
