@@ -1,0 +1,254 @@
+"""Structure-exploiting QP solver: Riccati recursion + relaxed log barrier.
+
+TPU-native replacement for acados' FULL_CONDENSING_HPIPM QP step
+(controllers/mpc_differential_drive_obstacle_static.py:237): instead of a C
+interior-point solver, the stage-structured QP
+
+    min  Σᵢ ½δxᵢᵀQ̄ᵢδxᵢ + q̄ᵢᵀδxᵢ + ½δuᵢᵀR̄ᵢδuᵢ + r̄ᵢᵀδuᵢ
+    s.t. δx_{i+1} = Aᵢδxᵢ + Bᵢδuᵢ + cᵢ,   δx₀ fixed,
+         box bounds on x, u and linearized h-constraints
+
+is solved by damped Newton on a **relaxed logarithmic barrier** (Feller &
+Ebenbauer's relaxed-barrier MPC): each Newton step is an affine LQR solved by a
+backward/forward Riccati ``lax.scan`` over the horizon — O(N·(nx+nu)³) with
+tiny matrices, fully jittable and vmappable over scenario batches. The relaxed
+barrier is globally defined (quadratic extension below δ), so infeasible warm
+starts cannot blow up and no line search is required inside ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def relaxed_barrier(
+    w: jnp.ndarray, mu: float, delta: float, stiffness: Optional[float] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(ψ, ψ', ψ'') of the relaxed log barrier at margin w (constraint w ≥ 0).
+
+    ψ(w) = −μ ln w for w > δ; below δ a quadratic extension with C¹-matched
+    gradient and **μ-independent stiffness** κ: ψ' = −μ/δ − κ(δ−w), ψ'' = κ.
+    A μ-scaled extension (the textbook relaxed barrier) loses its restoring
+    force as μ→0, letting violated constraints drift — the fixed κ keeps
+    violations pinned to O(λ*/κ) while the log region sharpens toward the true
+    active set.
+    """
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+    w_safe = jnp.maximum(w, delta)
+    log_val = -mu * jnp.log(w_safe)
+    log_grad = -mu / w_safe
+    log_hess = mu / (w_safe * w_safe)
+    dv = delta - w
+    quad_val = -mu * jnp.log(delta) + (mu / delta) * dv + 0.5 * stiffness * dv * dv
+    quad_grad = -mu / delta - stiffness * dv
+    quad_hess = jnp.full_like(w, stiffness)
+    use_log = w > delta
+    return (
+        jnp.where(use_log, log_val, quad_val),
+        jnp.where(use_log, log_grad, quad_grad),
+        jnp.where(use_log, log_hess, quad_hess),
+    )
+
+
+class LQRData(NamedTuple):
+    """Affine time-varying LQR problem (all arrays stage-stacked)."""
+
+    A: jnp.ndarray  # (N, nx, nx)
+    B: jnp.ndarray  # (N, nx, nu)
+    c: jnp.ndarray  # (N, nx) — dynamics residual / affine drift
+    Qxx: jnp.ndarray  # (N+1, nx, nx) — stage 0 unused (δx₀ fixed)
+    qx: jnp.ndarray  # (N+1, nx)
+    Ruu: jnp.ndarray  # (N, nu, nu)
+    ru: jnp.ndarray  # (N, nu)
+
+
+def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the affine LQR exactly: returns (δX (N+1,nx), δU (N,nu)).
+
+    Backward sweep computes the value function (P, p) and gains (K, k); forward
+    sweep rolls the linear dynamics — this is the Riccati equivalent of the
+    condensed-QP factorization inside HPIPM, as a pair of ``lax.scan``s.
+    """
+    N = data.A.shape[0]
+    nx = data.A.shape[1]
+    reg = 1e-9
+
+    def backward(carry, inp):
+        P, p = carry
+        A, B, c, Qxx, qx, Ruu, ru = inp
+        PA = P @ A
+        PB = P @ B
+        Luu = Ruu + B.T @ PB
+        Luu = 0.5 * (Luu + Luu.T) + reg * jnp.eye(Luu.shape[0], dtype=Luu.dtype)
+        Lux = B.T @ PA
+        lu = ru + B.T @ (p + P @ c)
+        K = -jnp.linalg.solve(Luu, Lux)
+        k = -jnp.linalg.solve(Luu, lu)
+        P_new = Qxx + A.T @ PA + Lux.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + A.T @ (p + P @ c) + Lux.T @ k
+        return (P_new, p_new), (K, k)
+
+    P_T = data.Qxx[N]
+    p_T = data.qx[N]
+    stage_data = (
+        data.A[::-1],
+        data.B[::-1],
+        data.c[::-1],
+        data.Qxx[:-1][::-1],
+        data.qx[:-1][::-1],
+        data.Ruu[::-1],
+        data.ru[::-1],
+    )
+    _, (K_rev, k_rev) = jax.lax.scan(backward, (P_T, p_T), stage_data)
+    K, k = K_rev[::-1], k_rev[::-1]
+
+    def forward(dx, inp):
+        A, B, c, Ki, ki = inp
+        du = Ki @ dx + ki
+        dx_next = A @ dx + B @ du + c
+        return dx_next, (dx, du)
+
+    _, (dX, dU) = jax.lax.scan(forward, dx0, (data.A, data.B, data.c, K, k))
+    # dX holds stages 0..N-1; append terminal state
+    dx_T = data.A[-1] @ dX[-1] + data.B[-1] @ dU[-1] + data.c[-1]
+    dX_full = jnp.concatenate([dX, dx_T[None]], axis=0)
+    return dX_full, dU
+
+
+class BoxedQPData(NamedTuple):
+    """Stage-structured QP with bounds + linearized inequality constraints.
+
+    Margins use the convention w ≥ 0 feasible. ``Jh``/``h0`` describe
+    n_h linearized constraints per stage: h0ᵢ + Jhᵢ δxᵢ ≥ 0 (acados-style
+    obstacle rows, mpc_differential_drive_obstacle_static.py:219-234).
+    """
+
+    A: jnp.ndarray
+    B: jnp.ndarray
+    c: jnp.ndarray
+    Q: jnp.ndarray  # (N+1, nx, nx) LS Hessian blocks
+    qx_base: jnp.ndarray  # (N+1, nx) LS gradient at δ=0
+    R: jnp.ndarray  # (N, nu, nu)
+    ru_base: jnp.ndarray  # (N, nu)
+    lbx: jnp.ndarray  # (N+1, nx) margins offset: lbx_margin = x̄ − lbx at δ=0
+    ubx: jnp.ndarray  # (N+1, nx) ubx_margin = ubx − x̄ at δ=0
+    lbu: jnp.ndarray  # (N, nu)
+    ubu: jnp.ndarray  # (N, nu)
+    Jh: Optional[jnp.ndarray]  # (N+1, n_h, nx) or None
+    h0: Optional[jnp.ndarray]  # (N+1, n_h) margins at δ=0
+
+
+def barrier_qp_solve(
+    qp: BoxedQPData,
+    dx0: jnp.ndarray,
+    num_iters: int = 12,
+    mu0: float = 1.0e-1,
+    kappa: float = 0.35,
+    delta: float = 1.0e-3,
+    stiffness: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the inequality-constrained QP by barrier-Newton/Riccati.
+
+    Each of ``num_iters`` iterations: evaluate relaxed-barrier derivatives at
+    the current (δX, δU), fold them into the stage Hessians/gradients, and take
+    one exact Riccati Newton step. μ decreases geometrically (μ ← κμ), so the
+    iterate tracks the central path toward the constrained optimum — the same
+    short-step IP structure as HPIPM, minus the C code.
+    """
+    N = qp.A.shape[0]
+    nx = qp.A.shape[1]
+    nu = qp.B.shape[2]
+    dtype = qp.A.dtype
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+
+    def one_iter(carry, mu):
+        dX, dU = carry
+
+        # ----- barrier derivatives at current point ------------------------
+        # state bounds (stages 1..N; stage 0 fixed by dx0)
+        wl = qp.lbx + dX  # margin for x ≥ lbx
+        wu = qp.ubx - dX
+        _, gl, hl = relaxed_barrier(wl, mu, delta, stiffness)
+        _, gu, hu = relaxed_barrier(wu, mu, delta, stiffness)
+        # ∂w/∂δx = +1 (lower), −1 (upper)
+        qx_bar = gl - gu  # (N+1, nx)
+        Qxx_bar = hl + hu  # diagonal adds
+
+        wlu = qp.lbu + dU
+        wuu = qp.ubu - dU
+        _, glu, hlu = relaxed_barrier(wlu, mu, delta, stiffness)
+        _, guu, huu = relaxed_barrier(wuu, mu, delta, stiffness)
+        ru_bar = glu - guu
+        Ruu_bar = hlu + huu
+
+        Qxx = qp.Q + jax.vmap(jnp.diag)(Qxx_bar)
+        qx = qp.qx_base + jax.vmap(lambda Qi, d: Qi @ d)(qp.Q, dX) + qx_bar
+        Ruu = qp.R + jax.vmap(jnp.diag)(Ruu_bar)
+        ru = qp.ru_base + jax.vmap(lambda Ri, d: Ri @ d)(qp.R, dU) + ru_bar
+
+        if qp.Jh is not None:
+            wh = qp.h0 + jnp.einsum("ihx,ix->ih", qp.Jh, dX)
+            _, gh, hh = relaxed_barrier(wh, mu, delta, stiffness)
+            qx = qx + jnp.einsum("ihx,ih->ix", qp.Jh, gh)
+            Qxx = Qxx + jnp.einsum("ihx,ih,ihy->ixy", qp.Jh, hh, qp.Jh)
+
+        # zero out stage-0 state cost (δx₀ is fixed)
+        Qxx = Qxx.at[0].set(jnp.eye(nx, dtype=dtype))
+        qx = qx.at[0].set(jnp.zeros((nx,), dtype=dtype))
+
+        # ----- Newton step: affine LQR on the residual problem --------------
+        # dynamics residual of the current delta iterate
+        c_res = (
+            jnp.einsum("ixy,iy->ix", qp.A, dX[:-1])
+            + jnp.einsum("ixy,iy->ix", qp.B, dU)
+            + qp.c
+            - dX[1:]
+        )
+        data = LQRData(A=qp.A, B=qp.B, c=c_res, Qxx=Qxx, qx=qx, Ruu=Ruu, ru=ru)
+        ddX, ddU = riccati_solve(data, jnp.zeros((nx,), dtype=dtype))
+
+        # Fraction-to-boundary damping (the HPIPM step rule): constraints
+        # currently in the log region must not be driven below ~δ in one step,
+        # otherwise Newton ping-pongs between the wall and the interior.
+        def ftb(w, dw):
+            # max α with w + α·dw ≥ δ/2, for decreasing log-region margins
+            shrink = (dw < 0) & (w > delta)
+            a = jnp.where(shrink, (w - 0.5 * delta) / jnp.maximum(-dw, 1e-30), jnp.inf)
+            return jnp.min(a)
+
+        alpha = jnp.minimum(1.0, jnp.minimum(
+            jnp.minimum(ftb(wl, ddX), ftb(wu, -ddX)),
+            jnp.minimum(ftb(wlu, ddU), ftb(wuu, -ddU)),
+        ))
+        if qp.Jh is not None:
+            dwh = jnp.einsum("ihx,ix->ih", qp.Jh, ddX)
+            alpha = jnp.minimum(alpha, ftb(wh, dwh))
+        alpha = alpha.astype(dtype)
+        return (dX + alpha * ddX, dU + alpha * ddU), None
+
+    dX0 = jnp.zeros((N + 1, nx), dtype=dtype).at[0].set(dx0)
+    dU0 = jnp.zeros((N, nu), dtype=dtype)
+    mus = mu0 * (kappa ** jnp.arange(num_iters, dtype=dtype))
+    (dX, dU), _ = jax.lax.scan(one_iter, (dX0, dU0), mus)
+
+    # Condensing roll: fraction-to-boundary damping leaves a residual in the
+    # *linear* dynamics; eliminate it exactly by propagating δx with the solved
+    # δU (the state-elimination step of a condensed QP). The SQP outer loop
+    # then only contends with genuine nonlinearity.
+    def roll(dx, inp):
+        A, B, c, du = inp
+        dx_next = A @ dx + B @ du + c
+        return dx_next, dx_next
+
+    _, dX_tail = jax.lax.scan(roll, dx0, (qp.A, qp.B, qp.c, dU))
+    dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+    return dX, dU
+
+
+__all__ = ["relaxed_barrier", "LQRData", "riccati_solve", "BoxedQPData", "barrier_qp_solve"]

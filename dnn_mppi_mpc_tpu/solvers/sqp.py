@@ -1,0 +1,289 @@
+"""SQP-RTI NMPC engine — jitted Gauss-Newton SQP over multiple shooting.
+
+TPU-native replacement for the whole acados pipeline (SURVEY §2.2, §2.9):
+AcadosModel/AcadosOcp assembly → here a :class:`OCPFunctions` bundle of pure
+functions; codegen + HPIPM → a jitted solve built from ``jax.jacfwd``
+linearization and the Riccati barrier QP of :mod:`.qp`. Semantics mirrored:
+
+* LINEAR_LS cost y=(x,u), W=blkdiag(Q,R), yref per stage + terminal Qe
+  (mpc_differential_drive_obstacle_static.py:169-193)
+* ERK discretization, 4 stages × 3 substeps (…:241-242)
+* SQP_RTI: one Gauss-Newton linearization + one QP per tick, warm-started from
+  the previous trajectory (…:240, :313-317); sqp_iters>1 gives the converged
+  SQP of the pure-CasADi/IPOPT controller (mpc_racecar_casadi.py:89-123)
+* box state/control bounds (…:197-209), obstacle h-constraints with per-stage
+  parameters (…:211-234), soft-constraint slack penalties
+  (test_diff_mpc_dyna_slack.py:158-182) via the relaxed barrier + optional
+  explicit L1/L2 penalty
+* learned-dynamics NMPC: pass residual dynamics (models.dynamics.residual_dynamics);
+  jacfwd differentiates through the network in-graph, replacing the l4casadi
+  shared-library path (…:249-252, simulation/bullet_differential_drive_dnn.py:288-317).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ..config import SQPConfig
+from ..models.integrators import erk_step
+from .qp import BoxedQPData, barrier_qp_solve
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class OCPParams:
+    """Runtime OCP data (pytree): cost matrices, references, bounds, h params.
+
+    ``yref`` stacks (x_ref, u_ref) rows like acados' ny=(nx+nu) reference
+    (mpc_differential_drive_obstacle_static.py:182); ``p`` feeds the
+    h-constraint function (obstacle positions/radii, …:302-306).
+    """
+
+    Q: jnp.ndarray  # (nx, nx)
+    R: jnp.ndarray  # (nu, nu)
+    Qe: jnp.ndarray  # (nx, nx)
+    yref: jnp.ndarray  # (N, nx + nu)
+    yref_e: jnp.ndarray  # (nx,)
+    lbx: jnp.ndarray  # (nx,)
+    ubx: jnp.ndarray
+    lbu: jnp.ndarray  # (nu,)
+    ubu: jnp.ndarray
+    p: Optional[jnp.ndarray] = None  # h-constraint parameters
+
+    def tree_flatten(self):
+        return (
+            self.Q,
+            self.R,
+            self.Qe,
+            self.yref,
+            self.yref_e,
+            self.lbx,
+            self.ubx,
+            self.lbu,
+            self.ubu,
+            self.p,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class NMPCState:
+    """Warm-start trajectory carried between ticks (solve_mpc's simX/simU)."""
+
+    X: jnp.ndarray  # (N+1, nx)
+    U: jnp.ndarray  # (N, nu)
+
+    def tree_flatten(self):
+        return (self.X, self.U), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def init(cls, cfg: SQPConfig, x0: jnp.ndarray) -> "NMPCState":
+        X = jnp.broadcast_to(x0, (cfg.N + 1,) + x0.shape).astype(jnp.float32)
+        U = jnp.zeros((cfg.N, cfg.dim_u), dtype=jnp.float32)
+        return cls(X=X, U=U)
+
+
+class NMPCAux(NamedTuple):
+    X: jnp.ndarray  # predicted state trajectory
+    U: jnp.ndarray  # planned controls
+    h_margin: jnp.ndarray  # min h-constraint margin over the horizon
+    defect: jnp.ndarray  # max multiple-shooting defect after the solve
+
+
+# h(x, p) -> (n_h,), feasible iff h ≥ 0 (lh already folded in).
+HFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def circle_obstacle_h(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """acados-style obstacle rows: (x−ox)² + (y−oy)² − (r+safe)² ≥ 0.
+
+    ``p`` is (n_obs, 3): (ox, oy, r+safe_distance) — the per-stage parameter
+    vector of mpc_differential_drive_obstacle_static.py:219-234.
+    """
+    d2 = jnp.sum((x[:2][None, :] - p[:, :2]) ** 2, axis=-1)
+    return d2 - p[:, 2] ** 2
+
+
+def _linearize(dyn_step, X, U):
+    """Stage-wise A, B, defect c via vmapped jacfwd through the integrator —
+    the ERK sensitivity propagation acados does in generated C."""
+    A = jax.vmap(jax.jacfwd(dyn_step, argnums=0))(X[:-1], U)
+    B = jax.vmap(jax.jacfwd(dyn_step, argnums=1))(X[:-1], U)
+    F = jax.vmap(dyn_step)(X[:-1], U)
+    c = F - X[1:]
+    return A, B, c
+
+
+def sqp_solve(
+    cfg: SQPConfig,
+    dyn_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    h_fn: Optional[HFn],
+    params: OCPParams,
+    state: NMPCState,
+    x0: jnp.ndarray,
+) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
+    """One NMPC tick: ``sqp_iters`` × (linearize → barrier-Riccati QP → update).
+
+    Returns (u0, warm-started state, aux). Mirrors solve_mpc
+    (mpc_differential_drive_obstacle_static.py:280-331): set x0, set p/yref,
+    warm start from previous trajectory, solve, read back X/U.
+    """
+    nx, nu, N = cfg.dim_x, cfg.dim_u, cfg.N
+    dtype = state.X.dtype
+    x0 = x0.astype(dtype)
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+
+    def one_sqp_iter(carry, _):
+        X, U = carry
+        A, B, c = _linearize(dyn_step, X, U)
+
+        # LINEAR_LS Gauss-Newton blocks: Hessian = blkdiag(Q, R) exactly.
+        Qs = jnp.concatenate(
+            [jnp.broadcast_to(params.Q, (N, nx, nx)), params.Qe[None]], axis=0
+        )
+        qx_base = jnp.concatenate(
+            [
+                jnp.einsum("xy,iy->ix", params.Q, X[:-1] - params.yref[:, :nx]),
+                (params.Qe @ (X[-1] - params.yref_e))[None],
+            ],
+            axis=0,
+        )
+        Rs = jnp.broadcast_to(params.R, (N, nu, nu))
+        ru_base = jnp.einsum("uv,iv->iu", params.R, U - params.yref[:, nx:])
+
+        if h_fn is not None and params.p is not None:
+            h0 = jax.vmap(lambda x: h_fn(x, params.p))(X)  # (N+1, n_h)
+            Jh = jax.vmap(jax.jacfwd(lambda x: h_fn(x, params.p)))(X)
+        else:
+            h0, Jh = None, None
+
+        qp = BoxedQPData(
+            A=A,
+            B=B,
+            c=c,
+            Q=Qs,
+            qx_base=qx_base,
+            R=Rs,
+            ru_base=ru_base,
+            lbx=X - params.lbx,
+            ubx=params.ubx - X,
+            lbu=U - params.lbu,
+            ubu=params.ubu - U,
+            Jh=Jh,
+            h0=h0,
+        )
+        dX, dU = barrier_qp_solve(
+            qp,
+            dx0=x0 - X[0],
+            num_iters=cfg.qp_iters,
+            mu0=cfg.ip_mu0,
+            kappa=cfg.ip_kappa,
+        )
+
+        # Globalization: pick the step size minimizing an ℓ1 merit function
+        # (LS cost + defect + bound-violation penalties) over a fixed candidate
+        # set — a jit-friendly stand-in for the SQP line search that full-step
+        # RTI omits (full step α=1 is always a candidate, so warm-started RTI
+        # behavior is preserved when it already decreases the merit).
+        def merit(Xc, Uc):
+            ex = Xc[:-1] - params.yref[:, :nx]
+            eu = Uc - params.yref[:, nx:]
+            eT = Xc[-1] - params.yref_e
+            cost = (
+                0.5 * jnp.einsum("ix,xy,iy->", ex, params.Q, ex)
+                + 0.5 * jnp.einsum("iu,uv,iv->", eu, params.R, eu)
+                + 0.5 * eT @ params.Qe @ eT
+            )
+            Fc = jax.vmap(dyn_step)(Xc[:-1], Uc)
+            defect = jnp.sum(jnp.abs(Fc - Xc[1:]))
+            viol = (
+                jnp.sum(jnp.maximum(params.lbx - Xc, 0.0))
+                + jnp.sum(jnp.maximum(Xc - params.ubx, 0.0))
+                + jnp.sum(jnp.maximum(params.lbu - Uc, 0.0))
+                + jnp.sum(jnp.maximum(Uc - params.ubu, 0.0))
+            )
+            pen = jnp.asarray(1.0e3, dtype=dtype)
+            m = cost + pen * (defect + viol)
+            if h_fn is not None and params.p is not None:
+                hvals = jax.vmap(lambda x: h_fn(x, params.p))(Xc)
+                m = m + pen * jnp.sum(jnp.maximum(-hvals, 0.0))
+            return m
+
+        alphas = jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
+        merits = jax.vmap(lambda a: merit(X + a * dX, U + a * dU))(alphas)
+        best = alphas[jnp.argmin(merits)]
+        return (X + best * dX, U + best * dU), None
+
+    (X, U), _ = jax.lax.scan(one_sqp_iter, (state.X, state.U), None, length=cfg.sqp_iters)
+
+    # diagnostics
+    F = jax.vmap(dyn_step)(X[:-1], U)
+    defect = jnp.max(jnp.abs(F - X[1:]))
+    if h_fn is not None and params.p is not None:
+        h_margin = jnp.min(jax.vmap(lambda x: h_fn(x, params.p))(X))
+    else:
+        h_margin = jnp.asarray(jnp.inf, dtype=dtype)
+
+    new_state = NMPCState(X=X, U=U)
+    aux = NMPCAux(X=X, U=U, h_margin=h_margin, defect=defect)
+    return U[0], new_state, aux
+
+
+class NMPCSolver:
+    """Binds config + dynamics + constraints; jits the per-tick solve.
+
+    Replaces the ``MPCController`` classes (mpc_differential_drive_obstacle_static.py:70-145,
+    husky_nmpc_controller.py:72-359, mpc_racecar_class.py:68+): construction is
+    trace-time, the per-tick path is one compiled XLA program with zero
+    Python↔C boundaries (vs three in the l4casadi path, SURVEY §3.3).
+    """
+
+    def __init__(
+        self,
+        cfg: SQPConfig,
+        dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        h_fn: Optional[HFn] = None,
+        discrete: bool = False,
+    ) -> None:
+        self.cfg = cfg
+        if discrete:
+            step = dynamics
+        else:
+            step = lambda x, u: erk_step(dynamics, x, u, cfg.dt, num_steps=cfg.num_rk4_steps)
+        self.dyn_step = step
+        self._solve = jax.jit(functools.partial(sqp_solve, cfg, step, h_fn))
+
+    def init(self, x0: jnp.ndarray) -> NMPCState:
+        return NMPCState.init(self.cfg, x0)
+
+    def solve(
+        self, params: OCPParams, state: NMPCState, x0: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
+        return self._solve(params, state, x0)
+
+
+__all__ = [
+    "OCPParams",
+    "NMPCState",
+    "NMPCAux",
+    "circle_obstacle_h",
+    "sqp_solve",
+    "NMPCSolver",
+]

@@ -1,0 +1,198 @@
+"""NMPC engine tests (the acados replacement, BASELINE config 4 path).
+
+Closed-loop behavior mirrors the reference demos: diff-drive point
+stabilization with obstacles (mpc_differential_drive_obstacle_static.py:376-521),
+bounds respected, obstacles cleared, and the learned-residual variant
+(mpc_mlp_differential_drive.py run()) solving through a Flax MLP in-graph.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.config import SQPConfig
+from dnn_mppi_mpc_tpu.models.dynamics import (
+    four_wheel_torque,
+    kinematic_bicycle,
+    residual_dynamics,
+    unicycle,
+    BicycleParams,
+)
+from dnn_mppi_mpc_tpu.models.integrators import erk_step
+from dnn_mppi_mpc_tpu.models.learned import MLP, make_residual_fn
+from dnn_mppi_mpc_tpu.solvers.sqp import (
+    NMPCSolver,
+    NMPCState,
+    OCPParams,
+    circle_obstacle_h,
+)
+
+
+def _diff_drive_params(N, with_obstacles=False):
+    """Weights/bounds from the reference main
+    (mpc_differential_drive_obstacle_static.py:383-410 ballpark)."""
+    Q = jnp.diag(jnp.array([10.0, 10.0, 0.1]))
+    R = jnp.diag(jnp.array([0.5, 0.05]))
+    Qe = jnp.diag(jnp.array([10.0, 10.0, 0.1]))
+    goal = jnp.array([3.0, 2.0, 0.0])
+    yref = jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0)
+    p = (
+        jnp.array([[1.5, 1.0, 0.45]])  # (ox, oy, r+safe) on the straight-line path
+        if with_obstacles
+        else None
+    )
+    return OCPParams(
+        Q=Q,
+        R=R,
+        Qe=Qe,
+        yref=yref,
+        yref_e=goal,
+        lbx=jnp.array([-10.0, -10.0, -10.0]),
+        ubx=jnp.array([10.0, 10.0, 10.0]),
+        lbu=jnp.array([-1.0, -1.0]),
+        ubu=jnp.array([1.0, 1.0]),
+        p=p,
+    )
+
+
+def test_nmpc_point_stabilization():
+    N, dt = 20, 0.1
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, unicycle)
+    params = _diff_drive_params(N)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(80):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
+    assert err < 0.05, f"did not stabilize: final pos error {err:.3f}"
+
+
+def test_nmpc_respects_control_bounds():
+    N, dt = 20, 0.1
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=12)
+    solver = NMPCSolver(cfg, unicycle)
+    params = _diff_drive_params(N)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(30):
+        u0, state, aux = solver.solve(params, state, x)
+        assert float(jnp.max(jnp.abs(u0))) <= 1.0 + 1e-2, u0
+        assert float(jnp.max(jnp.abs(aux.U))) <= 1.0 + 1e-2
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+
+
+def test_nmpc_avoids_obstacle():
+    N, dt = 25, 0.1
+    cfg = SQPConfig(
+        N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=14, n_h_constraints=1
+    )
+    solver = NMPCSolver(cfg, unicycle, h_fn=circle_obstacle_h)
+    params = _diff_drive_params(N, with_obstacles=True)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    min_clearance = np.inf
+    for _ in range(100):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+        d = float(jnp.linalg.norm(x[:2] - jnp.array([1.5, 1.0])))
+        min_clearance = min(min_clearance, d)
+    err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
+    assert err < 0.1, f"did not reach goal: {err:.3f}"
+    # obstacle radius+safe = 0.45; allow small barrier slack
+    assert min_clearance > 0.40, f"drove through obstacle: clearance {min_clearance:.3f}"
+
+
+def test_nmpc_sqp_converges_to_kinematic_feasibility():
+    """Multiple-shooting defect must be ~0 after convergence (the role of
+    acados' ERK equality constraints)."""
+    N, dt = 15, 0.1
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=4, qp_iters=10)
+    solver = NMPCSolver(cfg, unicycle)
+    params = _diff_drive_params(N)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(5):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+    assert float(aux.defect) < 2e-3, f"shooting defect {float(aux.defect):.2e}"
+
+
+def test_nmpc_racecar_bicycle():
+    """Kinematic bicycle NMPC (mpc_racecar.py recipe, L=0.325)."""
+    N, dt = 30, 0.05
+    cfg = SQPConfig(N=N, dim_x=4, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    bp = BicycleParams(wheel_base=jnp.asarray(0.325))
+    dyn = lambda x, u: kinematic_bicycle(x, u, bp)
+    solver = NMPCSolver(cfg, dyn)
+    goal = jnp.array([2.0, 1.0, 0.0, 0.0])
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        R=jnp.diag(jnp.array([0.5, 0.5])),
+        Qe=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.array([-10.0, -10.0, -10.0, -3.0]),
+        ubx=jnp.array([10.0, 10.0, 10.0, 3.0]),
+        lbu=jnp.array([-0.4, -2.0]),
+        ubu=jnp.array([0.4, 2.0]),
+    )
+    x = jnp.array([0.0, 0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(120):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(dyn, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    assert err < 0.15, f"racecar did not reach goal: {err:.3f}"
+
+
+def test_nmpc_four_wheel_torque():
+    """Four-wheel torque-input NMPC (mpc_differential_dynamics.py model)."""
+    N, dt = 20, 0.1
+    cfg = SQPConfig(N=N, dim_x=5, dim_u=4, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, four_wheel_torque)
+    goal = jnp.array([1.0, 0.5, 0.0, 0.0, 0.0])
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([20.0, 20.0, 1.0, 1.0, 1.0])),
+        R=jnp.eye(4) * 0.1,
+        Qe=jnp.diag(jnp.array([20.0, 20.0, 1.0, 1.0, 1.0])),
+        yref=jnp.concatenate([goal, jnp.zeros(4)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.full((5,), -20.0),
+        ubx=jnp.full((5,), 20.0),
+        lbu=jnp.full((4,), -5.0),
+        ubu=jnp.full((4,), 5.0),
+    )
+    x = jnp.zeros(5)
+    state = solver.init(x)
+    for _ in range(80):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(four_wheel_torque, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    assert err < 0.1, f"four-wheel NMPC error {err:.3f}"
+
+
+def test_nmpc_learned_residual_dynamics():
+    """DNN-NMPC: SQP through analytic + Flax-MLP residual dynamics — the
+    l4casadi replacement exercised end-to-end (BASELINE config 4)."""
+    N, dt = 15, 0.1
+    model = MLP(out_dim=3, hidden=64, depth=2, zero_init_head=False)
+    mparams = model.init(jax.random.PRNGKey(0), jnp.ones((1, 5)))
+    # scale the net down so it's a mild residual
+    mparams = jax.tree.map(lambda a: a * 0.05, mparams)
+    net = make_residual_fn(model, mparams)
+    dyn = residual_dynamics(unicycle, net)
+
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, dyn)
+    params = _diff_drive_params(N)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(80):
+        u0, state, aux = solver.solve(params, state, x)
+        # plant = the same perturbed dynamics (model-matched case)
+        x = erk_step(dyn, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
+    assert err < 0.1, f"DNN-NMPC error {err:.3f}"
