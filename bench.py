@@ -1,10 +1,12 @@
-"""Benchmark: MPPI solves/s/chip at K=10 000, T=50 (diff-drive) + p99 latency.
+"""Benchmark: MPPI solves/s/chip at K≈10k, T=50 (diff-drive) + p99 latency.
 
 Prints ONE JSON line with the driver-defined primary metric (BASELINE.json).
 ``vs_baseline`` is the ratio of achieved control rate to the 50 Hz real-time
 budget (the reference publishes no absolute numbers — BASELINE.md).
 
-Run on the real chip: ``python bench.py`` (honors JAX_PLATFORMS from the env).
+Uses the fused Pallas rollout kernel (ops/pallas/rollout.py) on TPU, falling
+back to the XLA scan path elsewhere. Latency is measured with full blocking on
+every output (controls, carried state, diagnostics).
 """
 
 from __future__ import annotations
@@ -15,40 +17,47 @@ import time
 import jax
 import jax.numpy as jnp
 
-from __graft_entry__ import entry
-
 
 def main() -> None:
-    fn, (params, state, x0) = entry()
-    step = jax.jit(fn)
+    from __graft_entry__ import _flagship
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
+
+    K, T = 10240, 50
+    cfg, params, step_fn, stage, terminal = _flagship(K, T)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    solver = MPPISolver(cfg, step_fn, stage, terminal, use_pallas=on_tpu)
+
+    st = solver.init()
+    x0 = jnp.zeros((3,), jnp.float32)
 
     # Warm-up / compile.
-    u0, st, aux = step(params, state, x0)
-    jax.block_until_ready(u0)
+    u0, st, aux = solver.step(params, st, x0)
+    jax.block_until_ready((u0, st, aux))
 
-    # Closed-loop timing: feed the state back like a real control loop.
-    n_iters = 50
+    n_iters = 100
     lat = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        u0, st, aux = step(params, st, x0)
-        u0.block_until_ready()
+        u0, st, aux = solver.step(params, st, x0)
+        jax.block_until_ready((u0, st, aux))
         lat.append(time.perf_counter() - t0)
 
-    lat_sorted = sorted(lat)
-    p50 = lat_sorted[len(lat) // 2]
-    p99 = lat_sorted[min(len(lat) - 1, int(len(lat) * 0.99))]
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
     solves_per_s = 1.0 / p50
 
     budget_hz = 50.0
     result = {
-        "metric": "mppi_solves_per_s_per_chip_K10000_T50_diffdrive",
+        "metric": "mppi_solves_per_s_per_chip_K10240_T50_diffdrive",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / budget_hz, 3),
         "p50_ms": round(p50 * 1e3, 3),
         "p99_ms": round(p99 * 1e3, 3),
         "p99_meets_50hz_budget": bool(p99 < 1.0 / budget_hz),
+        "pallas": on_tpu,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -2,6 +2,7 @@ from .mppi import (  # noqa: F401
     MPPIAux,
     MPPISolver,
     MPPIState,
+    make_pallas_diffdrive_rollout,
     make_tracking_costs,
     mppi_step,
     sampled_trajectories,

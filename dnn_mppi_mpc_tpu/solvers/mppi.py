@@ -169,8 +169,13 @@ def mppi_step(
     x0: jnp.ndarray,
     noise: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    rollout_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, MPPIState, MPPIAux]:
     """One MPPI control tick: sample → rollout → weight → update → shift.
+
+    ``rollout_fn(params, ctx, u, eps) -> S`` overrides the scan rollout with a
+    fused kernel (the Pallas path); it must implement the same semantics
+    (clamped v, stage+energy+terminal accumulation).
 
     ``dynamics_step`` is the *discrete* transition F(x, u) (Euler by default,
     matching mppi_differential_drive.py:182-198). ``noise`` injects a fixed ε
@@ -207,40 +212,43 @@ def mppi_step(
     else:
         eps = noise.astype(u.dtype)
 
-    # Exploration split (mppi_differential_drive.py:116-119): sample index mask
-    # over *global* sample indices so sharding preserves semantics.
-    k_idx = jnp.arange(local_K, dtype=jnp.float32)
-    if axis_name is not None:
-        k_idx = k_idx + jax.lax.axis_index(axis_name).astype(jnp.float32) * local_K
-    exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
-    v = jnp.where(exploit, u[None] + eps, eps)  # (K, T, nu)
-    v = jnp.clip(v, params.u_min, params.u_max)  # _g, applied to the buffer
+    if rollout_fn is not None:
+        S = rollout_fn(params, ctx, u, eps, x0)
+    else:
+        # Exploration split (mppi_differential_drive.py:116-119): sample index
+        # mask over *global* sample indices so sharding preserves semantics.
+        k_idx = jnp.arange(local_K, dtype=jnp.float32)
+        if axis_name is not None:
+            k_idx = k_idx + jax.lax.axis_index(axis_name).astype(jnp.float32) * local_K
+        exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
+        v = jnp.where(exploit, u[None] + eps, eps)  # (K, T, nu)
+        v = jnp.clip(v, params.u_min, params.u_max)  # _g, applied to the buffer
 
-    sig_inv = sigma_inverse(params.sigma)
-    gamma = jnp.asarray(cfg.gamma, dtype=u.dtype)
-    # γ·u_tᵀΣ⁻¹v_{k,t} for all (k, t) in one einsum (MXU-friendly).
-    energy = gamma * jnp.einsum("ti,ij,ktj->kt", u, sig_inv, v)
+        sig_inv = sigma_inverse(params.sigma)
+        gamma = jnp.asarray(cfg.gamma, dtype=u.dtype)
+        # γ·u_tᵀΣ⁻¹v_{k,t} for all (k, t) in one einsum (MXU-friendly).
+        energy = gamma * jnp.einsum("ti,ij,ktj->kt", u, sig_inv, v)
 
-    v_time = jnp.swapaxes(v, 0, 1)  # (T, K, nu) — time-leading for scan
+        v_time = jnp.swapaxes(v, 0, 1)  # (T, K, nu) — time-leading for scan
 
-    def body(carry, inp):
-        x, s = carry
-        v_t, e_t, t = inp
-        x = dynamics_step(x, v_t)  # (K, nx)
-        c = stage_cost(x, t, ctx) + e_t
-        if cfg.accumulation == CostAccumulation.SUM:
-            s = s + c
-        else:  # LAST: reference overwrite quirk (mppi_differential_drive.py:124)
-            s = c
-        return (x, s), None
+        def body(carry, inp):
+            x, s = carry
+            v_t, e_t, t = inp
+            x = dynamics_step(x, v_t)  # (K, nx)
+            c = stage_cost(x, t, ctx) + e_t
+            if cfg.accumulation == CostAccumulation.SUM:
+                s = s + c
+            else:  # LAST: reference overwrite quirk (mppi_differential_drive.py:124)
+                s = c
+            return (x, s), None
 
-    x_init = jnp.broadcast_to(x0, (local_K,) + x0.shape)
-    s_init = jnp.zeros((local_K,), dtype=u.dtype)
-    ts = jnp.arange(T, dtype=jnp.int32)
-    (x_final, S), _ = jax.lax.scan(
-        body, (x_init, s_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
-    )
-    S = S + terminal_cost(x_final, ctx)
+        x_init = jnp.broadcast_to(x0, (local_K,) + x0.shape)
+        s_init = jnp.zeros((local_K,), dtype=u.dtype)
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (x_final, S), _ = jax.lax.scan(
+            body, (x_init, s_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
+        )
+        S = S + terminal_cost(x_final, ctx)
 
     # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180).
     # Sharded: ρ via pmin, normalizer η via psum — the only cross-chip scalars.
@@ -310,6 +318,51 @@ def sampled_trajectories(
     return jnp.take(trajs, order[:n_top], axis=0)
 
 
+def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
+    """Bind the fused Pallas rollout kernel as the engine's rollout_fn.
+
+    Only valid for the diff-drive tracking problem (unicycle Euler dynamics +
+    nearest-waypoint quadratic cost + optional circle obstacles) — exactly the
+    semantics of ops/pallas/rollout.py, which are bit-matched against the scan
+    path in tests/test_pallas_rollout.py.
+    """
+    from ..ops.pallas.rollout import diffdrive_rollout_costs
+
+    def rollout(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        eps: jnp.ndarray,
+        x0: jnp.ndarray,
+    ):
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        sig_inv = sigma_inverse(params.sigma)
+        a = cfg.gamma * (u @ sig_inv)
+        return diffdrive_rollout_costs(
+            eps,
+            u,
+            a,
+            x0,
+            window[:, :3],
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            obstacles=params.obstacles,
+            robot_radius=robot_radius,
+            T=cfg.horizon,
+            W=Wlen,
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+        )
+
+    return rollout
+
+
 class MPPISolver:
     """Convenience wrapper: binds config + dynamics + costs, jits the step.
 
@@ -325,11 +378,21 @@ class MPPISolver:
         stage_cost: StageCost,
         terminal_cost: TerminalCost,
         use_pallas: Optional[bool] = None,
+        robot_radius: float = 0.5,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
+        use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
+        rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius) if use_pallas else None
         self._step = jax.jit(
-            functools.partial(mppi_step, cfg, dynamics_step, stage_cost, terminal_cost)
+            functools.partial(
+                mppi_step,
+                cfg,
+                dynamics_step,
+                stage_cost,
+                terminal_cost,
+                rollout_fn=rollout_fn,
+            )
         )
         self._sampled = jax.jit(
             functools.partial(sampled_trajectories, cfg, dynamics_step),
@@ -357,6 +420,7 @@ __all__ = [
     "MPPIAux",
     "CostContext",
     "make_tracking_costs",
+    "make_pallas_diffdrive_rollout",
     "mppi_step",
     "sampled_trajectories",
     "MPPISolver",
