@@ -1,0 +1,107 @@
+"""Host-side PyBullet bridge (optional — gated on pybullet availability).
+
+Reproduces the structure of the reference's PyBullet deployment loops
+(simulation/bullet_differential_drive_dnn.py:320-467,
+controllers/bullet_mpc_race_car_obstacle.py:396-528): connect (GUI or DIRECT),
+load URDF, then per tick read base pose → run the jitted controller → convert
+to wheel commands → apply motor controls → step the physics.
+
+PyBullet is host-side I/O: the controller itself stays a compiled JAX function
+fed with a (3,)/(4,) state vector per tick, exactly like the real-robot path.
+This module raises a clear ImportError at construction when pybullet is not
+installed (it is not part of the baked TPU image).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .kinematics import diff_drive_wheel_speeds
+
+try:  # pragma: no cover - exercised only where pybullet exists
+    import pybullet as p
+    import pybullet_data
+
+    HAS_PYBULLET = True
+except ImportError:  # pragma: no cover
+    p = None
+    pybullet_data = None
+    HAS_PYBULLET = False
+
+
+class BulletDiffDriveEnv:
+    """Husky-style differential-drive robot in PyBullet.
+
+    Mirrors simulation/bullet_differential_drive_dnn.py: 240 Hz physics
+    (:365-366), wheel-velocity motor control through the diff-drive IK
+    (:20-34, :453-456), optional moving cube obstacles (:398-408).
+    """
+
+    def __init__(
+        self,
+        urdf: str = "husky/husky.urdf",
+        gui: bool = False,
+        physics_hz: float = 240.0,
+        wheel_joint_indices: Sequence[int] = (2, 3, 4, 5),
+        max_wheel_force: float = 20.0,
+    ) -> None:
+        if not HAS_PYBULLET:
+            raise ImportError(
+                "pybullet is not installed; BulletDiffDriveEnv requires it. "
+                "Use envs.plants.Plant for the pure-JAX loop instead."
+            )
+        self.client = p.connect(p.GUI if gui else p.DIRECT)
+        p.setAdditionalSearchPath(pybullet_data.getDataPath())
+        p.setGravity(0, 0, -9.81)
+        p.setTimeStep(1.0 / physics_hz)
+        p.loadURDF("plane.urdf")
+        self.robot = p.loadURDF(urdf, [0, 0, 0.1])
+        self.wheel_joints = list(wheel_joint_indices)
+        self.max_wheel_force = max_wheel_force
+        self.physics_hz = physics_hz
+
+    def get_state(self) -> np.ndarray:
+        """(x, y, yaw) base state (the read at bullet_differential_drive_dnn.py:421-424)."""
+        pos, orn = p.getBasePositionAndOrientation(self.robot)
+        yaw = p.getEulerFromQuaternion(orn)[2]
+        return np.array([pos[0], pos[1], yaw])
+
+    def apply_control(self, v: float, omega: float) -> None:
+        speeds = np.asarray(diff_drive_wheel_speeds(v, omega))
+        for joint, s in zip(self.wheel_joints, speeds):
+            p.setJointMotorControl2(
+                self.robot,
+                joint,
+                p.VELOCITY_CONTROL,
+                targetVelocity=float(s),
+                force=self.max_wheel_force,
+            )
+
+    def step(self, n_substeps: int = 1) -> None:
+        for _ in range(n_substeps):
+            p.stepSimulation()
+
+    def run(
+        self,
+        controller: Callable[[np.ndarray], np.ndarray],
+        num_ticks: int,
+        control_hz: float = 10.0,
+    ) -> np.ndarray:
+        """Closed loop: read state → controller → actuate → step physics."""
+        substeps = max(1, int(self.physics_hz / control_hz))
+        states = []
+        for _ in range(num_ticks):
+            x = self.get_state()
+            u = np.asarray(controller(x))
+            self.apply_control(float(u[0]), float(u[1]))
+            self.step(substeps)
+            states.append(x)
+        return np.asarray(states)
+
+    def close(self) -> None:
+        p.disconnect(self.client)
+
+
+__all__ = ["BulletDiffDriveEnv", "HAS_PYBULLET"]

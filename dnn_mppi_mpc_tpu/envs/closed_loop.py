@@ -1,0 +1,105 @@
+"""Jitted closed-loop simulation and residual-dynamics data collection.
+
+The reference closes control loops in Python — matplotlib FuncAnimation
+callbacks (controllers/mppi_differential_drive.py:305-369) or PyBullet step
+loops (simulation/bullet_differential_drive_dnn.py:419-467) — at one
+controller call per Python frame. Here the whole loop (controller tick → plant
+step → log) is a single ``lax.scan``, so an entire episode runs on-device, and
+``vmap`` turns it into fleet-scale scenario batching (the TPU-native form of
+the randomized data-collection series at train/bullet_mpc_differential_drive.py:119-157).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# controller: (ctrl_state, x) -> (u, new_ctrl_state)
+Controller = Callable[[object, jnp.ndarray], Tuple[jnp.ndarray, object]]
+# plant transition: (x, u) -> x_next
+PlantStep = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class Episode(NamedTuple):
+    states: jnp.ndarray  # (T+1, nx) visited plant states
+    controls: jnp.ndarray  # (T, nu) applied controls
+    errors: jnp.ndarray  # (T, nx) residual or tracking errors
+
+
+def run_closed_loop(
+    controller: Controller,
+    plant_step: PlantStep,
+    ctrl_state0,
+    x0: jnp.ndarray,
+    num_ticks: int,
+    nominal_step: Optional[PlantStep] = None,
+    x_ref: Optional[jnp.ndarray] = None,
+) -> Tuple[Episode, object]:
+    """Run ``num_ticks`` of controller+plant inside one ``lax.scan``.
+
+    errors column:
+    * with ``nominal_step``: residual x_next − F_nominal(x, u) — the
+      model-error target of the DNN training pipeline
+      (train/bullet_mpc_differential_drive.py:96, error = state − nominal)
+    * with ``x_ref``: tracking error x − x_ref (collect_data_series :169)
+    * else zeros.
+    """
+
+    def tick(carry, _):
+        cs, x = carry
+        u, cs = controller(cs, x)
+        x_next = plant_step(x, u)
+        if nominal_step is not None:
+            err = x_next - nominal_step(x, u)
+        elif x_ref is not None:
+            err = x - x_ref
+        else:
+            err = jnp.zeros_like(x)
+        return (cs, x_next), (x_next, u, err)
+
+    (ctrl_state, _), (xs, us, errs) = jax.lax.scan(
+        tick, (ctrl_state0, x0), None, length=num_ticks
+    )
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return Episode(states=states, controls=us, errors=errs), ctrl_state
+
+
+def collect_residual_dataset(
+    controller_factory: Callable[[jax.Array], Tuple[Controller, object]],
+    plant_step: PlantStep,
+    nominal_step: PlantStep,
+    x0_sampler: Callable[[jax.Array], jnp.ndarray],
+    key: jax.Array,
+    num_series: int,
+    ticks_per_series: int,
+) -> Episode:
+    """Batched randomized-scenario data collection.
+
+    The TPU-native equivalent of looping `collect_data_series` scenarios in
+    PyBullet: ``num_series`` independent closed loops run as one vmapped scan;
+    results are flattened to the reference's (states, controls, errors) triplet
+    layout (train/bullet_mpc_differential_drive.py:334-336).
+    """
+    keys = jax.random.split(key, num_series)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        controller, cs0 = controller_factory(k1)
+        x0 = x0_sampler(k2)
+        ep, _ = run_closed_loop(
+            controller, plant_step, cs0, x0, ticks_per_series, nominal_step=nominal_step
+        )
+        return ep
+
+    eps = jax.vmap(one)(keys)
+    # flatten (B, T, ·) → (B·T, ·); states drop the duplicated initial rows
+    return Episode(
+        states=eps.states[:, :-1].reshape(-1, eps.states.shape[-1]),
+        controls=eps.controls.reshape(-1, eps.controls.shape[-1]),
+        errors=eps.errors.reshape(-1, eps.errors.shape[-1]),
+    )
+
+
+__all__ = ["Episode", "run_closed_loop", "collect_residual_dataset"]

@@ -1,0 +1,123 @@
+"""Envs tests: plants (delay/noise), wheel IK, obstacles, closed loop, data collection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.envs import (
+    Plant,
+    ackermann_wheel_speeds,
+    chase_obstacles,
+    collect_residual_dataset,
+    diff_drive_wheel_speeds,
+    drift_obstacles,
+    run_closed_loop,
+)
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.models.integrators import euler_step
+
+
+def test_plant_euler_matches_reference_update():
+    # mppi_differential_drive.py:33-40 plant integration
+    plant = Plant(unicycle, dt=0.1)
+    st = plant.init(jnp.array([0.0, 0.0, 0.5]), dim_u=2)
+    st = plant.step(st, jnp.array([2.0, 0.3]))
+    want = np.array([0.2 * np.cos(0.5), 0.2 * np.sin(0.5), 0.5 + 0.03])
+    np.testing.assert_allclose(np.asarray(st.x), want, rtol=1e-6)
+
+
+def test_plant_input_delay():
+    # models/vehicle.py:99-104 delay buffer: first commands act late
+    plant = Plant(unicycle, dt=0.1, delay_steps=2)
+    st = plant.init(jnp.zeros(3), dim_u=2)
+    st = plant.step(st, jnp.array([1.0, 0.0]))  # buffered
+    st = plant.step(st, jnp.array([1.0, 0.0]))  # buffered
+    np.testing.assert_allclose(np.asarray(st.x), 0.0, atol=1e-8)  # still at rest
+    st = plant.step(st, jnp.array([0.0, 0.0]))
+    assert float(st.x[0]) > 0.05  # first buffered command finally acts
+
+
+def test_plant_process_noise_reproducible():
+    plant = Plant(unicycle, dt=0.1, process_noise_std=jnp.array([0.01, 0.01, 0.001]))
+    st1 = plant.init(jnp.zeros(3), dim_u=2, key=jax.random.PRNGKey(7))
+    st2 = plant.init(jnp.zeros(3), dim_u=2, key=jax.random.PRNGKey(7))
+    a = plant.step(st1, jnp.array([1.0, 0.0]))
+    b = plant.step(st2, jnp.array([1.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x))
+    assert abs(float(a.x[1])) > 0  # noise actually applied
+
+
+def test_diff_drive_wheel_ik():
+    # bullet_differential_drive_dnn.py:20-34 with L=0.5708
+    w = np.asarray(diff_drive_wheel_speeds(jnp.asarray(1.0), jnp.asarray(0.5)))
+    L = 0.5708
+    np.testing.assert_allclose(w, [1 - 0.5 * L / 2, 1 + 0.5 * L / 2] * 2)
+
+
+def test_ackermann_wheel_ik_straight_line():
+    w = np.asarray(ackermann_wheel_speeds(jnp.asarray(2.0), jnp.asarray(0.0), 0.325, 0.2))
+    np.testing.assert_allclose(w, 2.0)
+
+
+def test_drift_and_chase_obstacles():
+    init = jnp.array([[5.0, 4.0], [3.5, 3.5]])
+    vel = 0.09 * jnp.array([[0.2, 0.1], [-0.1, 0.1]])
+    at2 = np.asarray(drift_obstacles(init, vel, jnp.asarray(2.0)))
+    np.testing.assert_allclose(at2, np.asarray(init) + 2 * np.asarray(vel), rtol=1e-6)
+
+    chased = chase_obstacles(init, jnp.array([0.0, 0.0]), speed=1.0, dt=0.1)
+    d0 = np.linalg.norm(np.asarray(init), axis=1)
+    d1 = np.linalg.norm(np.asarray(chased), axis=1)
+    assert np.all(d1 < d0)
+
+
+def test_closed_loop_proportional_controller():
+    """Closed loop with a P-controller reaches the goal; residual errors ~0
+    when the nominal model equals the plant."""
+    dt = 0.1
+    goal = jnp.array([1.0, 0.0])
+    step = lambda x, u: euler_step(unicycle, x, u, dt)
+
+    def controller(cs, x):
+        d = goal - x[:2]
+        heading = jnp.arctan2(d[1], d[0])
+        v = jnp.clip(jnp.linalg.norm(d), 0.0, 1.0)
+        w = jnp.clip(2.0 * (heading - x[2]), -1.5, 1.5)
+        return jnp.stack([v, w]), cs
+
+    ep, _ = run_closed_loop(
+        jax.jit(controller, static_argnums=()), step, None, jnp.zeros(3), 50,
+        nominal_step=step,
+    )
+    assert float(jnp.linalg.norm(ep.states[-1][:2] - goal)) < 0.1
+    np.testing.assert_allclose(np.asarray(ep.errors), 0.0, atol=1e-6)
+
+
+def test_collect_residual_dataset_learns_model_error():
+    """When the plant has a residual the nominal model lacks, errors capture it."""
+    dt = 0.1
+    nominal = lambda x, u: euler_step(unicycle, x, u, dt)
+    # plant with a constant drift the nominal model doesn't know about
+    drift = jnp.array([0.01, -0.02, 0.0])
+    plant = lambda x, u: euler_step(unicycle, x, u, dt) + drift
+
+    def controller_factory(key):
+        u_rand = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+
+        def controller(cs, x):
+            return u_rand, cs
+
+        return controller, None
+
+    def x0_sampler(key):
+        return jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+
+    ep = collect_residual_dataset(
+        controller_factory, plant, nominal, x0_sampler, jax.random.PRNGKey(0), 8, 20
+    )
+    assert ep.states.shape == (160, 3)
+    assert ep.controls.shape == (160, 2)
+    np.testing.assert_allclose(
+        np.asarray(ep.errors.mean(axis=0)), np.asarray(drift), atol=1e-6
+    )
