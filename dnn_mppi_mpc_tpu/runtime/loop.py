@@ -1,0 +1,84 @@
+"""Real-time control loop: native pacing + jitted controller + telemetry.
+
+The deployment shape of the reference (read robot state → solve → actuate →
+sleep; simulation/bullet_differential_drive_dnn.py:419-467) with the pieces
+that decide p99 latency made native: the pacer sleeps on absolute deadlines
+(src/dmmrt.cpp) and telemetry is pushed into a lock-free ring instead of
+print() (SURVEY §5.5). The controller itself is any jitted (state ↦ control)
+callable — MPPI or NMPC.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .native import RatePacer, TelemetryRing
+
+TELEMETRY_DTYPE = np.dtype(
+    [
+        ("tick", np.int64),
+        ("t_wall_ns", np.int64),
+        ("solve_ns", np.int64),
+        ("late_ns", np.int64),
+        ("state", np.float32, (8,)),
+        ("control", np.float32, (4,)),
+    ]
+)
+
+
+class RealtimeLoop:
+    """Paced closed loop around a jitted controller.
+
+    ``read_state()`` and ``apply_control(u)`` are the hardware (or simulator)
+    interface; ``controller(x) -> u`` must be a compiled function (first call
+    is warmed up before pacing starts so compilation never eats a deadline).
+    """
+
+    def __init__(
+        self,
+        controller: Callable[[np.ndarray], np.ndarray],
+        read_state: Callable[[], np.ndarray],
+        apply_control: Callable[[np.ndarray], None],
+        hz: float = 50.0,
+        telemetry_capacity: int = 1 << 14,
+    ) -> None:
+        self.controller = controller
+        self.read_state = read_state
+        self.apply_control = apply_control
+        self.hz = hz
+        self.pacer: Optional[RatePacer] = None
+        self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
+
+    def run(self, num_ticks: int) -> dict:
+        """Run the loop; returns pacing statistics (overruns, worst lateness)."""
+        x = np.asarray(self.read_state())
+        u = np.asarray(self.controller(x))  # warm-up / compile
+        self.pacer = RatePacer(self.hz)
+        rec = np.zeros((), dtype=TELEMETRY_DTYPE)
+        for tick in range(num_ticks):
+            late_ns = self.pacer.wait()
+            x = np.asarray(self.read_state())
+            t0 = time.perf_counter_ns()
+            u = np.asarray(self.controller(x))
+            solve_ns = time.perf_counter_ns() - t0
+            self.apply_control(u)
+
+            rec["tick"] = tick
+            rec["t_wall_ns"] = time.perf_counter_ns()
+            rec["solve_ns"] = solve_ns
+            rec["late_ns"] = late_ns
+            rec["state"][: min(8, x.shape[-1])] = x.ravel()[:8]
+            rec["control"][: min(4, u.shape[-1])] = u.ravel()[:4]
+            self.telemetry.push(rec)
+        stats = self.pacer.stats
+        self.pacer.close()
+        return stats
+
+    def drain_telemetry(self) -> np.ndarray:
+        return self.telemetry.pop(1 << 14)
+
+
+__all__ = ["RealtimeLoop", "TELEMETRY_DTYPE"]

@@ -1,0 +1,155 @@
+"""Native runtime tests: build, pacer timing, ring integrity (threaded), seqlock."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.runtime.native import (
+    RatePacer,
+    StateChannel,
+    TelemetryRing,
+    build_library,
+)
+
+
+def test_library_builds():
+    path = build_library()
+    assert path.endswith("libdmmrt.so")
+
+
+def test_pacer_rate_and_stats():
+    pacer = RatePacer(hz=200.0)  # 5 ms period
+    t0 = time.perf_counter()
+    n = 40
+    for _ in range(n):
+        pacer.wait()
+    elapsed = time.perf_counter() - t0
+    # 40 ticks at 5 ms ≈ 200 ms; generous CI bounds
+    assert 0.15 < elapsed < 0.6, elapsed
+    stats = pacer.stats
+    assert stats["ticks"] == n
+    pacer.close()
+
+
+def test_ring_push_pop_order():
+    dtype = np.dtype([("a", np.int64), ("b", np.float32)])
+    ring = TelemetryRing(64, dtype)
+    for i in range(10):
+        rec = np.zeros((), dtype=dtype)
+        rec["a"] = i
+        rec["b"] = i * 0.5
+        assert ring.push(rec)
+    out = ring.pop(100)
+    assert out.shape[0] == 10
+    np.testing.assert_array_equal(out["a"], np.arange(10))
+    ring.close()
+
+
+def test_ring_drops_when_full_never_blocks():
+    dtype = np.dtype([("a", np.int64)])
+    ring = TelemetryRing(8, dtype)
+    rec = np.zeros((), dtype=dtype)
+    oks = [ring.push(rec) for _ in range(12)]
+    assert sum(oks) == 8
+    assert ring.dropped == 4
+    ring.close()
+
+
+def test_ring_threaded_spsc_integrity():
+    """Producer thread pushes a sequence; consumer must read it in order,
+    gap-free (modulo drops, which we avoid by pacing the producer)."""
+    dtype = np.dtype([("seq", np.int64)])
+    ring = TelemetryRing(1024, dtype)
+    N = 20000
+    received = []
+
+    def producer():
+        rec = np.zeros((), dtype=dtype)
+        i = 0
+        while i < N:
+            rec["seq"] = i
+            if ring.push(rec):
+                i += 1
+            # else: ring full — spin until consumer drains
+
+    def consumer():
+        while len(received) < N:
+            out = ring.pop(256)
+            if out.shape[0]:
+                received.extend(out["seq"].tolist())
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(), tc.start()
+    tp.join(timeout=30), tc.join(timeout=30)
+    assert len(received) == N
+    assert received == list(range(N))
+    assert ring.dropped == 0
+    ring.close()
+
+
+def test_state_channel_snapshot_consistency():
+    dtype = np.dtype([("x", np.float64, (3,)), ("stamp", np.int64)])
+    chan = StateChannel(dtype)
+    assert chan.read() is None  # nothing written yet
+
+    v = np.zeros((), dtype=dtype)
+    v["x"] = [1.0, 2.0, 3.0]
+    v["stamp"] = 42
+    chan.write(v)
+    got = chan.read()
+    np.testing.assert_array_equal(got["x"], [1.0, 2.0, 3.0])
+    assert got["stamp"] == 42
+
+    stop = threading.Event()
+    torn = []
+
+    def writer():
+        w = np.zeros((), dtype=dtype)
+        i = 0
+        while not stop.is_set():
+            w["x"] = [i, i, i]  # all three must always match
+            w["stamp"] = i
+            chan.write(w)
+            i += 1
+
+    def reader():
+        while not stop.is_set():
+            g = chan.read()
+            if g is not None and not (g["x"][0] == g["x"][1] == g["x"][2]):
+                torn.append(g)
+
+    tw = threading.Thread(target=writer)
+    trs = [threading.Thread(target=reader) for _ in range(2)]
+    tw.start()
+    [t.start() for t in trs]
+    time.sleep(0.5)
+    stop.set()
+    tw.join(), [t.join() for t in trs]
+    assert not torn, f"torn reads detected: {torn[:3]}"
+    chan.close()
+
+
+def test_realtime_loop_with_fake_plant():
+    from dnn_mppi_mpc_tpu.runtime.loop import RealtimeLoop
+
+    state = {"x": np.zeros(3)}
+
+    def read_state():
+        return state["x"]
+
+    def apply_control(u):
+        state["x"] = state["x"] + 0.01 * np.array([u[0], u[1], 0.0])
+
+    def controller(x):
+        return np.array([1.0, -1.0])
+
+    loop = RealtimeLoop(controller, read_state, apply_control, hz=500.0)
+    stats = loop.run(50)
+    assert stats["ticks"] == 50
+    tel = loop.drain_telemetry()
+    assert tel.shape[0] == 50
+    assert np.all(np.diff(tel["tick"]) == 1)
+    assert state["x"][0] > 0.4  # controls applied
