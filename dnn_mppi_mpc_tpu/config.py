@@ -121,6 +121,7 @@ class MPPIParams:
     u_max: jnp.ndarray
     ref_path: jnp.ndarray
     obstacles: Optional[jnp.ndarray] = None  # (n_obs, 3): x, y, radius
+    obstacle_velocities: Optional[jnp.ndarray] = None  # (n_obs, 2): moving obstacles
     model_params: Optional[object] = None  # extra params for the dynamics fn
 
     def tree_flatten(self):
@@ -132,6 +133,7 @@ class MPPIParams:
             self.u_max,
             self.ref_path,
             self.obstacles,
+            self.obstacle_velocities,
             self.model_params,
         )
         return children, None

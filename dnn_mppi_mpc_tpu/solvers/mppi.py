@@ -132,10 +132,20 @@ def make_tracking_costs(
             err = err.at[..., 2].set(yaw - ref[..., 2])
         return jnp.sum(weight * err * err, axis=-1)
 
-    def collision_cost(x: jnp.ndarray, ctx: CostContext) -> jnp.ndarray:
+    def collision_cost(
+        x: jnp.ndarray, ctx: CostContext, t: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         obs = ctx.params.obstacles
         if collision == "none" or obs is None:
             return jnp.zeros(x.shape[:-1], dtype=x.dtype)
+        if ctx.params.obstacle_velocities is not None and t is not None:
+            # obstacles drift during the rollout at their velocities, measured
+            # from rollout start (test_mppi_diff_obs.py:17-20, :133-134 —
+            # positions = initial + velocity·(t·dt); terminal uses initial).
+            obs = obs.at[..., :2].add(
+                ctx.params.obstacle_velocities[..., :2]
+                * (t.astype(x.dtype) * cfg.dt)
+            )
         if collision == "circle":
             return circle_robot_collision(x[..., :2], obs, robot_radius) * COLLISION_PENALTY
         if collision == "polygon":
@@ -150,8 +160,7 @@ def make_tracking_costs(
         raise ValueError(f"unknown collision mode: {collision!r}")
 
     def stage(x, t, ctx):
-        del t
-        return tracking(x, ctx.params.stage_weight, ctx) + collision_cost(x, ctx)
+        return tracking(x, ctx.params.stage_weight, ctx) + collision_cost(x, ctx, t)
 
     def terminal(x, ctx):
         return tracking(x, ctx.params.terminal_weight, ctx) + collision_cost(x, ctx)
@@ -231,24 +240,39 @@ def mppi_step(
 
         v_time = jnp.swapaxes(v, 0, 1)  # (T, K, nu) — time-leading for scan
 
+        # M-repeat rollouts (pytorch_mppi rollout_samples, test_mppi_diff_obs.py
+        # :122-151): the same action sequence is rolled M times — meaningful
+        # when dynamics_step is stochastic — with cost averaged over M and a
+        # discounted rollout-variance penalty added.
+        M = max(1, cfg.num_rollout_repeats)
+
         def body(carry, inp):
-            x, s = carry
+            x, s, var = carry
             v_t, e_t, t = inp
-            x = dynamics_step(x, v_t)  # (K, nx)
+            if M > 1:  # repeat the same actions across the M rollouts
+                v_t = jnp.broadcast_to(v_t[None], (M,) + v_t.shape)
+            x = dynamics_step(x, v_t)  # (K, nx) or (M, K, nx)
             c = stage_cost(x, t, ctx) + e_t
+            if M > 1:
+                disc = jnp.asarray(cfg.rollout_var_discount, u.dtype) ** t.astype(u.dtype)
+                var = var + jnp.var(c, axis=0) * disc
             if cfg.accumulation == CostAccumulation.SUM:
                 s = s + c
             else:  # LAST: reference overwrite quirk (mppi_differential_drive.py:124)
                 s = c
-            return (x, s), None
+            return (x, s, var), None
 
-        x_init = jnp.broadcast_to(x0, (local_K,) + x0.shape)
-        s_init = jnp.zeros((local_K,), dtype=u.dtype)
+        batch = (local_K,) if M == 1 else (M, local_K)
+        x_init = jnp.broadcast_to(x0, batch + x0.shape)
+        s_init = jnp.zeros(batch, dtype=u.dtype)
+        var_init = jnp.zeros((local_K,), dtype=u.dtype)
         ts = jnp.arange(T, dtype=jnp.int32)
-        (x_final, S), _ = jax.lax.scan(
-            body, (x_init, s_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
+        (x_final, S, cost_var), _ = jax.lax.scan(
+            body, (x_init, s_init, var_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
         )
         S = S + terminal_cost(x_final, ctx)
+        if M > 1:
+            S = jnp.mean(S, axis=0) + cfg.rollout_var_cost * cost_var
 
     # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180).
     # Sharded: ρ via pmin, normalizer η via psum — the only cross-chip scalars.

