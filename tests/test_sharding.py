@@ -75,3 +75,43 @@ def test_scenario_batched_step():
     assert u0.shape == (B, 2)
     assert new_states.u_prev.shape == (B, T, 2)
     assert np.all(np.isfinite(np.asarray(u0)))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_scaling_efficiency_on_virtual_mesh():
+    """Weak-scaling sanity on the virtual mesh: 8 devices with 8x the samples
+    must not cost dramatically more wall-clock than 1 device with K samples.
+    (True scaling numbers come from real multi-chip hardware; this guards the
+    collective structure — only pmin/psum scalars + one (T,nu) psum per tick.)"""
+    import time
+    import dataclasses
+
+    cfg, params, _, _ = _make_pair()
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+
+    def run(cfg_n, mesh=None):
+        stage, terminal = make_tracking_costs(cfg_n)
+        if mesh is None:
+            step = jax.jit(
+                lambda p, s, x, n: mppi_step(cfg_n, step_fn, stage, terminal, p, s, x, n)
+            )
+        else:
+            step = make_sharded_mppi_step(cfg_n, step_fn, stage, terminal, mesh)
+        state = MPPIState.init(cfg_n)
+        x0 = jnp.zeros(3)
+        out = step(params, state, x0, None)
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = step(params, state, x0, None)
+        jax.block_until_ready(out[0])
+        return (time.perf_counter() - t0) / 5
+
+    K1 = 2048
+    cfg1 = dataclasses.replace(cfg, num_samples=K1)
+    cfg8 = dataclasses.replace(cfg, num_samples=K1 * 8)
+    t1 = run(cfg1)
+    t8 = run(cfg8, make_mesh(("k",)))
+    # weak scaling: 8x the work on 8 virtual devices should cost < 4x the time
+    # even on CPU (virtual devices share cores, so allow generous slack)
+    assert t8 < t1 * 8, (t1, t8)
