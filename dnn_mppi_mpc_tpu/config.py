@@ -91,6 +91,9 @@ class MPPIConfig:
     rollout_var_cost: float = 0.0
     rollout_var_discount: float = 0.95
     use_pallas: bool = False  # fused Pallas rollout kernel for the hot path
+    compute_optimal_traj: bool = True  # (T, nx) planned-trajectory diagnostic;
+    # disable on the latency-critical path — it is a K=1 sequential scan whose
+    # T dependent steps cost as much latency as the whole K-wide rollout
 
     @property
     def gamma(self) -> float:

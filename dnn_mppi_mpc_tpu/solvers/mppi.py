@@ -294,11 +294,14 @@ def mppi_step(
     u_new = u + w_eps
 
     # Optimal trajectory of the updated (clamped-in-rollout) sequence (…:144-149).
-    def opt_body(x, u_t):
-        x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
-        return x, x
+    if cfg.compute_optimal_traj:
+        def opt_body(x, u_t):
+            x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
+            return x, x
 
-    _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+        _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+    else:
+        optimal_traj = jnp.zeros((T,) + x0.shape, dtype=u.dtype)
 
     # Receding-horizon shift (…:162-163).
     u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)

@@ -1,0 +1,118 @@
+"""Converged SQP vs scipy SLSQP on the full nonlinear OCP (acados-parity proxy).
+
+acados itself cannot run in this image, so the ground truth for the nonlinear
+program (multiple shooting, ERK dynamics equalities, box bounds) is scipy's
+SLSQP on the dense formulation. Our engine at sqp_iters≫1 must match the
+optimal controls to control-tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from dnn_mppi_mpc_tpu.config import SQPConfig
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.models.integrators import erk_step
+from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, OCPParams
+
+N, DT = 8, 0.1
+NX, NU = 3, 2
+
+
+def _dyn_np(x, u):
+    return np.array([u[0] * np.cos(x[2]), u[0] * np.sin(x[2]), u[1]])
+
+
+def _step_np(x, u):
+    # ERK(4 stages, 3 substeps) — same discretization as the engine
+    h = DT / 3
+    for _ in range(3):
+        k1 = _dyn_np(x, u)
+        k2 = _dyn_np(x + 0.5 * h * k1, u)
+        k3 = _dyn_np(x + 0.5 * h * k2, u)
+        k4 = _dyn_np(x + h * k3, u)
+        x = x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    return x
+
+
+def _solve_scipy(x0, goal, Q, R, Qe, lbu, ubu):
+    nz = N * (NX + NU)
+
+    def unpack(z):
+        X = np.concatenate([x0[None], z[: N * NX].reshape(N, NX)])
+        U = z[N * NX :].reshape(N, NU)
+        return X, U
+
+    def fun(z):
+        X, U = unpack(z)
+        f = 0.0
+        for i in range(N):
+            e = X[i] - goal
+            f += 0.5 * e @ Q @ e + 0.5 * U[i] @ R @ U[i]
+        eT = X[N] - goal
+        f += 0.5 * eT @ Qe @ eT
+        return f
+
+    def dyn_con(z):
+        X, U = unpack(z)
+        return np.concatenate([_step_np(X[i], U[i]) - X[i + 1] for i in range(N)])
+
+    lo = np.concatenate([np.full(N * NX, -np.inf), np.tile(lbu, N)])
+    hi = np.concatenate([np.full(N * NX, np.inf), np.tile(ubu, N)])
+    res = scipy.optimize.minimize(
+        fun,
+        np.zeros(nz),
+        method="SLSQP",
+        bounds=list(zip(lo, hi)),
+        constraints=[{"type": "eq", "fun": dyn_con}],
+        options={"maxiter": 800, "ftol": 1e-12},
+    )
+    assert res.success, res.message
+    return unpack(res.x)
+
+
+@pytest.mark.slow
+def test_converged_sqp_matches_scipy_on_nonlinear_ocp():
+    x0 = np.array([0.0, 0.0, 0.0])
+    goal = np.array([1.0, 0.6, 0.0])
+    Q = np.diag([10.0, 10.0, 1.0])
+    R = np.diag([1.0, 0.5])
+    Qe = np.diag([20.0, 20.0, 2.0])
+    lbu, ubu = np.array([-1.0, -1.0]), np.array([1.0, 1.0])
+
+    X_ref, U_ref = _solve_scipy(x0, goal, Q, R, Qe, lbu, ubu)
+
+    cfg = SQPConfig(N=N, dim_x=NX, dim_u=NU, dt=DT, sqp_iters=30, qp_iters=20)
+    solver = NMPCSolver(cfg, unicycle)
+    params = OCPParams(
+        Q=jnp.asarray(Q),
+        R=jnp.asarray(R),
+        Qe=jnp.asarray(Qe),
+        yref=jnp.concatenate([jnp.asarray(goal), jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=jnp.asarray(goal),
+        lbx=jnp.full(NX, -100.0),
+        ubx=jnp.full(NX, 100.0),
+        lbu=jnp.asarray(lbu),
+        ubu=jnp.asarray(ubu),
+    )
+    state = solver.init(jnp.asarray(x0))
+    u0, state, aux = solver.solve(params, state, jnp.asarray(x0))
+
+    # cost comparison is the robust criterion (flat minima can differ in z)
+    def cost(X, U):
+        f = 0.0
+        for i in range(N):
+            e = X[i] - goal
+            f += 0.5 * e @ Q @ e + 0.5 * U[i] @ R @ U[i]
+        eT = X[N] - goal
+        return f + 0.5 * eT @ Qe @ eT
+
+    c_ref = cost(X_ref, U_ref)
+    c_ours = cost(np.asarray(aux.X), np.asarray(aux.U))
+    defect = float(aux.defect)
+    assert defect < 5e-3, defect
+    assert c_ours < c_ref * 1.02 + 1e-4, (c_ours, c_ref)
+    # and the actual control sequences should be close pointwise
+    np.testing.assert_allclose(np.asarray(aux.U), U_ref, atol=0.08)
