@@ -44,13 +44,15 @@ def main():
         return np.asarray(u0)
 
     plant = {"x": np.zeros(3, np.float32)}
+    plant_step = jax.jit(lambda x, u: euler_step(unicycle, x, u, cfg.dt))
 
     def read_state():
         return plant["x"]
 
     def apply_control(u):
-        x = jnp.asarray(plant["x"])
-        plant["x"] = np.asarray(euler_step(unicycle, x, jnp.asarray(u), cfg.dt))
+        plant["x"] = np.asarray(
+            plant_step(jnp.asarray(plant["x"]), jnp.asarray(u, jnp.float32))
+        )
 
     loop = RealtimeLoop(controller, read_state, apply_control, hz=args.hz)
     stats = loop.run(args.ticks)
