@@ -37,8 +37,8 @@ def _bicycle_kernel(
     scal_ref,  # SMEM (24,) packed scalars
     u_ref,  # VMEM (T, 2) nominal (steer, accel)
     a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹
-    win_ref,  # VMEM (W, 4) waypoint window (x, y, yaw, v)
-    obs_ref,  # VMEM (n_obs, 3) obstacle circles
+    win_ref,  # SMEM (W, 4) waypoint window (x, y, yaw, v)
+    obs_ref,  # SMEM (n_obs, 3) obstacle circles
     eps_ref,  # VMEM (T, 2, R_BLK, 128)
     S_ref,  # VMEM (R_BLK, 128)
     *,
@@ -67,6 +67,10 @@ def _bicycle_kernel(
 
     shape = (R_BLK, LANES)
     two_pi = jnp.float32(2.0 * 3.14159265358979)
+    # Laneful zero: fori_loop carries must not start in a lane-replicated
+    # layout (Mosaic cannot relayout replicated → distributed on the backedge),
+    # so every scalar-broadcast init gets this iota-derived zero added.
+    zero_l = (cols * 0).astype(jnp.float32)
 
     def window_refs(xc, yc):
         """fori_loop running-min over the (possibly whole-path) window."""
@@ -74,10 +78,10 @@ def _bicycle_kernel(
         d0 = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
         init = (
             d0,
-            jnp.full(shape, wx0, jnp.float32),
-            jnp.full(shape, wy0, jnp.float32),
-            jnp.full(shape, win_ref[0, 2], jnp.float32),
-            jnp.full(shape, win_ref[0, 3], jnp.float32),
+            zero_l + wx0,
+            zero_l + wy0,
+            zero_l + win_ref[0, 2],
+            zero_l + win_ref[0, 3],
         )
 
         def body(w, carry):
@@ -97,21 +101,22 @@ def _bicycle_kernel(
         return rx, ry, ryaw, rv
 
     def collision(xc, yc, cos_y, sin_y):
-        hit = jnp.zeros(shape, dtype=jnp.bool_)
+        # float accumulation with statically unrolled loops: bool-carry
+        # fori_loops nested inside the T-loop fail to legalize in Mosaic
+        hit = zero_l
         for pxb, pyb in zip(_OUT_X, _OUT_Y):
             bx = jnp.float32(pxb) * half_l
             by = jnp.float32(pyb) * half_w
             px = bx * cos_y - by * sin_y + xc
             py = bx * sin_y + by * cos_y + yc
-
-            def obs_body(o, h):
+            for o in range(n_obs):
                 dx = px - obs_ref[o, 0]
                 dy = py - obs_ref[o, 1]
                 r = obs_ref[o, 2]
-                return h | (dx * dx + dy * dy < r * r)
-
-            hit = jax.lax.fori_loop(0, n_obs, obs_body, hit)
-        return jnp.where(hit, penalty, jnp.float32(0.0))
+                hit = jnp.maximum(
+                    hit, jnp.where(dx * dx + dy * dy < r * r, 1.0, 0.0)
+                )
+        return hit * penalty
 
     def cost(xc, yc, yawc, vc, weights, cos_y, sin_y):
         rx, ry, ryaw, rv = window_refs(xc, yc)
@@ -149,11 +154,11 @@ def _bicycle_kernel(
         return x, y, yaw, v, S + c
 
     init = (
-        jnp.full(shape, x0, jnp.float32),
-        jnp.full(shape, y0, jnp.float32),
-        jnp.full(shape, yaw0, jnp.float32),
-        jnp.full(shape, v0, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
+        zero_l + x0,
+        zero_l + y0,
+        zero_l + yaw0,
+        zero_l + v0,
+        zero_l,
     )
     x, y, yaw, v, S = jax.lax.fori_loop(0, T, body, init)
     cos_y = jnp.cos(yaw)
@@ -230,8 +235,8 @@ def bicycle_rollout_costs(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # window: dynamic scalar reads
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # obstacles: dynamic scalar reads
             pl.BlockSpec((T, 2, R_BLK, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R_BLK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),

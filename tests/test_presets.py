@@ -1,0 +1,76 @@
+"""Preset constructors: every reference controller config builds and steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_mppi_mpc_tpu import presets
+from dnn_mppi_mpc_tpu.models.learned import MLP, make_residual_fn
+from dnn_mppi_mpc_tpu.paths import lemniscate_with_speed, line
+
+
+def test_diff_drive_mppi_preset():
+    solver, params = presets.diff_drive_mppi(line(jnp.zeros(2), jnp.array([10.0, -5.0])))
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert u0.shape == (2,) and np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_diff_drive_mppi_obstacles_preset():
+    solver, params = presets.diff_drive_mppi(
+        line(jnp.zeros(2), jnp.array([10.0, -5.0])),
+        num_samples=256,
+        horizon=20,
+        obstacles=jnp.array([[3.0, -1.5, 0.5]]),
+    )
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(aux.costs)))
+
+
+def test_racecar_mppi_preset():
+    ref = lemniscate_with_speed(10.0, 100)
+    solver, params = presets.racecar_mppi(
+        ref, obstacles=jnp.array([[5.0, 5.0, 1.0], [7.0, 7.0, 1.0]])
+    )
+    x0 = jnp.asarray(ref[0])
+    u0, st, aux = solver.step(params, solver.init(), x0)
+    assert u0.shape == (2,) and np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_goal_seeking_mppi_preset():
+    solver, params = presets.goal_seeking_mppi(
+        jnp.array([6.0, 6.0, 1.57]),
+        num_samples=256,
+        obstacles=jnp.array([[5.0, 4.0, 0.0], [3.5, 3.5, 0.0]]),
+        obstacle_velocities=0.09 * jnp.array([[0.2, 0.1], [-0.1, 0.1]]),
+    )
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_nmpc_presets_step():
+    for maker, goal, x0 in [
+        (presets.diff_drive_nmpc, jnp.array([3.0, 2.0, 0.0]), jnp.zeros(3)),
+        (presets.racecar_nmpc, jnp.array([2.0, 1.0, 0.0, 0.0]), jnp.zeros(4)),
+        (presets.four_wheel_nmpc, jnp.array([1.0, 0.5, 0.0, 0.0, 0.0]), jnp.zeros(5)),
+    ]:
+        solver, params = maker(goal, N=10)
+        u0, st, aux = solver.solve(params, solver.init(x0), x0)
+        assert np.all(np.isfinite(np.asarray(u0))), maker.__name__
+
+
+def test_racecar_nmpc_dynamic_model():
+    solver, params = presets.racecar_nmpc(
+        jnp.array([1.0, 0.5, 0.0, 0.0]), N=10, dynamic_model=True
+    )
+    x0 = jnp.array([0.0, 0.0, 0.0, 0.5])
+    u0, st, aux = solver.solve(params, solver.init(x0), x0)
+    assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_dnn_nmpc_preset():
+    model = MLP(out_dim=3, hidden=32, depth=1, zero_init_head=True)
+    mp = model.init(jax.random.PRNGKey(0), jnp.ones((1, 5)))
+    net = make_residual_fn(model, mp)
+    solver, params = presets.dnn_nmpc(jnp.array([2.0, 1.0, 0.0]), net, N=8)
+    u0, st, aux = solver.solve(params, solver.init(jnp.zeros(3)), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(u0)))
