@@ -68,9 +68,10 @@ def _bicycle_kernel(
     shape = (R_BLK, LANES)
     two_pi = jnp.float32(2.0 * 3.14159265358979)
     # Laneful zero: fori_loop carries must not start in a lane-replicated
-    # layout (Mosaic cannot relayout replicated → distributed on the backedge),
-    # so every scalar-broadcast init gets this iota-derived zero added.
-    zero_l = (cols * 0).astype(jnp.float32)
+    # layout (Mosaic cannot relayout laneful → replicated on the backedge).
+    # An iota-based zero constant-folds back to a replicated constant, so the
+    # zero is derived from runtime data (min(|ε₀|, 0) == 0 but unprovable).
+    zero_l = jnp.minimum(jnp.abs(eps_ref[0, 0]), 0.0)
 
     def window_refs(xc, yc):
         """fori_loop running-min over the (possibly whole-path) window."""

@@ -89,6 +89,7 @@ def racecar_mppi(
     dt: float = 0.05,
     wheel_base: float = 2.5,
     obstacles: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -132,7 +133,12 @@ def racecar_mppi(
         vehicle_width=3.0,
         safety_margin_rate=1.5,
     )
-    return MPPISolver(cfg, step, stage, terminal), params
+    rollout_fn = None
+    if use_pallas:
+        from .solvers.mppi import make_pallas_bicycle_rollout
+
+        rollout_fn = make_pallas_bicycle_rollout(cfg, wheel_base=wheel_base)
+    return MPPISolver(cfg, step, stage, terminal, rollout_fn=rollout_fn), params
 
 
 def goal_seeking_mppi(

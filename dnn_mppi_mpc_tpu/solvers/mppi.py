@@ -390,6 +390,57 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
     return rollout
 
 
+def make_pallas_bicycle_rollout(
+    cfg: MPPIConfig,
+    wheel_base: float = 2.5,
+    vehicle_length: float = 4.0,
+    vehicle_width: float = 3.0,
+    margin_rate: float = 1.5,
+):
+    """Bind the fused bicycle kernel (race-car config 3) as rollout_fn.
+
+    Semantics: Euler kinematic bicycle + wrap-yaw 4-term tracking + polygon
+    collision — ops/pallas/rollout_bicycle.py, parity-tested against the scan
+    path in tests/test_pallas_bicycle.py.
+    """
+    from ..ops.pallas.rollout_bicycle import bicycle_rollout_costs
+
+    def rollout(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        eps: jnp.ndarray,
+        x0: jnp.ndarray,
+    ):
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        return bicycle_rollout_costs(
+            eps,
+            u,
+            a,
+            x0,
+            window[:, :4],
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            wheel_base=wheel_base,
+            vehicle_length=vehicle_length,
+            vehicle_width=vehicle_width,
+            margin_rate=margin_rate,
+            obstacles=params.obstacles,
+            T=cfg.horizon,
+            W=Wlen,
+        )
+
+    return rollout
+
+
 class MPPISolver:
     """Convenience wrapper: binds config + dynamics + costs, jits the step.
 
@@ -406,11 +457,13 @@ class MPPISolver:
         terminal_cost: TerminalCost,
         use_pallas: Optional[bool] = None,
         robot_radius: float = 0.5,
+        rollout_fn: Optional[Callable] = None,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
-        rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius) if use_pallas else None
+        if rollout_fn is None and use_pallas:
+            rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
         self._step = jax.jit(
             functools.partial(
                 mppi_step,
