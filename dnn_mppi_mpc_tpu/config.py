@@ -164,6 +164,8 @@ class SQPConfig:
     sqp_iters: int = 1  # 1 == SQP-RTI; >1 == converged SQP (mpc_racecar_casadi.py)
     qp_iters: int = 12  # interior-point iterations per QP solve
     n_h_constraints: int = 0  # nonlinear inequality constraints (obstacles)
+    soft_h: bool = False  # soften h-constraints with slack penalties instead of
+    # the hard barrier (the Zl/zl slack formulation of test_diff_mpc_dyna_slack.py)
     slack_weight_l2: float = 1.0e4  # L2 slack penalty (test_diff_mpc_dyna_slack.py:178-182)
     slack_weight_l1: float = 1.0e3
     levenberg: float = 1.0e-6  # Gauss-Newton Hessian regularization

@@ -151,6 +151,8 @@ def barrier_qp_solve(
     kappa: float = 0.35,
     delta: float = 1.0e-3,
     stiffness: Optional[float] = None,
+    h_stiffness: Optional[float] = None,
+    h_slope: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve the inequality-constrained QP by barrier-Newton/Riccati.
 
@@ -166,6 +168,8 @@ def barrier_qp_solve(
     dtype = qp.A.dtype
     if stiffness is None:
         stiffness = 1.0 / (delta * delta)
+    if h_stiffness is None:
+        h_stiffness = stiffness
 
     def one_iter(carry, mu):
         dX, dU = carry
@@ -194,7 +198,11 @@ def barrier_qp_solve(
 
         if qp.Jh is not None:
             wh = qp.h0 + jnp.einsum("ihx,ix->ih", qp.Jh, dX)
-            _, gh, hh = relaxed_barrier(wh, mu, delta, stiffness)
+            _, gh, hh = relaxed_barrier(wh, mu, delta, h_stiffness)
+            if h_slope:
+                # L1 slack penalty zl·max(0, −h): the soft-constraint convention
+                # of acados' zl vectors (test_diff_mpc_dyna_slack.py:178-182)
+                gh = gh - h_slope * (wh < 0).astype(dtype)
             qx = qx + jnp.einsum("ihx,ih->ix", qp.Jh, gh)
             Qxx = Qxx + jnp.einsum("ihx,ih,ihy->ixy", qp.Jh, hh, qp.Jh)
 

@@ -195,6 +195,11 @@ def sqp_solve(
             num_iters=cfg.qp_iters,
             mu0=cfg.ip_mu0,
             kappa=cfg.ip_kappa,
+            # soft h-constraints: the barrier's quadratic extension plays the
+            # Zl L2 slack role and h_slope the zl L1 role
+            # (test_diff_mpc_dyna_slack.py:158-182)
+            h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
+            h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
         )
 
         # Globalization: pick the step size minimizing an ℓ1 merit function
@@ -268,7 +273,9 @@ class NMPCSolver:
         else:
             step = lambda x, u: erk_step(dynamics, x, u, cfg.dt, num_steps=cfg.num_rk4_steps)
         self.dyn_step = step
-        self._solve = jax.jit(functools.partial(sqp_solve, cfg, step, h_fn))
+        self._h_fn = h_fn
+        self._core = functools.partial(sqp_solve, cfg, step, h_fn)
+        self._solve = jax.jit(self._core)
 
     def init(self, x0: jnp.ndarray) -> NMPCState:
         return NMPCState.init(self.cfg, x0)
@@ -277,6 +284,16 @@ class NMPCSolver:
         self, params: OCPParams, state: NMPCState, x0: jnp.ndarray
     ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
         return self._solve(params, state, x0)
+
+    def batched_solve(self):
+        """vmapped fleet solve: (batched params, states, x0s) → batched results.
+
+        A whole fleet of independent OCPs (multi-robot, randomized data
+        collection) factors into one batched Riccati program — the
+        'batched QP' scaling axis of SURVEY §2.10(c). Shard the batch
+        dimension over a mesh axis for pod-scale fleets.
+        """
+        return jax.jit(jax.vmap(self._core))
 
 
 __all__ = [

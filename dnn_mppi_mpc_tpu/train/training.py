@@ -58,9 +58,43 @@ def prepare_residual_dataset(
 
 
 def make_train_step(
-    model: nn.Module, tx: optax.GradientTransformation
+    model: nn.Module, tx: optax.GradientTransformation, has_batch_stats: bool = False
 ) -> Callable:
-    """One jitted SGD step: MSE loss, grads, update. Returns (state, metrics)."""
+    """One jitted SGD step: MSE loss, grads, update. Returns (state, metrics).
+
+    ``has_batch_stats`` handles BatchNorm models (the conv ResNet regressors of
+    train/train_diff_resnet18.py / resnet50): running statistics ride in the
+    variables dict and are updated mutably during the forward pass.
+    """
+
+    if has_batch_stats:
+
+        def loss_fn(params, batch_stats, x, y):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            mse = jnp.mean((pred - y) ** 2)
+            mae = jnp.mean(jnp.abs(pred - y))
+            return mse, (mae, updates["batch_stats"])
+
+        @jax.jit
+        def step(variables, opt_state, x, y):
+            params = variables["params"]
+            (mse, (mae, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, variables["batch_stats"], x, y
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (
+                {"params": params, "batch_stats": new_bs},
+                opt_state,
+                {"mse": mse, "mae": mae},
+            )
+
+        return step
 
     def loss_fn(params, x, y):
         pred = model.apply(params, x)
@@ -113,14 +147,22 @@ def train_residual_model(
         x_train = jax.device_put(x_train, sharding)
         y_train = jax.device_put(y_train, sharding)
 
-    params = model.init(jax.random.PRNGKey(cfg.seed + 1), x_train[:2])
+    # conv models (ResNet1D) expect a length axis: (B, L=1, C)
+    needs_length_axis = getattr(model, "variant", None) is not None
+    if needs_length_axis:
+        x_train, x_val = x_train[:, None, :], x_val[:, None, :]
+    variables = model.init(jax.random.PRNGKey(cfg.seed + 1), x_train[:2])
+    has_batch_stats = "batch_stats" in variables
+    params = variables["params"] if has_batch_stats else variables
     tx = (
         optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
         if cfg.weight_decay
         else optax.adam(cfg.learning_rate)
     )
     opt_state = tx.init(params)
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, has_batch_stats=has_batch_stats)
+    if has_batch_stats:
+        params = variables  # the step threads the full variables dict
 
     n_train = x_train.shape[0]
     bs = min(cfg.batch_size, n_train)
@@ -129,7 +171,7 @@ def train_residual_model(
 
     @jax.jit
     def eval_metrics(params, x, y):
-        pred = model.apply(params, x)
+        pred = model.apply(params, x)  # eval mode: running stats, no mutation
         return jnp.mean((pred - y) ** 2), jnp.mean(jnp.abs(pred - y))
 
     shuffle_key = jax.random.PRNGKey(cfg.seed + 2)

@@ -110,3 +110,24 @@ def test_checkpoint_roundtrip(tmp_path):
         params,
         restored,
     )
+
+
+@pytest.mark.slow
+def test_resnet18_residual_training_runs():
+    """ResNet-1D regressor trains through the same loop (train_diff_resnet18.py
+    equivalent): BatchNorm statistics threaded, loss decreases."""
+    rng = np.random.default_rng(1)
+    states = rng.normal(size=(800, 3)).astype(np.float32)
+    controls = rng.normal(size=(800, 2)).astype(np.float32)
+    errors = (0.3 * states + 0.1 * np.tanh(controls[:, :1])).astype(np.float32)
+
+    model = ResNet1D(out_dim=3, variant="18")
+    state, hist = train_residual_model(
+        model,
+        jnp.asarray(states),
+        jnp.asarray(controls),
+        jnp.asarray(errors),
+        TrainConfig(num_epochs=3, batch_size=128, learning_rate=1e-3),
+    )
+    assert np.isfinite(hist["val_mse"][-1])
+    assert hist["train_mse"][-1] < hist["train_mse"][0]

@@ -196,3 +196,83 @@ def test_nmpc_learned_residual_dynamics():
         x = erk_step(dyn, x, u0, dt, num_steps=3)
     err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
     assert err < 0.1, f"DNN-NMPC error {err:.3f}"
+
+
+def test_batched_nmpc_fleet_matches_single():
+    """vmapped fleet solve equals per-problem solves (batched Riccati axis)."""
+    N, dt = 12, 0.1
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, unicycle)
+    B = 4
+    goals = jnp.asarray(
+        [[2.0, 1.0, 0.0], [1.0, -1.0, 0.0], [-1.5, 0.5, 0.0], [0.5, 2.0, 0.0]]
+    )
+    x0s = jnp.asarray(np.random.default_rng(0).uniform(-0.3, 0.3, (B, 3)))
+
+    def make_params(goal):
+        return OCPParams(
+            Q=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            R=jnp.diag(jnp.array([0.5, 0.05])),
+            Qe=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+            yref_e=goal,
+            lbx=jnp.full(3, -10.0),
+            ubx=jnp.full(3, 10.0),
+            lbu=jnp.array([-1.0, -1.0]),
+            ubu=jnp.array([1.0, 1.0]),
+        )
+
+    batched_params = jax.vmap(make_params)(goals)
+    batched_states = jax.vmap(lambda x: NMPCState.init(cfg, x))(x0s)
+    fleet = solver.batched_solve()
+    u0s, new_states, auxs = fleet(batched_params, batched_states, x0s)
+    assert u0s.shape == (B, 2)
+
+    for b in range(B):
+        u0, _, _ = solver.solve(
+            make_params(goals[b]), NMPCState.init(cfg, x0s[b]), x0s[b]
+        )
+        np.testing.assert_allclose(np.asarray(u0s[b]), np.asarray(u0), rtol=1e-4, atol=1e-5)
+
+
+def test_soft_h_constraints_trade_violation_for_tracking():
+    """Soft (slack) h-constraints — the Zl/zl slack formulation of
+    test_diff_mpc_dyna_slack.py:158-182: when the goal itself violates the
+    constraint (infeasible set), the hard-barrier solver parks at the boundary
+    while the soft solver trades a bounded violation for tracking."""
+    N, dt = 20, 0.1
+    goal = jnp.array([3.0, 2.0, 0.0])
+    # obstacle centered ON the goal: reaching the goal necessarily violates h
+    p = jnp.array([[3.0, 2.0, 0.8]])
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+        R=jnp.diag(jnp.array([0.5, 0.05])),
+        Qe=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.full(3, -10.0),
+        ubx=jnp.full(3, 10.0),
+        lbu=jnp.array([-1.0, -1.0]),
+        ubu=jnp.array([1.0, 1.0]),
+        p=p,
+    )
+
+    def run(cfg):
+        solver = NMPCSolver(cfg, unicycle, h_fn=circle_obstacle_h)
+        x = jnp.array([0.0, 0.0, 0.0])
+        state = solver.init(x)
+        for _ in range(80):
+            u0, state, aux = solver.solve(params, state, x)
+            x = erk_step(unicycle, x, u0, dt, num_steps=3)
+        return float(jnp.linalg.norm(x[:2] - goal[:2]))
+
+    cfg_hard = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=12)
+    cfg_soft = SQPConfig(
+        N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=12,
+        soft_h=True, slack_weight_l2=1.0, slack_weight_l1=0.1,
+    )
+    err_hard = run(cfg_hard)
+    err_soft = run(cfg_soft)
+    # hard solver stops near the 0.8 ring; soft one penetrates toward the goal
+    assert err_hard > 0.6, err_hard
+    assert err_soft < err_hard - 0.2, (err_soft, err_hard)
