@@ -168,7 +168,6 @@ class SQPConfig:
     # the hard barrier (the Zl/zl slack formulation of test_diff_mpc_dyna_slack.py)
     slack_weight_l2: float = 1.0e4  # L2 slack penalty (test_diff_mpc_dyna_slack.py:178-182)
     slack_weight_l1: float = 1.0e3
-    levenberg: float = 1.0e-6  # Gauss-Newton Hessian regularization
     ip_mu0: float = 1.0e-1  # initial interior-point barrier weight
     ip_kappa: float = 0.25  # barrier decrease factor per iteration
 
