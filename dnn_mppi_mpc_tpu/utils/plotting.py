@@ -42,6 +42,8 @@ def plot_trajectory(
         ax.plot(optimal_traj[:, 0], optimal_traj[:, 1], color="#990099", lw=1.5, label="planned", zorder=4)
     states = np.asarray(states)
     ax.plot(states[:, 0], states[:, 1], "g-", lw=1.5, label="driven", zorder=5)
+    if states.shape[1] >= 3:
+        draw_robot(ax, states[-1, 0], states[-1, 1], states[-1, 2])
     if obstacles is not None:
         for ox, oy, r in np.asarray(obstacles):
             ax.add_patch(plt.Circle((ox, oy), r, color="red", alpha=0.4, zorder=1))
@@ -49,6 +51,34 @@ def plot_trajectory(
     ax.set_title(title), ax.axis("equal"), ax.grid(True), ax.legend()
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
+
+
+def draw_robot(ax, x: float, y: float, yaw: float, body_l: float = 0.6, body_w: float = 0.4) -> None:
+    """Body + four wheels footprint at a pose — the headless equivalent of the
+    DifferentialSimulation renderer (models/differentialSim.py:5-75)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s], [s, c]])
+
+    def poly(cx, cy, L, W):
+        pts = np.array(
+            [[-L / 2, -W / 2], [L / 2, -W / 2], [L / 2, W / 2], [-L / 2, W / 2]]
+        )
+        pts = pts @ R.T + np.array([cx, cy])
+        return plt.Polygon(pts, closed=True, fill=False, ec="k", lw=1.0, zorder=6)
+
+    ax.add_patch(poly(x, y, body_l, body_w))
+    wl, ww = body_l * 0.35, body_w * 0.18
+    for dx, dy in [
+        (body_l * 0.3, body_w * 0.55),
+        (body_l * 0.3, -body_w * 0.55),
+        (-body_l * 0.3, body_w * 0.55),
+        (-body_l * 0.3, -body_w * 0.55),
+    ]:
+        wx, wy = np.array([dx, dy]) @ R.T + np.array([x, y])
+        ax.add_patch(poly(wx, wy, wl, ww))
+    ax.plot(
+        [x, x + 0.5 * body_l * c], [y, y + 0.5 * body_l * s], "k-", lw=1.2, zorder=6
+    )
 
 
 def plot_controls(
@@ -87,4 +117,4 @@ def plot_training_curves(path: str, history: dict) -> None:
     plt.close(fig)
 
 
-__all__ = ["plot_trajectory", "plot_controls", "plot_training_curves"]
+__all__ = ["plot_trajectory", "draw_robot", "plot_controls", "plot_training_curves"]
