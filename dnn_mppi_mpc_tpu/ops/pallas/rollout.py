@@ -50,11 +50,12 @@ def _diffdrive_kernel(
     tw0, tw1, tw2 = scal_ref[9], scal_ref[10], scal_ref[11]
     x0, y0, yaw0 = scal_ref[12], scal_ref[13], scal_ref[14]
     obs_pen_radius = scal_ref[15]  # robot radius for circle collision; <0 → off
+    k_offset = scal_ref[16]  # global sample-index offset (sharded execution)
 
     i = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, LANES), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, LANES), 1)
-    k_idx = ((i * R_BLK + rows) * LANES + cols).astype(jnp.float32)
+    k_idx = ((i * R_BLK + rows) * LANES + cols).astype(jnp.float32) + k_offset
     exploit = k_idx < n_exploit
 
     shape = (R_BLK, LANES)
@@ -155,6 +156,7 @@ def diffdrive_rollout_costs(
     n_exploit: float,
     obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 3) or None
     robot_radius: float = 0.5,
+    k_offset: jnp.ndarray | float = 0.0,
     *,
     T: int,
     W: int,
@@ -164,9 +166,10 @@ def diffdrive_rollout_costs(
 ) -> jnp.ndarray:
     """Fused rollout: returns per-sample costs S (K,). K must divide R_BLK·128."""
     K = eps.shape[0]
-    blk = R_BLK * LANES
-    assert K % blk == 0, f"K={K} must be a multiple of {blk}"
+    assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
+    R_BLK = min(R_BLK, R)  # small shards (sharded execution) shrink the block
+    assert R % R_BLK == 0, f"rows {R} must divide by block {R_BLK}"
     n_blocks = R // R_BLK
 
     # (K, T, 2) → (T, 2, R, 128) with k = r·128 + lane
@@ -181,6 +184,7 @@ def diffdrive_rollout_costs(
             term_w.astype(jnp.float32),
             x0.astype(jnp.float32),
             jnp.asarray([robot_radius if obstacles is not None else -1.0], jnp.float32),
+            jnp.reshape(jnp.asarray(k_offset, jnp.float32), (1,)),
         ]
     )
     obs = (

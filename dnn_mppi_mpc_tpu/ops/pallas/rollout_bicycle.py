@@ -58,11 +58,12 @@ def _bicycle_kernel(
     half_l = scal_ref[19]  # 0.5·vehicle_length·margin_rate
     half_w = scal_ref[20]  # 0.5·vehicle_width·margin_rate
     penalty = scal_ref[21]
+    k_offset = scal_ref[22]  # global sample-index offset (sharded execution)
 
     i = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, LANES), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, LANES), 1)
-    k_idx = ((i * R_BLK + rows) * LANES + cols).astype(jnp.float32)
+    k_idx = ((i * R_BLK + rows) * LANES + cols).astype(jnp.float32) + k_offset
     exploit = k_idx < n_exploit
 
     shape = (R_BLK, LANES)
@@ -186,6 +187,7 @@ def bicycle_rollout_costs(
     margin_rate: float = 1.5,
     penalty: float = 1.0e7,
     obstacles: Optional[jnp.ndarray] = None,
+    k_offset: jnp.ndarray | float = 0.0,
     *,
     T: int,
     W: int,
@@ -193,9 +195,10 @@ def bicycle_rollout_costs(
     interpret: bool = False,
 ) -> jnp.ndarray:
     K = eps.shape[0]
-    blk = R_BLK * LANES
-    assert K % blk == 0, f"K={K} must be a multiple of {blk}"
+    assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
+    R_BLK = min(R_BLK, R)  # small shards (sharded execution) shrink the block
+    assert R % R_BLK == 0, f"rows {R} must divide by block {R_BLK}"
     n_blocks = R // R_BLK
 
     eps_t = jnp.transpose(eps.reshape(R, LANES, T, 2), (2, 3, 0, 1))
@@ -216,7 +219,8 @@ def bicycle_rollout_costs(
                 ],
                 jnp.float32,
             ),
-            jnp.zeros((2,), jnp.float32),  # padding
+            jnp.reshape(jnp.asarray(k_offset, jnp.float32), (1,)),
+            jnp.zeros((1,), jnp.float32),  # padding
         ]
     )
     obs = (

@@ -44,6 +44,7 @@ def make_sharded_mppi_step(
     terminal_cost: TerminalCost,
     mesh: Mesh,
     axis: str = "k",
+    rollout_fn: Optional[Callable] = None,
 ) -> Callable:
     """jit(shard_map(mppi_step)) with K sharded over ``axis``.
 
@@ -57,7 +58,13 @@ def make_sharded_mppi_step(
         )
 
     inner = functools.partial(
-        mppi_step, cfg, dynamics_step, stage_cost, terminal_cost, axis_name=axis
+        mppi_step,
+        cfg,
+        dynamics_step,
+        stage_cost,
+        terminal_cost,
+        axis_name=axis,
+        rollout_fn=rollout_fn,
     )
 
     from ..solvers.mppi import MPPIAux

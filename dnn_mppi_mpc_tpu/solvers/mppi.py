@@ -222,7 +222,7 @@ def mppi_step(
         eps = noise.astype(u.dtype)
 
     if rollout_fn is not None:
-        S = rollout_fn(params, ctx, u, eps, x0)
+        S = rollout_fn(params, ctx, u, eps, x0, axis_name=axis_name)
     else:
         # Exploration split (mppi_differential_drive.py:116-119): sample index
         # mask over *global* sample indices so sharding preserves semantics.
@@ -345,7 +345,7 @@ def sampled_trajectories(
     return jnp.take(trajs, order[:n_top], axis=0)
 
 
-def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
+def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, interpret: bool = False):
     """Bind the fused Pallas rollout kernel as the engine's rollout_fn.
 
     Only valid for the diff-drive tracking problem (unicycle Euler dynamics +
@@ -361,6 +361,7 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
         u: jnp.ndarray,
         eps: jnp.ndarray,
         x0: jnp.ndarray,
+        axis_name=None,
     ):
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
@@ -368,6 +369,13 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
         window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
         sig_inv = sigma_inverse(params.sigma)
         a = cfg.gamma * (u @ sig_inv)
+        # sharded execution: global sample index = shard offset + local index,
+        # so the exploration split stays a property of the *global* K
+        k_offset = 0.0
+        if axis_name is not None:
+            k_offset = (
+                jax.lax.axis_index(axis_name).astype(jnp.float32) * eps.shape[0]
+            )
         return diffdrive_rollout_costs(
             eps,
             u,
@@ -382,9 +390,11 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5):
             (1.0 - cfg.exploration) * cfg.num_samples,
             obstacles=params.obstacles,
             robot_radius=robot_radius,
+            k_offset=k_offset,
             T=cfg.horizon,
             W=Wlen,
             last_only=(cfg.accumulation == CostAccumulation.LAST),
+            interpret=interpret,
         )
 
     return rollout
@@ -396,6 +406,7 @@ def make_pallas_bicycle_rollout(
     vehicle_length: float = 4.0,
     vehicle_width: float = 3.0,
     margin_rate: float = 1.5,
+    interpret: bool = False,
 ):
     """Bind the fused bicycle kernel (race-car config 3) as rollout_fn.
 
@@ -411,12 +422,18 @@ def make_pallas_bicycle_rollout(
         u: jnp.ndarray,
         eps: jnp.ndarray,
         x0: jnp.ndarray,
+        axis_name=None,
     ):
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
         window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        k_offset = 0.0
+        if axis_name is not None:
+            k_offset = (
+                jax.lax.axis_index(axis_name).astype(jnp.float32) * eps.shape[0]
+            )
         return bicycle_rollout_costs(
             eps,
             u,
@@ -434,8 +451,10 @@ def make_pallas_bicycle_rollout(
             vehicle_width=vehicle_width,
             margin_rate=margin_rate,
             obstacles=params.obstacles,
+            k_offset=k_offset,
             T=cfg.horizon,
             W=Wlen,
+            interpret=interpret,
         )
 
     return rollout

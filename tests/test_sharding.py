@@ -115,3 +115,41 @@ def test_sharded_scaling_efficiency_on_virtual_mesh():
     # weak scaling: 8x the work on 8 virtual devices should cost < 4x the time
     # even on CPU (virtual devices share cores, so allow generous slack)
     assert t8 < t1 * 8, (t1, t8)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_pallas_rollout_matches_unsharded():
+    """Pallas rollout under shard_map (interpret mode on CPU): the global
+    exploration-split offset must make sharded == unsharded."""
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_pallas_diffdrive_rollout
+
+    cfg, params, _, _ = _make_pair()
+    cfg8 = dataclasses.replace(cfg, num_samples=2048, exploration=0.25)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg8)
+    rollout = make_pallas_diffdrive_rollout(cfg8, interpret=True)
+
+    mesh = make_mesh(("k",))
+    sharded = make_sharded_mppi_step(
+        cfg8, step_fn, stage, terminal, mesh, rollout_fn=rollout
+    )
+    rng = np.random.default_rng(9)
+    eps = jnp.asarray(
+        rng.multivariate_normal(np.zeros(2), np.asarray(params.sigma), (2048, T)),
+        jnp.float32,
+    )
+    x0 = jnp.zeros(3)
+    state = MPPIState.init(cfg8)
+
+    u0_s, state_s, aux_s = sharded(params, state, x0, eps)
+    u0_r, state_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg8, step_fn, stage, terminal, p, s, x, n, rollout_fn=rollout
+        )
+    )(params, state, x0, eps)
+    np.testing.assert_allclose(np.asarray(u0_s), np.asarray(u0_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux_s.costs), np.asarray(aux_r.costs), rtol=1e-4, atol=1e-4
+    )
