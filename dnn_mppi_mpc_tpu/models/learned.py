@@ -17,7 +17,7 @@ directly (SURVEY §2.9). Architectures mirrored:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ which is also the CI path (virtual CPU mesh).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

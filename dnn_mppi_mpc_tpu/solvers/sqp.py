@@ -120,10 +120,21 @@ def circle_obstacle_h(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 def _linearize(dyn_step, X, U):
     """Stage-wise A, B, defect c via vmapped jacfwd through the integrator —
-    the ERK sensitivity propagation acados does in generated C."""
-    A = jax.vmap(jax.jacfwd(dyn_step, argnums=0))(X[:-1], U)
-    B = jax.vmap(jax.jacfwd(dyn_step, argnums=1))(X[:-1], U)
-    F = jax.vmap(dyn_step)(X[:-1], U)
+    the ERK sensitivity propagation acados does in generated C.
+
+    One combined jacfwd over the concatenated (x, u) input with the primal as
+    aux: a single forward pass yields F, A and B together (three separate
+    evaluations would triple the network cost on learned dynamics).
+    """
+    nx = X.shape[-1]
+
+    def fval(z):
+        out = dyn_step(z[:nx], z[nx:])
+        return out, out
+
+    Z = jnp.concatenate([X[:-1], U], axis=-1)
+    J, F = jax.vmap(jax.jacfwd(fval, has_aux=True))(Z)
+    A, B = J[..., :nx], J[..., nx:]
     c = F - X[1:]
     return A, B, c
 
