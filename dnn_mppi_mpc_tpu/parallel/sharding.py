@@ -70,7 +70,11 @@ def make_sharded_mppi_step(
     from ..solvers.mppi import MPPIAux
 
     aux_specs = MPPIAux(
-        costs=P(axis), weights=P(axis), optimal_traj=P(), waypoint_idx=P()
+        costs=P(axis),
+        weights=P(axis),
+        optimal_traj=P(),
+        waypoint_idx=P(),
+        status=P(),
     )
     sharded = jax.shard_map(
         inner,

@@ -95,6 +95,10 @@ class MPPIAux(NamedTuple):
     weights: jnp.ndarray  # (K,) softmax weights
     optimal_traj: jnp.ndarray  # (T, dim_x) rollout of the updated sequence
     waypoint_idx: jnp.ndarray  # int32 tick window start after update
+    status: jnp.ndarray  # int32 bitmask: 1 = end of reference path reached
+    # (mppi_differential_drive.py:97-100), 2 = non-finite detected (solve
+    # rejected, previous sequence held — the warn-and-continue failure handling
+    # of SURVEY §5.3)
 
 
 def make_tracking_costs(
@@ -303,10 +307,26 @@ def mppi_step(
     else:
         optimal_traj = jnp.zeros((T,) + x0.shape, dtype=u.dtype)
 
+    # Failure detection (SURVEY §5.3): reject non-finite updates, holding the
+    # previous sequence (warn-and-continue semantics); flag end-of-path.
+    finite = jnp.all(jnp.isfinite(u_new))
+    u_new = jnp.where(finite, u_new, u)
+    end_of_path = wp_idx >= params.ref_path.shape[0] - 1
+    status = (
+        end_of_path.astype(jnp.int32)
+        + 2 * jnp.logical_not(finite).astype(jnp.int32)
+    )
+
     # Receding-horizon shift (…:162-163).
     u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)
     new_state = MPPIState(u_prev=u_shift, waypoint_idx=wp_idx, key=key)
-    aux = MPPIAux(costs=S, weights=w, optimal_traj=optimal_traj, waypoint_idx=wp_idx)
+    aux = MPPIAux(
+        costs=S,
+        weights=w,
+        optimal_traj=optimal_traj,
+        waypoint_idx=wp_idx,
+        status=status,
+    )
     return u_new[0], new_state, aux
 
 

@@ -102,6 +102,9 @@ class NMPCAux(NamedTuple):
     U: jnp.ndarray  # planned controls
     h_margin: jnp.ndarray  # min h-constraint margin over the horizon
     defect: jnp.ndarray  # max multiple-shooting defect after the solve
+    status: jnp.ndarray  # int32: 0 ok, 2 non-finite detected (solve rejected,
+    # warm start held — the solver-status handling of SURVEY §5.3, replacing
+    # acados' status codes at husky_nmpc_controller.py:306-309)
 
 
 # h(x, p) -> (n_h,), feasible iff h ≥ 0 (lh already folded in).
@@ -249,6 +252,14 @@ def sqp_solve(
 
     (X, U), _ = jax.lax.scan(one_sqp_iter, (state.X, state.U), None, length=cfg.sqp_iters)
 
+    # Failure detection: reject non-finite solutions, keeping the warm start
+    # (the reference ignores bad acados statuses and reuses the last solution,
+    # mpc_differential_drive_obstacle_static.py:322-323 — here it is explicit).
+    finite = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(U))
+    X = jnp.where(finite, X, state.X)
+    U = jnp.where(finite, U, state.U)
+    status = 2 * jnp.logical_not(finite).astype(jnp.int32)
+
     # diagnostics
     F = jax.vmap(dyn_step)(X[:-1], U)
     defect = jnp.max(jnp.abs(F - X[1:]))
@@ -258,7 +269,7 @@ def sqp_solve(
         h_margin = jnp.asarray(jnp.inf, dtype=dtype)
 
     new_state = NMPCState(X=X, U=U)
-    aux = NMPCAux(X=X, U=U, h_margin=h_margin, defect=defect)
+    aux = NMPCAux(X=X, U=U, h_margin=h_margin, defect=defect, status=status)
     return U[0], new_state, aux
 
 

@@ -131,3 +131,55 @@ def test_top_fraction_trajectory_extraction():
     )
     assert trajs.shape == (K // 10, T, 3)
     assert np.all(np.isfinite(np.asarray(trajs)))
+
+
+def test_status_flags_end_of_path_and_nonfinite():
+    """Failure detection (SURVEY §5.3): end-of-path flag and non-finite guard."""
+    cfg, params = _base()
+    stage, terminal = make_tracking_costs(cfg)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    solver = MPPISolver(cfg, step_fn, stage, terminal)
+
+    # normal tick: status 0
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert int(aux.status) == 0
+
+    # robot at the far end of the path → end-of-path bit set
+    x_end = jnp.array([10.0, 0.0, 0.0])
+    st = solver.init()
+    import dataclasses as dc
+    st = dc.replace(st, waypoint_idx=jnp.int32(params.ref_path.shape[0] - 2))
+    u0, st2, aux = solver.step(params, st, x_end)
+    assert int(aux.status) & 1
+
+    # NaN state → non-finite bit set and previous sequence held
+    st3 = solver.init()
+    u_prev_before = np.asarray(st3.u_prev)
+    u0, st4, aux = solver.step(params, st3, jnp.array([jnp.nan, 0.0, 0.0]))
+    assert int(aux.status) & 2
+    # shifted previous sequence (still finite)
+    assert np.all(np.isfinite(np.asarray(st4.u_prev)))
+    assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_nmpc_status_nonfinite_guard():
+    from dnn_mppi_mpc_tpu.config import SQPConfig
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, OCPParams
+
+    N = 8
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=0.1, sqp_iters=1, qp_iters=8)
+    solver = NMPCSolver(cfg, unicycle)
+    goal = jnp.array([1.0, 0.5, 0.0])
+    params = OCPParams(
+        Q=jnp.eye(3), R=jnp.eye(2) * 0.1, Qe=jnp.eye(3),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.full(3, -10.0), ubx=jnp.full(3, 10.0),
+        lbu=jnp.full(2, -1.0), ubu=jnp.full(2, 1.0),
+    )
+    st = solver.init(jnp.zeros(3))
+    u0, st2, aux = solver.solve(params, st, jnp.zeros(3))
+    assert int(aux.status) == 0
+    u0, st3, aux = solver.solve(params, st2, jnp.array([jnp.nan, 0.0, 0.0]))
+    assert int(aux.status) == 2
+    assert np.all(np.isfinite(np.asarray(u0)))
