@@ -104,4 +104,79 @@ class BulletDiffDriveEnv:
         p.disconnect(self.client)
 
 
-__all__ = ["BulletDiffDriveEnv", "HAS_PYBULLET"]
+class BulletAckermannEnv:
+    """Racecar-style Ackermann vehicle in PyBullet.
+
+    Mirrors controllers/bullet_mpc_race_car_obstacle.py:396-528: URDF joint
+    discovery splits steering vs drive joints (:409-419), per-tick state read →
+    jitted controller → Ackermann wheel IK (:384-394) → motor commands.
+    """
+
+    def __init__(
+        self,
+        urdf: str = "racecar/racecar.urdf",
+        gui: bool = False,
+        physics_hz: float = 240.0,
+        wheel_base: float = 0.325,
+        track_width: float = 0.2,
+        max_force: float = 20.0,
+    ) -> None:
+        if not HAS_PYBULLET:
+            raise ImportError(
+                "pybullet is not installed; BulletAckermannEnv requires it."
+            )
+        self.client = p.connect(p.GUI if gui else p.DIRECT)
+        p.setAdditionalSearchPath(pybullet_data.getDataPath())
+        p.setGravity(0, 0, -9.81)
+        p.setTimeStep(1.0 / physics_hz)
+        p.loadURDF("plane.urdf")
+        self.robot = p.loadURDF(urdf, [0, 0, 0.05])
+        self.wheel_base = wheel_base
+        self.track_width = track_width
+        self.max_force = max_force
+        self.physics_hz = physics_hz
+        # joint discovery by name (bullet_mpc_race_car_obstacle.py:409-419)
+        self.steer_joints, self.drive_joints = [], []
+        for j in range(p.getNumJoints(self.robot)):
+            name = p.getJointInfo(self.robot, j)[1].decode()
+            if "steering" in name:
+                self.steer_joints.append(j)
+            elif "wheel" in name:
+                self.drive_joints.append(j)
+
+    def get_state(self) -> np.ndarray:
+        """(x, y, yaw, v) base state."""
+        pos, orn = p.getBasePositionAndOrientation(self.robot)
+        yaw = p.getEulerFromQuaternion(orn)[2]
+        lin, _ = p.getBaseVelocity(self.robot)
+        v = float(np.hypot(lin[0], lin[1]))
+        return np.array([pos[0], pos[1], yaw, v])
+
+    def apply_control(self, steer: float, v: float) -> None:
+        from .kinematics import ackermann_wheel_speeds
+
+        for j in self.steer_joints:
+            p.setJointMotorControl2(
+                self.robot, j, p.POSITION_CONTROL, targetPosition=float(steer)
+            )
+        speeds = np.asarray(
+            ackermann_wheel_speeds(v, steer, self.wheel_base, self.track_width)
+        )
+        for j, s in zip(self.drive_joints, speeds):
+            p.setJointMotorControl2(
+                self.robot,
+                j,
+                p.VELOCITY_CONTROL,
+                targetVelocity=float(s),
+                force=self.max_force,
+            )
+
+    def step(self, n_substeps: int = 1) -> None:
+        for _ in range(n_substeps):
+            p.stepSimulation()
+
+    def close(self) -> None:
+        p.disconnect(self.client)
+
+
+__all__ = ["BulletDiffDriveEnv", "BulletAckermannEnv", "HAS_PYBULLET"]

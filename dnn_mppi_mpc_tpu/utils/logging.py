@@ -52,4 +52,11 @@ def save_episode_csv(path: str, states: np.ndarray, controls: np.ndarray) -> Non
     np.savetxt(path, cols, delimiter=",", header=header, comments="")
 
 
-__all__ = ["get_logger", "MetricsWriter", "save_episode_csv"]
+def load_episode_csv(path: str, nx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Load a (states, controls) episode CSV (the RobotDataset CSV convention
+    of train/train_mlp.py / test/data_collection.py)."""
+    data = np.loadtxt(path, delimiter=",", skiprows=1)
+    return data[:, :nx], data[:, nx:]
+
+
+__all__ = ["get_logger", "MetricsWriter", "save_episode_csv", "load_episode_csv"]

@@ -121,3 +121,38 @@ def test_collect_residual_dataset_learns_model_error():
     np.testing.assert_allclose(
         np.asarray(ep.errors.mean(axis=0)), np.asarray(drift), atol=1e-6
     )
+
+
+def test_lidar_scan_geometry():
+    """Beam straight at a circle returns distance-to-surface; misses return max."""
+    from dnn_mppi_mpc_tpu.envs.sensors import goal_relative_obs, lidar_scan
+
+    pose = jnp.array([0.0, 0.0, 0.0])
+    obstacles = jnp.array([[5.0, 0.0, 1.0]])
+    # beam 0 of a 4-beam full-circle scan points along -pi (behind); use fov=0
+    # trick: single forward beam
+    ranges = lidar_scan(pose, obstacles, num_beams=1, max_range=20.0, fov=0.0)
+    np.testing.assert_allclose(float(ranges[0]), 4.0, atol=1e-5)
+    # rotated away → miss
+    pose_away = jnp.array([0.0, 0.0, np.pi])
+    ranges = lidar_scan(pose_away, obstacles, num_beams=1, max_range=20.0, fov=0.0)
+    np.testing.assert_allclose(float(ranges[0]), 20.0)
+
+    obs = goal_relative_obs(jnp.array([0.0, 0.0, 0.0]), jnp.array([3.0, 4.0, 0.5]))
+    np.testing.assert_allclose(float(obs[0]), 5.0, atol=1e-6)
+    np.testing.assert_allclose(float(obs[1]), np.arctan2(4, 3), atol=1e-6)
+
+
+def test_episode_csv_roundtrip():
+    import tempfile
+
+    from dnn_mppi_mpc_tpu.utils.logging import load_episode_csv, save_episode_csv
+
+    states = np.random.default_rng(0).normal(size=(12, 3))
+    controls = np.random.default_rng(1).normal(size=(12, 2))
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ep.csv"
+        save_episode_csv(path, states, controls)
+        s2, c2 = load_episode_csv(path, nx=3)
+    np.testing.assert_allclose(s2, states)
+    np.testing.assert_allclose(c2, controls)
