@@ -11,7 +11,7 @@ single jitted minibatch epoch — no per-step Python loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -108,14 +108,17 @@ def make_ppo_trainer(
     model: ActorCritic,
     env_step: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
     env_reset: Callable[[jax.Array], jnp.ndarray],
+    obs_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ):
     """Build (init_fn, train_iteration) for a vectorized JAX environment.
 
     ``env_step(state, action, key) -> (next_state, reward, done)`` and
     ``env_reset(key) -> state`` operate on single environments; vmap handles
-    the fleet. Observations are the environment states themselves (compose a
-    feature extractor inside ``model`` for richer observations).
+    the fleet. ``obs_fn`` maps raw env states to policy observations (batched);
+    identity by default — pass e.g. envs.sensors.goal_relative_obs features.
     """
+    if obs_fn is None:
+        obs_fn = lambda s: s
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.learning_rate),
@@ -123,15 +126,15 @@ def make_ppo_trainer(
 
     def init_fn(key):
         k1, k2 = jax.random.split(key)
-        obs0 = env_reset(k1)
-        params = model.init(k2, obs0[None])
+        obs0 = obs_fn(env_reset(k1)[None])
+        params = model.init(k2, obs0)
         return params, tx.init(params)
 
     def rollout(params, env_states, key):
         def step(carry, _):
             env_states, key = carry
             key, k_act, k_env = jax.random.split(key, 3)
-            mean, std, value = model.apply(params, env_states)
+            mean, std, value = model.apply(params, obs_fn(env_states))
             action = mean + std * jax.random.normal(k_act, mean.shape)
             logp = gaussian_log_prob(mean, std, action)
             keys = jax.random.split(k_env, env_states.shape[0])
@@ -140,7 +143,9 @@ def make_ppo_trainer(
             reset_keys = jax.random.split(key, env_states.shape[0])
             fresh = jax.vmap(env_reset)(reset_keys)
             nxt = jnp.where(done[:, None], fresh, nxt)
-            tr = Transition(env_states, action, logp, reward, done.astype(jnp.float32), value)
+            tr = Transition(
+                obs_fn(env_states), action, logp, reward, done.astype(jnp.float32), value
+            )
             return (nxt, key), tr
 
         (env_states, key), traj = jax.lax.scan(
@@ -201,7 +206,7 @@ def make_ppo_trainer(
     @jax.jit
     def train_iteration(params, opt_state, env_states, key):
         env_states, traj, key = rollout(params, env_states, key)
-        _, _, last_value = model.apply(params, env_states)
+        _, _, last_value = model.apply(params, obs_fn(env_states))
         key, k_up = jax.random.split(key)
         params, opt_state, loss = update(params, opt_state, traj, last_value, k_up)
         metrics = {
