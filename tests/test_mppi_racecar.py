@@ -9,6 +9,7 @@ engine and oracle must agree to float tolerance under identical injected noise.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dnn_mppi_mpc_tpu.config import (
     CostAccumulation,
@@ -120,3 +121,35 @@ def test_racecar_collision_cost_dominates():
     _, _, aux = solver.step(params, state, jnp.asarray(x0), noise=jnp.asarray(eps, jnp.float32))
     S = np.asarray(aux.costs)
     assert (S > 1e6).any(), "no sample registered a collision penalty"
+
+
+@pytest.mark.slow
+def test_racecar_tracks_lemniscate_closed_loop():
+    """Behavioral: the race car follows the lemniscate (cross-track bounded)
+    over a sustained closed loop — the open-loop demo of
+    mppi_race_car_obstacle.py:324-343 upgraded to feedback."""
+    from dnn_mppi_mpc_tpu.presets import racecar_mppi
+    from dnn_mppi_mpc_tpu.paths.generators import lemniscate_with_speed
+    from dnn_mppi_mpc_tpu.models.dynamics import BicycleParams, kinematic_bicycle
+
+    ref = lemniscate_with_speed(10.0, 200, speed=4.0)
+    solver, params = racecar_mppi(ref, num_samples=512, horizon=20)
+    bp = BicycleParams(wheel_base=jnp.asarray(2.5))
+    step = lambda x, u: euler_step(
+        lambda s, a: kinematic_bicycle(s, a, bp), x, u, 0.05
+    )
+    x = jnp.asarray(np.asarray(ref[0]), jnp.float32)
+    state = solver.init(jax.random.PRNGKey(0))
+    ref_np = np.asarray(ref)
+    ctes = []
+    for _ in range(250):
+        u0, state, aux = solver.step(params, state, x)
+        x = step(x, u0)
+        d = np.min(np.linalg.norm(ref_np[:, :2] - np.asarray(x[:2])[None], axis=1))
+        ctes.append(d)
+    ctes = np.asarray(ctes)
+    # stays on course: bounded cross-track error, no divergence
+    assert ctes.max() < 2.0, f"max cross-track error {ctes.max():.2f}"
+    assert ctes[-50:].mean() < 1.0, f"steady-state cte {ctes[-50:].mean():.2f}"
+    # actually makes progress around the course
+    assert float(jnp.abs(x[3])) > 0.5, "car stalled"
