@@ -131,3 +131,38 @@ def test_resnet18_residual_training_runs():
     )
     assert np.isfinite(hist["val_mse"][-1])
     assert hist["train_mse"][-1] < hist["train_mse"][0]
+
+
+def test_full_train_state_checkpoint_roundtrip(tmp_path):
+    """Checkpoint the complete training state (params + optimizer + scalers) —
+    the resume capability the reference lacks (SURVEY §5.4)."""
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(3)
+    states = rng.normal(size=(300, 3)).astype(np.float32)
+    controls = rng.normal(size=(300, 2)).astype(np.float32)
+    errors = (0.2 * states).astype(np.float32)
+    model = MLP(out_dim=3, hidden=16, depth=1)
+    tstate, _ = train_residual_model(
+        model,
+        jnp.asarray(states),
+        jnp.asarray(controls),
+        jnp.asarray(errors),
+        TrainConfig(num_epochs=2, batch_size=64),
+    )
+    tree = {
+        "params": tstate.params,
+        "opt_state": tstate.opt_state,
+        "in_scaler": dataclasses.asdict(tstate.in_scaler),
+        "out_scaler": dataclasses.asdict(tstate.out_scaler),
+    }
+    path = str(tmp_path / "full")
+    save_checkpoint(path, tree)
+    restored = load_checkpoint(path, tree)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        tree,
+        restored,
+    )
