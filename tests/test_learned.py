@@ -166,3 +166,25 @@ def test_full_train_state_checkpoint_roundtrip(tmp_path):
         tree,
         restored,
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dp_sharded_training_runs():
+    """Data-parallel training over the 'batch' mesh axis (SURVEY §2.10(d))."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    states = rng.normal(size=(1600, 3)).astype(np.float32)
+    controls = rng.normal(size=(1600, 2)).astype(np.float32)
+    errors = (0.3 * states).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("batch",))
+    model = MLP(out_dim=3, hidden=32, depth=1)
+    tstate, hist = train_residual_model(
+        model,
+        jnp.asarray(states),
+        jnp.asarray(controls),
+        jnp.asarray(errors),
+        TrainConfig(num_epochs=5, batch_size=256),
+        mesh=mesh,
+    )
+    assert hist["val_mse"][-1] < hist["val_mse"][0]
