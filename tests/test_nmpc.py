@@ -276,3 +276,37 @@ def test_soft_h_constraints_trade_violation_for_tracking():
     # hard solver stops near the 0.8 ring; soft one penetrates toward the goal
     assert err_hard > 0.6, err_hard
     assert err_soft < err_hard - 0.2, (err_soft, err_hard)
+
+
+def test_nmpc_racecar_learned_residual():
+    """Race-car NMPC over bicycle + MLP residual (mpc_racecar_dnn.py:40-96):
+    the learned-dynamics path on the 4-state bicycle."""
+    N, dt = 20, 0.05
+    model = MLP(out_dim=4, hidden=32, depth=2, zero_init_head=False)
+    mp = model.init(jax.random.PRNGKey(2), jnp.ones((1, 6)))
+    mp = jax.tree.map(lambda a: a * 0.05, mp)
+    net = make_residual_fn(model, mp)
+    bp = BicycleParams(wheel_base=jnp.asarray(0.325))
+    dyn = residual_dynamics(lambda x, u: kinematic_bicycle(x, u, bp), net)
+
+    cfg = SQPConfig(N=N, dim_x=4, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, dyn)
+    goal = jnp.array([1.5, 0.8, 0.0, 0.0])
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        R=jnp.diag(jnp.array([0.5, 0.5])),
+        Qe=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.array([-10.0, -10.0, -10.0, -3.0]),
+        ubx=jnp.array([10.0, 10.0, 10.0, 3.0]),
+        lbu=jnp.array([-0.4, -2.0]),
+        ubu=jnp.array([0.4, 2.0]),
+    )
+    x = jnp.array([0.0, 0.0, 0.0, 0.0])
+    state = solver.init(x)
+    for _ in range(120):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(dyn, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    assert err < 0.2, f"racecar DNN-NMPC error {err:.3f}"
