@@ -5,6 +5,11 @@ against a simulated plant, paced by the C++ absolute-deadline pacer and logged
 through the lock-free telemetry ring (dnn_mppi_mpc_tpu/runtime).
 
     python examples/realtime_loop.py --hz 50 --ticks 250
+
+Note: on a remote-attached TPU (development tunnels) each device→host fetch
+costs ~27 ms regardless of size, so this host-in-the-loop demo overruns its
+budget there; on locally-attached hardware the fetches are microseconds and
+the loop holds 50 Hz (see docs/PERF.md).
 """
 
 import argparse
