@@ -102,4 +102,36 @@ def collect_residual_dataset(
     )
 
 
-__all__ = ["Episode", "run_closed_loop", "collect_residual_dataset"]
+def mppi_controller(solver, params) -> Controller:
+    """Adapt an MPPISolver into the (ctrl_state, x) -> (u, ctrl_state) shape
+    run_closed_loop expects, so whole MPPI episodes run as one on-device scan
+    (zero per-tick host dispatch)."""
+
+    from ..solvers.mppi import mppi_step
+
+    step = solver._step  # jitted partial of mppi_step
+
+    def controller(cs, x):
+        u0, cs, _ = step(params, cs, x, None)
+        return u0, cs
+
+    return controller
+
+
+def nmpc_controller(solver, params) -> Controller:
+    """Adapt an NMPCSolver likewise (ctrl_state = NMPCState warm start)."""
+
+    def controller(cs, x):
+        u0, cs, _ = solver._solve(params, cs, x)
+        return u0, cs
+
+    return controller
+
+
+__all__ = [
+    "Episode",
+    "run_closed_loop",
+    "collect_residual_dataset",
+    "mppi_controller",
+    "nmpc_controller",
+]

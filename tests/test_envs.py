@@ -156,3 +156,61 @@ def test_episode_csv_roundtrip():
         s2, c2 = load_episode_csv(path, nx=3)
     np.testing.assert_allclose(s2, states)
     np.testing.assert_allclose(c2, controls)
+
+
+def test_on_device_mppi_closed_loop_scan():
+    """MPPI controller + plant as one on-device scan (zero host dispatch):
+    a whole episode jits and tracks the reference."""
+    from dnn_mppi_mpc_tpu.config import MPPIConfig, MPPIParams
+    from dnn_mppi_mpc_tpu.envs.closed_loop import mppi_controller
+    from dnn_mppi_mpc_tpu.paths.generators import line
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs
+
+    cfg = MPPIConfig(num_samples=128, horizon=10, dim_x=3, dim_u=2, dt=0.1)
+    params = MPPIParams(
+        sigma=jnp.eye(2) * 0.2,
+        stage_weight=jnp.array([5.0, 5.0, 1.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 1.0]),
+        u_min=jnp.array([-3.0, -3.0]),
+        u_max=jnp.array([3.0, 3.0]),
+        ref_path=line(jnp.zeros(2), jnp.array([5.0, 0.0]), 60),
+    )
+    step = lambda x, u: euler_step(unicycle, x, u, 0.1)
+    solver = MPPISolver(cfg, step, *make_tracking_costs(cfg))
+    controller = mppi_controller(solver, params)
+    run = jax.jit(lambda cs, x0: run_closed_loop(controller, step, cs, x0, 100))
+    ep, _ = run(solver.init(jax.random.PRNGKey(0)), jnp.zeros(3))
+    states = np.asarray(ep.states)
+    assert np.all(np.isfinite(states))
+    # moved along the line without diverging laterally
+    assert states[-1, 0] > 0.3
+    assert np.abs(states[:, 1]).max() < 1.0
+
+
+def test_on_device_nmpc_closed_loop_scan():
+    from dnn_mppi_mpc_tpu.config import SQPConfig
+    from dnn_mppi_mpc_tpu.envs.closed_loop import nmpc_controller
+    from dnn_mppi_mpc_tpu.models.integrators import erk_step
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, OCPParams
+
+    N = 10
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=0.1, sqp_iters=1, qp_iters=8)
+    solver = NMPCSolver(cfg, unicycle)
+    goal = jnp.array([1.5, 1.0, 0.0])
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+        R=jnp.diag(jnp.array([0.2, 0.05])),
+        Qe=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.full(3, -10.0),
+        ubx=jnp.full(3, 10.0),
+        lbu=jnp.full(2, -1.5),
+        ubu=jnp.full(2, 1.5),
+    )
+    plant = lambda x, u: erk_step(unicycle, x, u, 0.1, num_steps=3)
+    controller = nmpc_controller(solver, params)
+    run = jax.jit(lambda cs, x0: run_closed_loop(controller, plant, cs, x0, 80))
+    ep, _ = run(solver.init(jnp.zeros(3)), jnp.zeros(3))
+    final = np.asarray(ep.states[-1])
+    assert np.linalg.norm(final[:2] - np.asarray(goal[:2])) < 0.1
