@@ -77,7 +77,9 @@ def main():
     collect = jax.jit(lambda keys: jax.vmap(one_scenario)(keys))
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     ep = collect(keys)
-    jax.block_until_ready(ep)
+    # sync via reduction: block_until_ready alone can return before a remote
+    # compile+execution completes on tunnel-attached runtimes (docs/PERF.md)
+    float(jnp.sum(ep.errors))
     t0 = time.perf_counter()
     ep = collect(jax.random.split(jax.random.PRNGKey(1), B))
     # block on a device-side reduction of every output (a bare
