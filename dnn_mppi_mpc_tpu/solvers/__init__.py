@@ -1,3 +1,4 @@
+from .cem import CEMConfig, CEMSolver, CEMState, cem_step  # noqa: F401
 from .mppi import (  # noqa: F401
     MPPIAux,
     MPPISolver,
