@@ -39,8 +39,13 @@ def main() -> None:
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)
 
-    # Warm-up / compile with a true sync.
+    # Warm-up / compile with a true sync, plus one untimed throwaway batch so
+    # stragglers from initialization don't land in the first timed batch.
     u0, st, aux = solver.step(params, st0, x0)
+    _sync(u0, aux.costs)
+    st = st0
+    for _ in range(10):
+        u0, st, aux = solver.step(params, st, x0)
     _sync(u0, aux.costs)
 
     batch, n_batches = 50, 6
