@@ -205,3 +205,62 @@ def test_barrier_qp_unconstrained_matches_kkt():
     dX, dU = barrier_qp_solve(qp, jnp.asarray(dx0), num_iters=15)
     np.testing.assert_allclose(np.asarray(dU), want_U, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dX), want_X, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_riccati_fuzz_vs_dense_kkt(seed):
+    """Randomized LQR problems: Riccati must equal the dense KKT solution."""
+    rng = np.random.default_rng(100 + seed)
+    N = int(rng.integers(3, 12))
+    nx = int(rng.integers(2, 5))
+    nu = int(rng.integers(1, 4))
+    A = np.eye(nx) + 0.1 * rng.normal(size=(N, nx, nx))
+    B = 0.3 * rng.normal(size=(N, nx, nu))
+    c = 0.1 * rng.normal(size=(N, nx))
+    Q = np.stack([np.eye(nx) * rng.uniform(0.5, 3.0) for _ in range(N + 1)])
+    qx = 0.3 * rng.normal(size=(N + 1, nx))
+    R = np.stack([np.eye(nu) * rng.uniform(0.1, 1.0) for _ in range(N)])
+    ru = 0.2 * rng.normal(size=(N, nu))
+    dx0 = rng.normal(size=nx) * 0.2
+
+    want_X, want_U = _dense_kkt_solution(A, B, c, Q, qx, R, ru, dx0)
+    data = LQRData(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qxx=jnp.asarray(Q), qx=jnp.asarray(qx),
+        Ruu=jnp.asarray(R), ru=jnp.asarray(ru),
+    )
+    dX, dU = riccati_solve(data, jnp.asarray(dx0))
+    np.testing.assert_allclose(np.asarray(dU), want_U, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dX), want_X, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_barrier_qp_fuzz_vs_scipy(seed):
+    """Randomized box-constrained QPs with active bounds vs scipy SLSQP."""
+    rng = np.random.default_rng(200 + seed)
+    N, nx, nu = 5, 2, 1
+    A = np.stack([np.eye(nx) + 0.1 * rng.normal(size=(nx, nx)) for _ in range(N)])
+    B = 0.3 * rng.normal(size=(N, nx, nu))
+    c = 0.05 * rng.normal(size=(N, nx))
+    Q = np.tile(np.eye(nx), (N + 1, 1, 1))
+    qx = rng.normal(size=(N + 1, nx)) * 1.5  # strong pull → bounds activate
+    R = np.tile(np.eye(nu) * 0.05, (N, 1, 1))
+    ru = np.zeros((N, nu))
+    dx0 = np.zeros(nx)
+    lbx, ubx = np.full(nx, -5.0), np.full(nx, 5.0)
+    lbu, ubu = np.array([-0.6]), np.array([0.6])
+
+    want_X, want_U = _solve_qp_scipy(A, B, c, Q, qx, R, ru, dx0, lbx, ubx, lbu, ubu)
+    qp = BoxedQPData(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Q=jnp.asarray(Q), qx_base=jnp.asarray(qx),
+        R=jnp.asarray(R), ru_base=jnp.asarray(ru),
+        lbx=jnp.asarray(np.tile(-lbx, (N + 1, 1))),
+        ubx=jnp.asarray(np.tile(ubx, (N + 1, 1))),
+        lbu=jnp.asarray(np.tile(-lbu, (N, 1))),
+        ubu=jnp.asarray(np.tile(ubu, (N, 1))),
+        Jh=None, h0=None,
+    )
+    dX, dU = barrier_qp_solve(qp, jnp.asarray(dx0), num_iters=30, mu0=1e-1, kappa=0.4)
+    np.testing.assert_allclose(np.asarray(dU), want_U, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dX), want_X, atol=1e-2)
