@@ -149,6 +149,7 @@ def sqp_solve(
     params: OCPParams,
     state: NMPCState,
     x0: jnp.ndarray,
+    y_x_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
     """One NMPC tick: ``sqp_iters`` × (linearize → barrier-Riccati QP → update).
 
@@ -168,19 +169,48 @@ def sqp_solve(
         X, U = carry
         A, B, c = _linearize(dyn_step, X, U)
 
-        # LINEAR_LS Gauss-Newton blocks: Hessian = blkdiag(Q, R) exactly.
-        Qs = jnp.concatenate(
-            [jnp.broadcast_to(params.Q, (N, nx, nx)), params.Qe[None]], axis=0
-        )
-        qx_base = jnp.concatenate(
-            [
-                jnp.einsum("xy,iy->ix", params.Q, X[:-1] - params.yref[:, :nx]),
-                (params.Qe @ (X[-1] - params.yref_e))[None],
-            ],
-            axis=0,
-        )
+        if y_x_fn is None:
+            # LINEAR_LS Gauss-Newton blocks: Hessian = blkdiag(Q, R) exactly.
+            Qs = jnp.concatenate(
+                [jnp.broadcast_to(params.Q, (N, nx, nx)), params.Qe[None]], axis=0
+            )
+            qx_base = jnp.concatenate(
+                [
+                    jnp.einsum("xy,iy->ix", params.Q, X[:-1] - params.yref[:, :nx]),
+                    (params.Qe @ (X[-1] - params.yref_e))[None],
+                ],
+                axis=0,
+            )
+        else:
+            # NONLINEAR_LS with a state-residual expression y_x(x) — the
+            # separable form of acados' cost_y_expr (the reference always uses
+            # y = vertcat(x, u), mpc_differential_drive_obstacle_static.py:188;
+            # y_x generalizes the state part): GN Hessian JᵀQJ, gradient JᵀQr.
+            def y_and_jac(x):
+                J, y = jax.jacfwd(lambda s: (y_x_fn(s), y_x_fn(s)), has_aux=True)(x)
+                return J, y
+
+            Jy, Y = jax.vmap(y_and_jac)(X)  # (N+1, ny, nx), (N+1, ny)
+            r_stage = Y[:-1] - params.yref[:, : Y.shape[-1]]
+            r_term = Y[-1] - params.yref_e
+            Qs = jnp.concatenate(
+                [
+                    jnp.einsum("iax,ab,iby->ixy", Jy[:-1], params.Q, Jy[:-1]),
+                    jnp.einsum("ax,ab,by->xy", Jy[-1], params.Qe, Jy[-1])[None],
+                ],
+                axis=0,
+            )
+            qx_base = jnp.concatenate(
+                [
+                    jnp.einsum("iax,ab,ib->ix", Jy[:-1], params.Q, r_stage),
+                    jnp.einsum("ax,ab,b->x", Jy[-1], params.Qe, r_term)[None],
+                ],
+                axis=0,
+            )
         Rs = jnp.broadcast_to(params.R, (N, nu, nu))
-        ru_base = jnp.einsum("uv,iv->iu", params.R, U - params.yref[:, nx:])
+        # control reference = trailing nu columns of yref (identical to the
+        # [:, nx:] slice in the LINEAR_LS case where y = (x, u))
+        ru_base = jnp.einsum("uv,iv->iu", params.R, U - params.yref[:, -nu:])
 
         if h_fn is not None and params.p is not None:
             h0 = jax.vmap(lambda x: h_fn(x, params.p))(X)  # (N+1, n_h)
@@ -222,9 +252,14 @@ def sqp_solve(
         # RTI omits (full step α=1 is always a candidate, so warm-started RTI
         # behavior is preserved when it already decreases the merit).
         def merit(Xc, Uc):
-            ex = Xc[:-1] - params.yref[:, :nx]
-            eu = Uc - params.yref[:, nx:]
-            eT = Xc[-1] - params.yref_e
+            if y_x_fn is None:
+                ex = Xc[:-1] - params.yref[:, :nx]
+                eT = Xc[-1] - params.yref_e
+            else:
+                Yc = jax.vmap(y_x_fn)(Xc)
+                ex = Yc[:-1] - params.yref[:, : Yc.shape[-1]]
+                eT = Yc[-1] - params.yref_e
+            eu = Uc - params.yref[:, -nu:]
             cost = (
                 0.5 * jnp.einsum("ix,xy,iy->", ex, params.Q, ex)
                 + 0.5 * jnp.einsum("iu,uv,iv->", eu, params.R, eu)
@@ -288,6 +323,7 @@ class NMPCSolver:
         dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         h_fn: Optional[HFn] = None,
         discrete: bool = False,
+        y_x_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     ) -> None:
         self.cfg = cfg
         if discrete:
@@ -296,7 +332,7 @@ class NMPCSolver:
             step = lambda x, u: erk_step(dynamics, x, u, cfg.dt, num_steps=cfg.num_rk4_steps)
         self.dyn_step = step
         self._h_fn = h_fn
-        self._core = functools.partial(sqp_solve, cfg, step, h_fn)
+        self._core = functools.partial(sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn)
         self._solve = jax.jit(self._core)
 
     def init(self, x0: jnp.ndarray) -> NMPCState:

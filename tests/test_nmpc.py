@@ -310,3 +310,40 @@ def test_nmpc_racecar_learned_residual():
         x = erk_step(dyn, x, u0, dt, num_steps=3)
     err = float(jnp.linalg.norm(x[:2] - goal[:2]))
     assert err < 0.2, f"racecar DNN-NMPC error {err:.3f}"
+
+
+def test_nmpc_nonlinear_ls_cost():
+    """NONLINEAR_LS residual cost (acados cost_y_expr, separable form):
+    track a target in a nonlinear output space — here polar coordinates
+    y(x) = (r, θ, yaw) — and still converge to the Cartesian goal."""
+    N, dt = 15, 0.1
+    goal_xy = np.array([2.0, 1.5])
+    goal_pol = jnp.array(
+        [np.hypot(*goal_xy), np.arctan2(goal_xy[1], goal_xy[0]), 0.0]
+    )
+
+    def y_x(x):
+        r = jnp.sqrt(x[0] ** 2 + x[1] ** 2 + 1e-6)
+        th = jnp.arctan2(x[1], x[0] + 1e-6)
+        return jnp.stack([r, th, x[2]])
+
+    cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
+    solver = NMPCSolver(cfg, unicycle, y_x_fn=y_x)
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.2])),  # weights in y-space (r, θ, yaw)
+        R=jnp.diag(jnp.array([0.2, 0.05])),
+        Qe=jnp.diag(jnp.array([10.0, 10.0, 0.2])),
+        yref=jnp.concatenate([goal_pol, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal_pol,
+        lbx=jnp.full(3, -20.0),
+        ubx=jnp.full(3, 20.0),
+        lbu=jnp.array([-1.5, -1.5]),
+        ubu=jnp.array([1.5, 1.5]),
+    )
+    x = jnp.array([0.3, 0.05, 0.0])  # off origin so polar coords are defined
+    state = solver.init(x)
+    for _ in range(100):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+    err = float(jnp.linalg.norm(np.asarray(x[:2]) - goal_xy))
+    assert err < 0.15, f"NONLINEAR_LS NMPC error {err:.3f}"
