@@ -161,6 +161,10 @@ class SQPConfig:
     dim_u: int
     dt: float
     num_rk4_steps: int = 3  # ERK substeps per interval (sim_method_num_steps=3)
+    integrator: str = "erk"  # 'erk' (RK4 substeps) or 'irk' (Gauss-Legendre
+    # collocation w/ Newton — acados IRK, mpc_differential_dynamics.py:198;
+    # A-stable for stiff torque/tire dynamics)
+    irk_newton_iters: int = 3  # Newton steps on the IRK stage equations
     sqp_iters: int = 1  # 1 == SQP-RTI; >1 == converged SQP (mpc_racecar_casadi.py)
     qp_iters: int = 12  # interior-point iterations per QP solve
     n_h_constraints: int = 0  # nonlinear inequality constraints (obstacles)
@@ -170,6 +174,9 @@ class SQPConfig:
     slack_weight_l1: float = 1.0e3
     ip_mu0: float = 1.0e-1  # initial interior-point barrier weight
     ip_kappa: float = 0.25  # barrier decrease factor per iteration
+    parallel_riccati: bool = True  # associative-scan (O(log N)-depth) Riccati
+    # sweeps instead of sequential lax.scan — identical solution (FP reorder
+    # only); the sequential path remains for reference/debugging
 
 
 __all__ = [

@@ -1,0 +1,366 @@
+"""Fully-fused MPPI control-tick kernel for the diff-drive flagship.
+
+One single-program Pallas kernel implements the whole sample-space part of an
+MPPI tick (the hot 99% of controllers/mppi_differential_drive.py:87-165):
+
+  1. ε ~ N(0, Σ) generated **on-chip** (`pltpu.prng_random_bits` → Box-Muller
+     → Cholesky coloring), eliminating the (K, T, nu) HBM noise tensor, the
+     host-side transpose, and the separate w·ε einsum re-read that made the
+     round-1 path (ops/pallas/rollout.py + XLA pre/post ops) dispatch- and
+     HBM-bound;
+  2. the K-wide rollout + stage/terminal cost accumulation (semantics of
+     mppi_differential_drive.py:111-126, identical to ops/pallas/rollout.py:
+     exploration split, in-rollout clamp, γ·uᵀΣ⁻¹v energy term, unrolled
+     nearest-waypoint window, optional circle obstacles, LAST quirk);
+  3. the softmax weights with ρ = min S (…:167-180);
+  4. the weighted-noise reduction Σₖ wₖ·εₖ (…:132-135).
+
+The only HBM traffic of a tick is a handful of (T, nu)/scalar parameters in
+and (S, w, w_eps) out. K lives on a single (R, 128) register block (K = R·128;
+K = 10 240 → (80, 128), ~40 KB — far under VMEM), T is an in-register
+sequential ``fori_loop``, and ε lives in two (T, R, 128) VMEM scratch buffers
+(2 × 2 MB at the flagship scale).
+
+Noise modes (static):
+  * ``gen_noise=True``  — on-chip PRNG from an int32 seed (TPU-only; the
+    Mosaic PRNG primitives have no CPU interpreter lowering).
+  * ``gen_noise=False`` — ε supplied as an input in (T, nu, R, 128) layout;
+    bit-identical compute path, used for CPU interpret-mode parity tests and
+    for the on-TPU PRNG self-consistency test (generated ε is emitted via
+    ``emit_eps=True`` and fed back through this mode).
+
+This kernel is single-device by construction: the softmax normalization is a
+*global* reduction over K, so the sample-sharded path (SURVEY §2.10) keeps
+using the split rollout kernel + XLA `pmin`/`psum` collectives
+(solvers/mppi.py::make_pallas_diffdrive_rollout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_TWO_PI = 6.283185307179586
+
+
+def _uniform_01(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 bits → uniform float32 in (0, 1].
+
+    Top 23 bits into the mantissa of [1, 2), then 2 − x ∈ (0, 1] — strictly
+    positive so log() below is safe (tail truncates at √(−2·ln 2⁻²³) ≈ 5.6σ).
+    """
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
+
+
+def _tick_kernel(
+    seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
+    scal_ref,  # SMEM (22,) packed f32 scalars (layout below)
+    u_ref,  # VMEM (T, 2) nominal controls
+    a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
+    win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)
+    obs_ref,  # VMEM (n_obs, 3) obstacle circles (x, y, r) — may be zero rows
+    *rest,  # [eps0_in, eps1_in] | outputs | [eps scratch ×2]
+    T: int,
+    W: int,
+    R: int,
+    R_BLK: int,
+    n_obs: int,
+    last_only: bool,
+    gen_noise: bool,
+    emit_eps: bool,
+):
+    rest = list(rest)
+    if not gen_noise:
+        eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) inputs
+    S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if emit_eps:
+        eps0_out, eps1_out = rest.pop(0), rest.pop(0)
+    if gen_noise:
+        eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) scratch
+
+    # scalar layout
+    dt = scal_ref[0]
+    umin0, umax0 = scal_ref[1], scal_ref[2]
+    umin1, umax1 = scal_ref[3], scal_ref[4]
+    n_exploit = scal_ref[5]
+    sw0, sw1, sw2 = scal_ref[6], scal_ref[7], scal_ref[8]
+    tw0, tw1, tw2 = scal_ref[9], scal_ref[10], scal_ref[11]
+    x0, y0, yaw0 = scal_ref[12], scal_ref[13], scal_ref[14]
+    obs_pen_radius = scal_ref[15]  # robot radius; < 0 → obstacles off
+    k_offset = scal_ref[16]  # global sample-index offset
+    inv_temp = scal_ref[17]
+    l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ), nu=2
+
+    if gen_noise:
+        # On-chip ε ~ N(0, Σ): uint32 → uniforms → Box-Muller pair → coloring
+        # by the lower-triangular Cholesky factor of Σ. Bulk PRNG calls; all
+        # transforms are full-tensor VPU ops over (T, R, 128).
+        pltpu.prng_seed(seed_ref[0])
+        b1 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
+        u1 = _uniform_01(b1)
+        u2 = _uniform_01(b2)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = jnp.float32(_TWO_PI) * u2
+        z0 = r * jnp.cos(theta)
+        z1 = r * jnp.sin(theta)
+        eps0[:, :, :] = l00 * z0
+        eps1[:, :, :] = l10 * z0 + l11 * z1
+        if emit_eps:
+            eps0_out[:, :, :] = eps0[:, :, :]
+            eps1_out[:, :, :] = eps1[:, :, :]
+
+    # Hoist waypoint/obstacle scalars out of the T loop (VMEM scalar reads in
+    # the loop cost thousands of scalar loads — docs/PERF.md Mosaic lessons).
+    win = [(win_ref[w, 0], win_ref[w, 1], win_ref[w, 2]) for w in range(W)]
+    obs = [(obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2]) for o in range(n_obs)]
+    shape = (R_BLK, LANES)
+
+    def window_refs(xc, yc):
+        """Running-min nearest-waypoint lookup (first-argmin tie rule)."""
+        wx0, wy0, wyaw0 = win[0]
+        dmin = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
+        rx = jnp.full(shape, wx0, dtype=jnp.float32)
+        ry = jnp.full(shape, wy0, dtype=jnp.float32)
+        ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
+        for w in range(1, W):
+            wx, wy, wyaw = win[w]
+            d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
+            better = d < dmin
+            dmin = jnp.where(better, d, dmin)
+            rx = jnp.where(better, wx, rx)
+            ry = jnp.where(better, wy, ry)
+            ryaw = jnp.where(better, wyaw, ryaw)
+        return rx, ry, ryaw
+
+    def obstacle_penalty(xc, yc):
+        pen = jnp.zeros(shape, dtype=jnp.float32)
+        for ox, oy, orad in obs:
+            d2 = (xc - ox) * (xc - ox) + (yc - oy) * (yc - oy)
+            rr = orad + obs_pen_radius
+            pen = jnp.where(d2 < rr * rr, jnp.float32(1.0), pen)
+        return pen * jnp.float32(1.0e7)
+
+    # Rollout in (R_BLK, 128) row blocks: the T-loop carry must fit vector
+    # registers — a full (R, 128) carry (R = 80 at the flagship scale) spills
+    # to VMEM on every loop-op, which measured ~2× slower end-to-end.
+    assert R % R_BLK == 0
+    for blk in range(R // R_BLK):
+        r0 = blk * R_BLK
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        k_idx = ((r0 + rows) * LANES + cols).astype(jnp.float32) + k_offset
+        exploit = k_idx < n_exploit
+
+        def body(t, carry, exploit=exploit):
+            x, y, yaw, S = carry
+            e0 = eps0[t, r0 : r0 + R_BLK]
+            e1 = eps1[t, r0 : r0 + R_BLK]
+            u0 = u_ref[t, 0]
+            u1 = u_ref[t, 1]
+            v0 = jnp.where(exploit, u0 + e0, e0)
+            v1 = jnp.where(exploit, u1 + e1, e1)
+            v0 = jnp.clip(v0, umin0, umax0)
+            v1 = jnp.clip(v1, umin1, umax1)
+
+            x = x + v0 * jnp.cos(yaw) * dt
+            y = y + v0 * jnp.sin(yaw) * dt
+            yaw = yaw + v1 * dt
+
+            rx, ry, ryaw = window_refs(x, y)
+            c = (
+                sw0 * (x - rx) * (x - rx)
+                + sw1 * (y - ry) * (y - ry)
+                + sw2 * (yaw - ryaw) * (yaw - ryaw)
+            )
+            c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
+            if n_obs > 0:
+                c = c + obstacle_penalty(x, y)
+            if last_only:
+                S = c  # reference overwrite quirk (mppi_differential_drive.py:124)
+            else:
+                S = S + c
+            return x, y, yaw, S
+
+        x = jnp.full(shape, x0, dtype=jnp.float32)
+        y = jnp.full(shape, y0, dtype=jnp.float32)
+        yaw = jnp.full(shape, yaw0, dtype=jnp.float32)
+        S = jnp.zeros(shape, dtype=jnp.float32)
+        x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
+
+        rx, ry, ryaw = window_refs(x, y)
+        S = S + (
+            tw0 * (x - rx) * (x - rx)
+            + tw1 * (y - ry) * (y - ry)
+            + tw2 * (yaw - ryaw) * (yaw - ryaw)
+        )
+        if n_obs > 0:
+            S = S + obstacle_penalty(x, y)
+        S_ref[r0 : r0 + R_BLK, :] = S
+
+    # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180),
+    # streaming over the full (R, 128) block.
+    S = S_ref[:, :]
+    rho = jnp.min(S)
+    m = jnp.exp(-inv_temp * (S - rho))
+    eta = jnp.sum(m)
+    w = m / eta
+    w_ref[:, :] = w
+
+    # Weighted-noise reduction Σₖ wₖ εₖ over the *unclamped* ε (…:132-135);
+    # output rows (2, T): row 0 = Σ w ε₀(t), row 1 = Σ w ε₁(t).
+    wb = w[None, :, :]
+    weps_ref[0, :] = jnp.sum(jnp.sum(eps0[:, :, :] * wb, axis=2), axis=1)
+    weps_ref[1, :] = jnp.sum(jnp.sum(eps1[:, :, :] * wb, axis=2), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "T", "W", "last_only", "emit_eps", "interpret"),
+)
+def diffdrive_mppi_tick(
+    seed: jnp.ndarray,  # () int32 — ignored when eps is given
+    u: jnp.ndarray,  # (T, 2) nominal sequence
+    a: jnp.ndarray,  # (T, 2) γ·u_tᵀΣ⁻¹
+    chol_sigma: jnp.ndarray,  # (2, 2) lower-triangular Cholesky factor of Σ
+    x0: jnp.ndarray,  # (3,)
+    window: jnp.ndarray,  # (W, 3) waypoint window
+    stage_w: jnp.ndarray,  # (3,)
+    term_w: jnp.ndarray,  # (3,)
+    u_min: jnp.ndarray,  # (2,)
+    u_max: jnp.ndarray,  # (2,)
+    dt: float,
+    n_exploit: float,
+    inv_temperature: jnp.ndarray,
+    obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 3) or None
+    robot_radius: float = 0.5,
+    eps: Optional[jnp.ndarray] = None,  # (K, T, 2) injected ε (parity mode)
+    *,
+    K: int,
+    T: int,
+    W: int,
+    last_only: bool = False,
+    emit_eps: bool = False,
+    interpret: bool = False,
+):
+    """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
+    ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
+    """
+    assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
+    R = K // LANES
+    R_BLK = 8 if R % 8 == 0 else R  # register-resident rollout block rows
+    gen_noise = eps is None
+    emit = bool(emit_eps and gen_noise)
+
+    scal = jnp.concatenate(
+        [
+            jnp.asarray([dt], jnp.float32),
+            jnp.asarray([u_min[0], u_max[0], u_min[1], u_max[1]], jnp.float32),
+            jnp.asarray([n_exploit], jnp.float32),
+            stage_w.astype(jnp.float32),
+            term_w.astype(jnp.float32),
+            x0.astype(jnp.float32),
+            jnp.asarray(
+                [robot_radius if obstacles is not None else -1.0], jnp.float32
+            ),
+            jnp.asarray([0.0], jnp.float32),  # k_offset (single-device: 0)
+            jnp.reshape(jnp.asarray(inv_temperature, jnp.float32), (1,)),
+            jnp.reshape(chol_sigma.astype(jnp.float32), (4,))[
+                jnp.asarray([0, 2, 3])
+            ],  # l00, l10, l11
+            jnp.zeros((1,), jnp.float32),  # pad
+        ]
+    )
+    obs = (
+        obstacles.astype(jnp.float32)
+        if obstacles is not None
+        else jnp.zeros((1, 3), jnp.float32)
+    )
+    n_obs = obstacles.shape[0] if obstacles is not None else 0
+
+    kernel = functools.partial(
+        _tick_kernel,
+        T=T,
+        W=W,
+        R=R,
+        R_BLK=R_BLK,
+        n_obs=n_obs,
+        last_only=last_only,
+        gen_noise=gen_noise,
+        emit_eps=emit,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((R, LANES), jnp.float32),  # S
+        jax.ShapeDtypeStruct((R, LANES), jnp.float32),  # w
+        jax.ShapeDtypeStruct((2, T), jnp.float32),  # w_eps (rows)
+    ]
+    if emit:
+        out_shape += [
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.float32),
+        ]
+    out_specs = tuple(
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
+    ]
+    args = [
+        jnp.reshape(seed.astype(jnp.int32), (1,)),
+        scal,
+        u.astype(jnp.float32),
+        a.astype(jnp.float32),
+        window.astype(jnp.float32),
+        obs,
+    ]
+    scratch_shapes = []
+    if gen_noise:
+        scratch_shapes += [
+            pltpu.VMEM((T, R, LANES), jnp.float32),
+            pltpu.VMEM((T, R, LANES), jnp.float32),
+        ]
+    else:
+        # (K, T, 2) → two (T, R, 128) planes with k = r·128 + lane
+        eps_t = jnp.transpose(
+            eps.astype(jnp.float32).reshape(R, LANES, T, 2), (2, 3, 0, 1)
+        )
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args += [eps_t[:, 0], eps_t[:, 1]]
+
+    result = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*args)
+
+    S = result[0].reshape(K)
+    w = result[1].reshape(K)
+    w_eps = result[2].T  # (T, 2)
+    if emit:
+        eps_out = jnp.stack([result[3], result[4]], axis=1)  # (T, 2, R, L)
+        eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, 2)
+        return S, w, w_eps, eps_out
+    return S, w, w_eps
+
+
+__all__ = ["diffdrive_mppi_tick"]

@@ -28,7 +28,7 @@ LANES = 128
 
 
 def _diffdrive_kernel(
-    scal_ref,  # SMEM (16,) packed scalars
+    scal_ref,  # SMEM (17,) packed scalars (k_offset at index 16)
     u_ref,  # VMEM (T, 2) nominal controls
     a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
     win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)

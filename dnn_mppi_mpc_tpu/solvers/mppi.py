@@ -183,12 +183,21 @@ def mppi_step(
     noise: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     rollout_fn: Optional[Callable] = None,
+    tick_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, MPPIState, MPPIAux]:
     """One MPPI control tick: sample → rollout → weight → update → shift.
 
     ``rollout_fn(params, ctx, u, eps) -> S`` overrides the scan rollout with a
     fused kernel (the Pallas path); it must implement the same semantics
     (clamped v, stage+energy+terminal accumulation).
+
+    ``tick_fn(params, ctx, u, x0, seed, eps) -> (S, w, w_eps)`` overrides the
+    *entire* sample-space computation — noise generation, rollout, softmax and
+    weighted-noise reduction — with one fused kernel
+    (ops/pallas/mppi_tick.py). When ``noise`` is None the noise is generated
+    on-chip from a seed derived from the carried key; injected ``noise`` takes
+    the kernel's bit-identical ε-input path. Single-device only (the in-kernel
+    softmax is a global reduction; sharded execution uses ``rollout_fn``).
 
     ``dynamics_step`` is the *discrete* transition F(x, u) (Euler by default,
     matching mppi_differential_drive.py:182-198). ``noise`` injects a fixed ε
@@ -218,6 +227,23 @@ def mppi_step(
     ctx = CostContext(params=params, waypoint_start=wp_idx)
 
     key, sub = jax.random.split(state.key)
+    if tick_fn is not None:
+        if axis_name is not None:
+            raise ValueError(
+                "tick_fn (fully-fused tick kernel) is single-device only — "
+                "use rollout_fn for sample-sharded execution"
+            )
+        # int32 seed for the in-kernel PRNG, derived from the carried key
+        # (ignored by the kernel when ε is injected). Noise never touches
+        # HBM or the host in this mode.
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(sub, (), jnp.uint32), jnp.int32
+        )
+        S, w, w_eps = tick_fn(params, ctx, u, x0, seed, noise)
+        return _mppi_tail(
+            cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+        )
+
     if noise is None:
         if axis_name is not None:
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
@@ -290,14 +316,30 @@ def mppi_step(
         eta = jax.lax.psum(eta, axis_name)
     w = m / eta
 
-    # Weighted noise over the unclamped ε, then smoothing (…:132-141).
+    # Weighted noise over the unclamped ε (…:132-135).
     w_eps = jnp.einsum("k,ktu->tu", w, eps)
     if axis_name is not None:
         w_eps = jax.lax.psum(w_eps, axis_name)
+    return _mppi_tail(
+        cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+    )
+
+
+def _mppi_tail(
+    cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+):
+    """Shared tick tail: smoothing, update, shift, diagnostics, failure flags."""
+    T = cfg.horizon
+    # Smoothing filter on the weighted noise (…:136-141).
     w_eps = apply_filter(w_eps, cfg.filter, cfg.filter_window, cfg.savgol_polyorder)
     u_new = u + w_eps
 
     # Optimal trajectory of the updated (clamped-in-rollout) sequence (…:144-149).
+    # Provenance note: the reference's viz loop applies u[t-1] starting with
+    # u[-1] (mppi_differential_drive.py:144-149, an off-by-one in a
+    # diagnostic-only path); here u_new[0..T-1] is applied in order — the
+    # off-by-one is deliberately not replicated (same policy as the other
+    # documented quirks in the module docstring).
     if cfg.compute_optimal_traj:
         def opt_body(x, u_t):
             x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
@@ -372,8 +414,18 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
     nearest-waypoint quadratic cost + optional circle obstacles) — exactly the
     semantics of ops/pallas/rollout.py, which are bit-matched against the scan
     path in tests/test_pallas_rollout.py.
+
+    Raises ValueError for config the kernel does not implement (M-repeat
+    rollouts, in-rollout moving obstacles) rather than silently diverging from
+    the scan path's semantics.
     """
     from ..ops.pallas.rollout import diffdrive_rollout_costs
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the fused diff-drive kernel does not implement num_rollout_repeats>1 "
+            "(M-repeat variance cost) — use the scan path (rollout_fn=None)"
+        )
 
     def rollout(
         params: MPPIParams,
@@ -383,6 +435,11 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
         x0: jnp.ndarray,
         axis_name=None,
     ):
+        if params.obstacle_velocities is not None:
+            raise ValueError(
+                "the fused diff-drive kernel does not implement in-rollout "
+                "moving obstacles (obstacle_velocities) — use the scan path"
+            )
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
@@ -420,6 +477,70 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
     return rollout
 
 
+def make_pallas_diffdrive_tick(
+    cfg: MPPIConfig, robot_radius: float = 0.5, interpret: bool = False
+):
+    """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
+
+    One kernel per tick: on-chip ε ~ N(0, Σ), rollout + cost, softmax,
+    weighted-noise reduce — the ε tensor never exists in HBM. Only valid for
+    the single-device diff-drive tracking problem (same semantics as
+    make_pallas_diffdrive_rollout; parity-tested in tests/test_mppi_tick.py).
+    """
+    from ..ops.pallas.mppi_tick import diffdrive_mppi_tick
+    from ..ops.sampling import small_cholesky
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the fused tick kernel does not implement num_rollout_repeats>1 "
+            "(M-repeat variance cost) — use the scan path"
+        )
+
+    def tick(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        x0: jnp.ndarray,
+        seed: jnp.ndarray,
+        noise: Optional[jnp.ndarray],
+    ):
+        if params.obstacle_velocities is not None:
+            raise ValueError(
+                "the fused tick kernel does not implement in-rollout moving "
+                "obstacles (obstacle_velocities) — use the scan path"
+            )
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        return diffdrive_mppi_tick(
+            seed,
+            u,
+            a,
+            small_cholesky(params.sigma),
+            x0,
+            window[:, :3],
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            cfg.inv_temperature,
+            obstacles=params.obstacles,
+            robot_radius=robot_radius,
+            eps=noise,
+            K=cfg.num_samples,
+            T=cfg.horizon,
+            W=Wlen,
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+            interpret=interpret,
+        )
+
+    return tick
+
+
 def make_pallas_bicycle_rollout(
     cfg: MPPIConfig,
     wheel_base: float = 2.5,
@@ -433,8 +554,23 @@ def make_pallas_bicycle_rollout(
     Semantics: Euler kinematic bicycle + wrap-yaw 4-term tracking + polygon
     collision — ops/pallas/rollout_bicycle.py, parity-tested against the scan
     path in tests/test_pallas_bicycle.py.
+
+    Raises ValueError for config the kernel does not implement (LAST
+    accumulation, M-repeat rollouts, moving obstacles) rather than silently
+    diverging from the scan path's semantics.
     """
     from ..ops.pallas.rollout_bicycle import bicycle_rollout_costs
+
+    if cfg.accumulation == CostAccumulation.LAST:
+        raise ValueError(
+            "the fused bicycle kernel implements SUM accumulation only "
+            "(mppi_race_car_obstacle.py:94); accumulation=LAST needs the scan path"
+        )
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the fused bicycle kernel does not implement num_rollout_repeats>1 "
+            "— use the scan path (rollout_fn=None)"
+        )
 
     def rollout(
         params: MPPIParams,
@@ -444,6 +580,11 @@ def make_pallas_bicycle_rollout(
         x0: jnp.ndarray,
         axis_name=None,
     ):
+        if params.obstacle_velocities is not None:
+            raise ValueError(
+                "the fused bicycle kernel does not implement in-rollout "
+                "moving obstacles (obstacle_velocities) — use the scan path"
+            )
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
@@ -497,11 +638,15 @@ class MPPISolver:
         use_pallas: Optional[bool] = None,
         robot_radius: float = 0.5,
         rollout_fn: Optional[Callable] = None,
+        fused_tick: bool = False,
+        tick_fn: Optional[Callable] = None,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
-        if rollout_fn is None and use_pallas:
+        if tick_fn is None and fused_tick:
+            tick_fn = make_pallas_diffdrive_tick(cfg, robot_radius)
+        if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
         self._step = jax.jit(
             functools.partial(
@@ -511,6 +656,7 @@ class MPPISolver:
                 stage_cost,
                 terminal_cost,
                 rollout_fn=rollout_fn,
+                tick_fn=tick_fn,
             )
         )
         self._sampled = jax.jit(
@@ -540,6 +686,7 @@ __all__ = [
     "CostContext",
     "make_tracking_costs",
     "make_pallas_diffdrive_rollout",
+    "make_pallas_diffdrive_tick",
     "mppi_step",
     "sampled_trajectories",
     "MPPISolver",

@@ -64,6 +64,8 @@ class LQRData(NamedTuple):
     qx: jnp.ndarray  # (N+1, nx)
     Ruu: jnp.ndarray  # (N, nu, nu)
     ru: jnp.ndarray  # (N, nu)
+    S: Optional[jnp.ndarray] = None  # (N, nu, nx) cross term δuᵀSδx — the
+    # Gauss-Newton JuᵀWJx block of a general NONLINEAR_LS cost over (x, u)
 
 
 def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,12 +81,12 @@ def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
 
     def backward(carry, inp):
         P, p = carry
-        A, B, c, Qxx, qx, Ruu, ru = inp
+        A, B, c, Qxx, qx, Ruu, ru, S = inp
         PA = P @ A
         PB = P @ B
         Luu = Ruu + B.T @ PB
         Luu = 0.5 * (Luu + Luu.T) + reg * jnp.eye(Luu.shape[0], dtype=Luu.dtype)
-        Lux = B.T @ PA
+        Lux = S + B.T @ PA
         lu = ru + B.T @ (p + P @ c)
         K = -jnp.linalg.solve(Luu, Lux)
         k = -jnp.linalg.solve(Luu, lu)
@@ -95,6 +97,11 @@ def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
 
     P_T = data.Qxx[N]
     p_T = data.qx[N]
+    S = (
+        data.S
+        if data.S is not None
+        else jnp.zeros((N, data.B.shape[2], nx), dtype=data.A.dtype)
+    )
     stage_data = (
         data.A[::-1],
         data.B[::-1],
@@ -103,6 +110,7 @@ def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
         data.qx[:-1][::-1],
         data.Ruu[::-1],
         data.ru[::-1],
+        S[::-1],
     )
     _, (K_rev, k_rev) = jax.lax.scan(backward, (P_T, p_T), stage_data)
     K, k = K_rev[::-1], k_rev[::-1]
@@ -118,6 +126,158 @@ def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
     dx_T = data.A[-1] @ dX[-1] + data.B[-1] @ dU[-1] + data.c[-1]
     dX_full = jnp.concatenate([dX, dx_T[None]], axis=0)
     return dX_full, dU
+
+
+def riccati_solve_parallel(
+    data: LQRData, dx0: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel-in-time affine LQR: O(log N) depth via associative scans.
+
+    Mathematically identical to :func:`riccati_solve` (same minimizer, FP
+    reordering only), but the backward value-function recursion and the
+    forward rollout both become ``jax.lax.associative_scan``s — depth
+    ⌈log₂N⌉ instead of N. On a latency-bound NMPC tick (tiny 3×3/5×5 stage
+    matrices, the regime of docs/PERF.md "NMPC is latency-bound") this is the
+    difference between 2N sequential matrix ops and ~2·log₂N wider ones.
+
+    Construction (temporal-parallelization-of-LQR style, Särkkä &
+    García-Fernández): each stage k carries the conditional cost-to-go
+    between its boundary states,
+
+        F_k(x, z) = ½xᵀJx − ηᵀx + T(z; Ax + b, C),
+
+    where T is the minimum control cost of transporting Ax + b to z with
+    Gramian C = B R⁻¹ Bᵀ. Composition (min over the intermediate state) is
+    associative:
+
+        A₁₂ = A₂ D A₁,            D = (I + C₁J₂)⁻¹
+        b₁₂ = A₂ D (b₁ + C₁η₂) + b₂
+        C₁₂ = A₂ D C₁ A₂ᵀ + C₂
+        η₁₂ = A₁ᵀ Dᵀ (η₂ − J₂b₁) + η₁
+        J₁₂ = A₁ᵀ Dᵀ J₂ A₁ + J₁            (Dᵀ = (I + J₂C₁)⁻¹)
+
+    (I + C₁J₂ has eigenvalues ≥ 1 for PSD C, J — always invertible.)
+    A reverse associative scan yields every suffix value function
+    V_k(x) = ½xᵀJ_k x − η_kᵀx; gains are then extracted stage-parallel and
+    the forward rollout is a prefix scan over affine-map composition.
+    """
+    N, nx = data.A.shape[0], data.A.shape[1]
+    dtype = data.A.dtype
+    reg = 1e-9
+    I = jnp.eye(nx, dtype=dtype)
+
+    if data.S is not None:
+        # Cross terms δuᵀSδx are eliminated by the substitution
+        # ũ = u + R⁻¹Sx, which maps the problem onto the S-free form this
+        # routine solves:  Q̃ = Q − SᵀR⁻¹S,  q̃ = q − SᵀR⁻¹r,  Ã = A − BR⁻¹S.
+        Ruu_reg = data.Ruu + reg * jnp.eye(data.Ruu.shape[-1], dtype=dtype)
+        RinvS = jnp.linalg.solve(Ruu_reg, data.S)  # (N, nu, nx)
+        Rinvr = jnp.linalg.solve(Ruu_reg, data.ru[..., None])[..., 0]
+        Qt = data.Qxx[:-1] - jnp.einsum("iux,iuy->ixy", data.S, RinvS)
+        qt = data.qx[:-1] - jnp.einsum("iux,iu->ix", data.S, Rinvr)
+        At = data.A - jnp.einsum("ixu,iuy->ixy", data.B, RinvS)
+        reduced = LQRData(
+            A=At,
+            B=data.B,
+            c=data.c,
+            Qxx=jnp.concatenate([Qt, data.Qxx[-1:]], axis=0),
+            qx=jnp.concatenate([qt, data.qx[-1:]], axis=0),
+            Ruu=data.Ruu,
+            ru=data.ru,
+        )
+        dX, dUt = riccati_solve_parallel(reduced, dx0)
+        dU = dUt - jnp.einsum("iuy,iy->iu", RinvS, dX[:-1])
+        return dX, dU
+
+    # Stage elements k = 0..N-1: eliminate u around u* = −R⁻¹r.
+    Ruu = data.Ruu + reg * jnp.eye(data.Ruu.shape[-1], dtype=dtype)
+    Rinv_r = jnp.linalg.solve(Ruu, data.ru[..., None])[..., 0]  # (N, nu)
+    Rinv_Bt = jnp.linalg.solve(Ruu, jnp.swapaxes(data.B, -1, -2))  # (N, nu, nx)
+    A_e = data.A
+    b_e = data.c - jnp.einsum("ixu,iu->ix", data.B, Rinv_r)
+    C_e = jnp.einsum("ixu,iuy->ixy", data.B, Rinv_Bt)
+    J_e = data.Qxx[:-1]
+    eta_e = -data.qx[:-1]
+
+    # Terminal element: V_N only (A = 0 pins the dangling boundary state).
+    A_all = jnp.concatenate([A_e, jnp.zeros((1, nx, nx), dtype)], axis=0)
+    b_all = jnp.concatenate([b_e, jnp.zeros((1, nx), dtype)], axis=0)
+    C_all = jnp.concatenate([C_e, jnp.zeros((1, nx, nx), dtype)], axis=0)
+    J_all = jnp.concatenate([J_e, data.Qxx[-1:]], axis=0)
+    eta_all = jnp.concatenate([eta_e, -data.qx[-1:]], axis=0)
+
+    def combine(later, earlier):
+        # ``associative_scan(reverse=True)`` scans the flipped sequence, so
+        # the *first* argument is the later-time element — unpack accordingly
+        # (verified to machine precision against riccati_solve; with the
+        # arguments read in array order the result is wrong by O(1)).
+        A1, b1, C1, eta1, J1 = earlier
+        A2, b2, C2, eta2, J2 = later
+        M = I + jnp.einsum("...xy,...yz->...xz", C1, J2)
+        # D = M⁻¹ applied from the right of A2 / left-transposed for η, J
+        DA1 = jnp.linalg.solve(M, A1)
+        Db1 = jnp.linalg.solve(
+            M, (b1 + jnp.einsum("...xy,...y->...x", C1, eta2))[..., None]
+        )[..., 0]
+        DC1 = jnp.linalg.solve(M, C1)
+        A12 = jnp.einsum("...xy,...yz->...xz", A2, DA1)
+        b12 = jnp.einsum("...xy,...y->...x", A2, Db1) + b2
+        C12 = jnp.einsum(
+            "...xy,...zy->...xz", jnp.einsum("...xy,...yz->...xz", A2, DC1), A2
+        ) + C2
+        # (I + J₂C₁)⁻¹ = M⁻ᵀ since (I + J₂C₁) = Mᵀ for symmetric C₁, J₂.
+        Mt = jnp.swapaxes(M, -1, -2)
+        Dt_rhs = jnp.linalg.solve(
+            Mt,
+            jnp.concatenate(
+                [
+                    (eta2 - jnp.einsum("...xy,...y->...x", J2, b1))[..., None],
+                    jnp.einsum("...xy,...yz->...xz", J2, A1),
+                ],
+                axis=-1,
+            ),
+        )
+        eta12 = jnp.einsum("...yx,...y->...x", A1, Dt_rhs[..., 0]) + eta1
+        J12 = jnp.einsum("...yx,...yz->...xz", A1, Dt_rhs[..., 1:]) + J1
+        J12 = 0.5 * (J12 + jnp.swapaxes(J12, -1, -2))
+        return A12, b12, C12, eta12, J12
+
+    suffix = jax.lax.associative_scan(
+        combine, (A_all, b_all, C_all, eta_all, J_all), reverse=True, axis=0
+    )
+    S = suffix[4]  # (N+1, nx, nx): J of suffix k..N  → value Hessian at k
+    v = suffix[3]  # (N+1, nx): η of suffix
+
+    # Stage-parallel gain extraction against V_{k+1}(y) = ½yᵀS_{k+1}y − v_{k+1}ᵀy.
+    S1, v1 = S[1:], v[1:]
+    BtS = jnp.einsum("ixu,ixy->iuy", data.B, S1)
+    G = Ruu + jnp.einsum("iuy,iyv->iuv", BtS, data.B)
+    G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+    rhs_k = data.ru + jnp.einsum(
+        "iuy,iy->iu", BtS, data.c
+    ) - jnp.einsum("ixu,ix->iu", data.B, v1)
+    KK = -jnp.linalg.solve(G, jnp.einsum("iuy,iyz->iuz", BtS, data.A))
+    kk = -jnp.linalg.solve(G, rhs_k[..., None])[..., 0]
+
+    # Forward rollout as prefix composition of affine maps
+    # x_{k+1} = (A + BK)x + (Bk + c).
+    M_f = data.A + jnp.einsum("ixu,iuy->ixy", data.B, KK)
+    v_f = jnp.einsum("ixu,iu->ix", data.B, kk) + data.c
+
+    def affine_combine(f, g):
+        # composition g∘f (f earlier in time)
+        Mf, vf = f
+        Mg, vg = g
+        return (
+            jnp.einsum("...xy,...yz->...xz", Mg, Mf),
+            jnp.einsum("...xy,...y->...x", Mg, vf) + vg,
+        )
+
+    Mp, vp = jax.lax.associative_scan(affine_combine, (M_f, v_f), axis=0)
+    dX_tail = jnp.einsum("ixy,y->ix", Mp, dx0) + vp  # states 1..N
+    dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+    dU = jnp.einsum("iuy,iy->iu", KK, dX[:-1]) + kk
+    return dX, dU
 
 
 class BoxedQPData(NamedTuple):
@@ -141,6 +301,7 @@ class BoxedQPData(NamedTuple):
     ubu: jnp.ndarray  # (N, nu)
     Jh: Optional[jnp.ndarray]  # (N+1, n_h, nx) or None
     h0: Optional[jnp.ndarray]  # (N+1, n_h) margins at δ=0
+    S: Optional[jnp.ndarray] = None  # (N, nu, nx) LS cross blocks (JuᵀWJx)
 
 
 def barrier_qp_solve(
@@ -153,7 +314,9 @@ def barrier_qp_solve(
     stiffness: Optional[float] = None,
     h_stiffness: Optional[float] = None,
     h_slope: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    parallel: bool = False,
+    return_kkt: bool = False,
+):
     """Solve the inequality-constrained QP by barrier-Newton/Riccati.
 
     Each of ``num_iters`` iterations: evaluate relaxed-barrier derivatives at
@@ -161,6 +324,15 @@ def barrier_qp_solve(
     one exact Riccati Newton step. μ decreases geometrically (μ ← κμ), so the
     iterate tracks the central path toward the constrained optimum — the same
     short-step IP structure as HPIPM, minus the C code.
+
+    ``parallel`` switches the inner LQR solves to the O(log N)-depth
+    associative-scan Riccati (:func:`riccati_solve_parallel`).
+
+    ``return_kkt`` additionally returns the ∞-norm of the *last* (damped)
+    Newton step — a convergence certificate: the exact Newton step length at
+    the final barrier μ bounds the distance to that μ's central point, so a
+    large value flags that ``num_iters`` was not enough (e.g. many active
+    h-rows). Returns (δX, δU) or (δX, δU, kkt_step_norm).
     """
     N = qp.A.shape[0]
     nx = qp.A.shape[1]
@@ -195,6 +367,10 @@ def barrier_qp_solve(
         qx = qp.qx_base + jax.vmap(lambda Qi, d: Qi @ d)(qp.Q, dX) + qx_bar
         Ruu = qp.R + jax.vmap(jnp.diag)(Ruu_bar)
         ru = qp.ru_base + jax.vmap(lambda Ri, d: Ri @ d)(qp.R, dU) + ru_bar
+        if qp.S is not None:
+            # cross-term gradient contributions at the current iterate
+            qx = qx.at[:-1].add(jnp.einsum("iuy,iu->iy", qp.S, dU))
+            ru = ru + jnp.einsum("iuy,iy->iu", qp.S, dX[:-1])
 
         if qp.Jh is not None:
             wh = qp.h0 + jnp.einsum("ihx,ix->ih", qp.Jh, dX)
@@ -218,8 +394,11 @@ def barrier_qp_solve(
             + qp.c
             - dX[1:]
         )
-        data = LQRData(A=qp.A, B=qp.B, c=c_res, Qxx=Qxx, qx=qx, Ruu=Ruu, ru=ru)
-        ddX, ddU = riccati_solve(data, jnp.zeros((nx,), dtype=dtype))
+        data = LQRData(
+            A=qp.A, B=qp.B, c=c_res, Qxx=Qxx, qx=qx, Ruu=Ruu, ru=ru, S=qp.S
+        )
+        lqr = riccati_solve_parallel if parallel else riccati_solve
+        ddX, ddU = lqr(data, jnp.zeros((nx,), dtype=dtype))
 
         # Fraction-to-boundary damping (the HPIPM step rule): constraints
         # currently in the log region must not be driven below ~δ in one step,
@@ -238,12 +417,15 @@ def barrier_qp_solve(
             dwh = jnp.einsum("ihx,ix->ih", qp.Jh, ddX)
             alpha = jnp.minimum(alpha, ftb(wh, dwh))
         alpha = alpha.astype(dtype)
-        return (dX + alpha * ddX, dU + alpha * ddU), None
+        step_norm = jnp.maximum(
+            jnp.max(jnp.abs(alpha * ddX)), jnp.max(jnp.abs(alpha * ddU))
+        )
+        return (dX + alpha * ddX, dU + alpha * ddU), step_norm
 
     dX0 = jnp.zeros((N + 1, nx), dtype=dtype).at[0].set(dx0)
     dU0 = jnp.zeros((N, nu), dtype=dtype)
     mus = mu0 * (kappa ** jnp.arange(num_iters, dtype=dtype))
-    (dX, dU), _ = jax.lax.scan(one_iter, (dX0, dU0), mus)
+    (dX, dU), step_norms = jax.lax.scan(one_iter, (dX0, dU0), mus)
 
     # Condensing roll: fraction-to-boundary damping leaves a residual in the
     # *linear* dynamics; eliminate it exactly by propagating δx with the solved
@@ -254,8 +436,29 @@ def barrier_qp_solve(
         dx_next = A @ dx + B @ du + c
         return dx_next, dx_next
 
-    _, dX_tail = jax.lax.scan(roll, dx0, (qp.A, qp.B, qp.c, dU))
+    if parallel:
+        # prefix composition of the affine maps δx ↦ Aδx + (Bδu + c);
+        # associative_scan (forward) passes (earlier, later) — compose later∘earlier
+        drift = jnp.einsum("ixu,iu->ix", qp.B, dU) + qp.c
+        Mp, vp = jax.lax.associative_scan(
+            lambda f, g: (
+                jnp.einsum("...xy,...yz->...xz", g[0], f[0]),
+                jnp.einsum("...xy,...y->...x", g[0], f[1]) + g[1],
+            ),
+            (qp.A, drift),
+            axis=0,
+        )
+        dX_tail = jnp.einsum("ixy,y->ix", Mp, dx0) + vp
+    else:
+        def roll(dx, inp):
+            A, B, c, du = inp
+            dx_next = A @ dx + B @ du + c
+            return dx_next, dx_next
+
+        _, dX_tail = jax.lax.scan(roll, dx0, (qp.A, qp.B, qp.c, dU))
     dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+    if return_kkt:
+        return dX, dU, step_norms[-1]
     return dX, dU
 
 

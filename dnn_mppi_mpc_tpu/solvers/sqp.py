@@ -105,6 +105,10 @@ class NMPCAux(NamedTuple):
     status: jnp.ndarray  # int32: 0 ok, 2 non-finite detected (solve rejected,
     # warm start held — the solver-status handling of SURVEY §5.3, replacing
     # acados' status codes at husky_nmpc_controller.py:306-309)
+    kkt_residual: jnp.ndarray = jnp.zeros(())  # ∞-norm of the last damped
+    # Newton step of the final QP solve — a convergence certificate for the
+    # fixed qp_iters μ-schedule: large values mean the barrier solve did not
+    # reach its central point (raise cfg.qp_iters). Replaces acados' qp_stat.
 
 
 # h(x, p) -> (n_h,), feasible iff h ≥ 0 (lh already folded in).
@@ -150,12 +154,24 @@ def sqp_solve(
     state: NMPCState,
     x0: jnp.ndarray,
     y_x_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    y_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    y_e_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
     """One NMPC tick: ``sqp_iters`` × (linearize → barrier-Riccati QP → update).
 
     Returns (u0, warm-started state, aux). Mirrors solve_mpc
     (mpc_differential_drive_obstacle_static.py:280-331): set x0, set p/yref,
     warm start from previous trajectory, solve, read back X/U.
+
+    Cost forms (acados cost-module parity):
+    * default — LINEAR_LS with y = (x, u)
+      (mpc_differential_drive_obstacle_static.py:169-193);
+    * ``y_x_fn(x)`` — separable NONLINEAR_LS state residual;
+    * ``y_fn(x, u)`` — general NONLINEAR_LS over (x, u), acados'
+      ``cost_y_expr`` (…:186-190): full Gauss-Newton blocks including the
+      cross term S = JuᵀQJx threaded through the Riccati solve. The terminal
+      residual is ``y_e_fn(x)`` (defaults to ``y_fn(x, 0)``), acados'
+      ``cost_y_expr_e``.
     """
     nx, nu, N = cfg.dim_x, cfg.dim_u, cfg.N
     dtype = state.X.dtype
@@ -165,11 +181,50 @@ def sqp_solve(
         params,
     )
 
+    if y_fn is not None and y_e_fn is None:
+        y_e_fn = lambda x: y_fn(x, jnp.zeros((nu,), dtype=x.dtype))
+
     def one_sqp_iter(carry, _):
         X, U = carry
         A, B, c = _linearize(dyn_step, X, U)
+        S_cross = None
 
-        if y_x_fn is None:
+        if y_fn is not None:
+            # General NONLINEAR_LS over (x, u): GN blocks from the stacked
+            # Jacobian J = [Jx Ju] — Q = JxᵀWJx, R = JuᵀWJu, S = JuᵀWJx.
+            def y_and_jac(x, u):
+                z = jnp.concatenate([x, u])
+                J, y = jax.jacfwd(
+                    lambda zz: (y_fn(zz[:nx], zz[nx:]), y_fn(zz[:nx], zz[nx:])),
+                    has_aux=True,
+                )(z)
+                return J[..., :nx], J[..., nx:], y
+
+            Jx, Ju, Y = jax.vmap(y_and_jac)(X[:-1], U)  # (N, ny, ·)
+            ny = Y.shape[-1]
+            r_stage = Y - params.yref[:, :ny]
+            Je, Ye = jax.jacfwd(lambda x: (y_e_fn(x), y_e_fn(x)), has_aux=True)(X[-1])
+            r_term = Ye - params.yref_e
+            Qs = jnp.concatenate(
+                [
+                    jnp.einsum("iax,ab,iby->ixy", Jx, params.Q, Jx),
+                    jnp.einsum("ax,ab,by->xy", Je, params.Qe, Je)[None],
+                ],
+                axis=0,
+            )
+            qx_base = jnp.concatenate(
+                [
+                    jnp.einsum("iax,ab,ib->ix", Jx, params.Q, r_stage),
+                    jnp.einsum("ax,ab,b->x", Je, params.Qe, r_term)[None],
+                ],
+                axis=0,
+            )
+            # In this mode params.Q is the full W (ny × ny) over the residual
+            # (include u-rows in y for control cost, as acados' y_expr does).
+            Rs = jnp.einsum("iau,ab,ibv->iuv", Ju, params.Q, Ju)
+            ru_base = jnp.einsum("iau,ab,ib->iu", Ju, params.Q, r_stage)
+            S_cross = jnp.einsum("iau,ab,ibx->iux", Ju, params.Q, Jx)
+        elif y_x_fn is None:
             # LINEAR_LS Gauss-Newton blocks: Hessian = blkdiag(Q, R) exactly.
             Qs = jnp.concatenate(
                 [jnp.broadcast_to(params.Q, (N, nx, nx)), params.Qe[None]], axis=0
@@ -207,10 +262,11 @@ def sqp_solve(
                 ],
                 axis=0,
             )
-        Rs = jnp.broadcast_to(params.R, (N, nu, nu))
-        # control reference = trailing nu columns of yref (identical to the
-        # [:, nx:] slice in the LINEAR_LS case where y = (x, u))
-        ru_base = jnp.einsum("uv,iv->iu", params.R, U - params.yref[:, -nu:])
+        if y_fn is None:
+            Rs = jnp.broadcast_to(params.R, (N, nu, nu))
+            # control reference = trailing nu columns of yref (identical to the
+            # [:, nx:] slice in the LINEAR_LS case where y = (x, u))
+            ru_base = jnp.einsum("uv,iv->iu", params.R, U - params.yref[:, -nu:])
 
         if h_fn is not None and params.p is not None:
             h0 = jax.vmap(lambda x: h_fn(x, params.p))(X)  # (N+1, n_h)
@@ -232,8 +288,9 @@ def sqp_solve(
             ubu=params.ubu - U,
             Jh=Jh,
             h0=h0,
+            S=S_cross,
         )
-        dX, dU = barrier_qp_solve(
+        dX, dU, kkt = barrier_qp_solve(
             qp,
             dx0=x0 - X[0],
             num_iters=cfg.qp_iters,
@@ -244,6 +301,8 @@ def sqp_solve(
             # (test_diff_mpc_dyna_slack.py:158-182)
             h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
             h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
+            parallel=cfg.parallel_riccati,
+            return_kkt=True,
         )
 
         # Globalization: pick the step size minimizing an ℓ1 merit function
@@ -252,19 +311,27 @@ def sqp_solve(
         # RTI omits (full step α=1 is always a candidate, so warm-started RTI
         # behavior is preserved when it already decreases the merit).
         def merit(Xc, Uc):
-            if y_x_fn is None:
-                ex = Xc[:-1] - params.yref[:, :nx]
-                eT = Xc[-1] - params.yref_e
+            if y_fn is not None:
+                Yc = jax.vmap(y_fn)(Xc[:-1], Uc)
+                ex = Yc - params.yref[:, : Yc.shape[-1]]
+                eT = y_e_fn(Xc[-1]) - params.yref_e
+                cost = 0.5 * jnp.einsum("ia,ab,ib->", ex, params.Q, ex) + (
+                    0.5 * eT @ params.Qe @ eT
+                )
             else:
-                Yc = jax.vmap(y_x_fn)(Xc)
-                ex = Yc[:-1] - params.yref[:, : Yc.shape[-1]]
-                eT = Yc[-1] - params.yref_e
-            eu = Uc - params.yref[:, -nu:]
-            cost = (
-                0.5 * jnp.einsum("ix,xy,iy->", ex, params.Q, ex)
-                + 0.5 * jnp.einsum("iu,uv,iv->", eu, params.R, eu)
-                + 0.5 * eT @ params.Qe @ eT
-            )
+                if y_x_fn is None:
+                    ex = Xc[:-1] - params.yref[:, :nx]
+                    eT = Xc[-1] - params.yref_e
+                else:
+                    Yc = jax.vmap(y_x_fn)(Xc)
+                    ex = Yc[:-1] - params.yref[:, : Yc.shape[-1]]
+                    eT = Yc[-1] - params.yref_e
+                eu = Uc - params.yref[:, -nu:]
+                cost = (
+                    0.5 * jnp.einsum("ix,xy,iy->", ex, params.Q, ex)
+                    + 0.5 * jnp.einsum("iu,uv,iv->", eu, params.R, eu)
+                    + 0.5 * eT @ params.Qe @ eT
+                )
             Fc = jax.vmap(dyn_step)(Xc[:-1], Uc)
             defect = jnp.sum(jnp.abs(Fc - Xc[1:]))
             viol = (
@@ -283,9 +350,12 @@ def sqp_solve(
         alphas = jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
         merits = jax.vmap(lambda a: merit(X + a * dX, U + a * dU))(alphas)
         best = alphas[jnp.argmin(merits)]
-        return (X + best * dX, U + best * dU), None
+        return (X + best * dX, U + best * dU), kkt
 
-    (X, U), _ = jax.lax.scan(one_sqp_iter, (state.X, state.U), None, length=cfg.sqp_iters)
+    (X, U), kkts = jax.lax.scan(
+        one_sqp_iter, (state.X, state.U), None, length=cfg.sqp_iters
+    )
+    kkt_residual = kkts[-1]
 
     # Failure detection: reject non-finite solutions, keeping the warm start
     # (the reference ignores bad acados statuses and reuses the last solution,
@@ -304,7 +374,14 @@ def sqp_solve(
         h_margin = jnp.asarray(jnp.inf, dtype=dtype)
 
     new_state = NMPCState(X=X, U=U)
-    aux = NMPCAux(X=X, U=U, h_margin=h_margin, defect=defect, status=status)
+    aux = NMPCAux(
+        X=X,
+        U=U,
+        h_margin=h_margin,
+        defect=defect,
+        status=status,
+        kkt_residual=kkt_residual,
+    )
     return U[0], new_state, aux
 
 
@@ -324,15 +401,30 @@ class NMPCSolver:
         h_fn: Optional[HFn] = None,
         discrete: bool = False,
         y_x_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+        y_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+        y_e_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     ) -> None:
         self.cfg = cfg
         if discrete:
             step = dynamics
+        elif cfg.integrator == "irk":
+            from ..models.integrators import irk_step
+
+            step = lambda x, u: irk_step(
+                dynamics,
+                x,
+                u,
+                cfg.dt,
+                num_steps=cfg.num_rk4_steps,
+                newton_iters=cfg.irk_newton_iters,
+            )
         else:
             step = lambda x, u: erk_step(dynamics, x, u, cfg.dt, num_steps=cfg.num_rk4_steps)
         self.dyn_step = step
         self._h_fn = h_fn
-        self._core = functools.partial(sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn)
+        self._core = functools.partial(
+            sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn, y_fn=y_fn, y_e_fn=y_e_fn
+        )
         self._solve = jax.jit(self._core)
 
     def init(self, x0: jnp.ndarray) -> NMPCState:

@@ -104,3 +104,95 @@ def test_rollout_scan_matches_loop():
     for t in range(5):
         x = step(x, us[t])
         np.testing.assert_allclose(np.asarray(traj[t]), np.asarray(x), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# IRK (Gauss-Legendre collocation) — acados IRK parity
+# (controllers/mpc_differential_dynamics.py:198)
+# ---------------------------------------------------------------------------
+
+
+def test_irk_linear_high_order_accuracy():
+    """GL-4 collocation is order 8: one step on ẋ = Ax ≈ expm(A·dt)·x."""
+    import scipy.linalg
+    from dnn_mppi_mpc_tpu.models.integrators import irk_step
+
+    A = np.array([[0.0, 1.0], [-2.0, -0.4]])
+    f = lambda x, u: jnp.asarray(A) @ x
+    x0 = jnp.array([1.0, -0.5])
+    dt = 0.3
+    got = irk_step(f, x0, jnp.zeros(1), dt, num_steps=1, newton_iters=6)
+    want = scipy.linalg.expm(A * dt) @ np.asarray(x0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-10)
+
+
+def test_irk_a_stable_where_rk4_diverges():
+    """Stiff decay ẋ = −λ(x − u), λ·dt = 20: explicit RK4 blows up
+    (|R(−20)| ≫ 1), Gauss-Legendre IRK is A-stable and contracts."""
+    from dnn_mppi_mpc_tpu.models.integrators import irk_step, rk4_step
+
+    lam = 200.0
+    dt = 0.1
+    f = lambda x, u: -lam * (x - u[..., :1])
+    u = jnp.array([0.5])
+    x_e = x_i = jnp.array([5.0])
+    for _ in range(20):
+        x_e = rk4_step(f, x_e, u, dt)
+        x_i = irk_step(f, x_i, u, dt, num_steps=1, newton_iters=8)
+    assert not np.isfinite(float(x_e[0])) or abs(float(x_e[0])) > 1e6
+    np.testing.assert_allclose(float(x_i[0]), 0.5, atol=1e-3)
+
+
+def test_irk_nmpc_stiff_tracks_where_erk_diverges():
+    """NMPC on a stiff actuator model at the control dt: the ERK engine's
+    rollout is unstable (non-finite → status 2 / huge defect) while the IRK
+    engine tracks — the reason mpc_differential_dynamics.py:198 picks IRK."""
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.config import SQPConfig
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, OCPParams
+
+    # x = (position, velocity-like fast state); fast pole λ = 150
+    lam = 150.0
+    f = lambda x, u: jnp.stack([x[..., 1], -lam * (x[..., 1] - u[..., 0])], axis=-1)
+    N, dt = 10, 0.1
+    goal = jnp.array([1.0, 0.0])
+
+    def params_for(n):
+        return OCPParams(
+            Q=jnp.diag(jnp.array([5.0, 0.01])),
+            R=jnp.eye(1) * 0.01,
+            Qe=jnp.diag(jnp.array([5.0, 0.01])),
+            yref=jnp.tile(jnp.concatenate([goal, jnp.zeros(1)])[None], (n, 1)),
+            yref_e=goal,
+            lbx=jnp.full(2, -50.0),
+            ubx=jnp.full(2, 50.0),
+            lbu=jnp.full(1, -5.0),
+            ubu=jnp.full(1, 5.0),
+        )
+
+    base = SQPConfig(N=N, dim_x=2, dim_u=1, dt=dt, sqp_iters=2, num_rk4_steps=1)
+    params = params_for(N)
+
+    def run(cfg):
+        solver = NMPCSolver(cfg, f)
+        x = jnp.array([0.0, 0.0])
+        st = solver.init(x)
+        statuses = []
+        for _ in range(25):
+            u0, st, aux = solver.solve(params, st, x)
+            # exact plant via many tiny substeps (ground truth)
+            from dnn_mppi_mpc_tpu.models.integrators import erk_step
+
+            x = erk_step(f, x, u0, dt, num_steps=50)
+            statuses.append(int(aux.status))
+        return x, statuses
+
+    x_irk, st_irk = run(dataclasses.replace(base, integrator="irk"))
+    np.testing.assert_allclose(float(x_irk[0]), 1.0, atol=0.05)
+    assert all(s == 0 for s in st_irk)
+
+    x_erk, st_erk = run(base)
+    # the explicit engine must visibly fail: non-finite solves rejected
+    # (status flag 2) or grossly off-target
+    assert any(s == 2 for s in st_erk) or abs(float(x_erk[0]) - 1.0) > 0.5

@@ -1,0 +1,212 @@
+"""Parity tests for the fully-fused MPPI tick kernel (ops/pallas/mppi_tick.py).
+
+The ε-injection mode runs the kernel's exact compute path in the CPU
+interpreter and must reproduce the scan engine (solvers/mppi.py) bit-closely:
+costs S, softmax weights w, the weighted-noise sequence, and the full tick
+output (u0, shifted nominal sequence). The on-chip PRNG path is TPU-only and
+covered by tests in examples/bench (statistical + self-consistency); here we
+verify everything around it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.config import (
+    CostAccumulation,
+    MPPIConfig,
+    MPPIParams,
+    SmoothingFilter,
+    Temperature,
+)
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.models.integrators import euler_step
+from dnn_mppi_mpc_tpu.solvers.mppi import (
+    MPPIState,
+    make_pallas_diffdrive_tick,
+    make_tracking_costs,
+    mppi_step,
+)
+
+K, T, DT = 512, 12, 0.05
+
+
+def _setup(obstacles=False, exploration=0.2, last=False):
+    cfg = MPPIConfig(
+        num_samples=K,
+        horizon=T,
+        dim_x=3,
+        dim_u=2,
+        dt=DT,
+        lam=0.8,
+        alpha=0.3,
+        exploration=exploration,
+        temperature=Temperature.LAMBDA,
+        accumulation=CostAccumulation.LAST if last else CostAccumulation.SUM,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
+        filter_window=5,
+        waypoint_search_len=8,
+    )
+    n = 40
+    path = np.stack(
+        [
+            np.linspace(0.0, 4.0, n),
+            np.sin(np.linspace(0.0, 2.0, n)),
+            np.linspace(0.1, 0.5, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.05], [0.05, 0.1]], jnp.float32),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0, 2.0], jnp.float32),
+        u_min=jnp.array([-1.5, -2.0], jnp.float32),
+        u_max=jnp.array([1.5, 2.0], jnp.float32),
+        ref_path=jnp.asarray(path),
+        obstacles=(
+            jnp.array([[1.0, 0.4, 0.3], [2.5, 0.8, 0.4]], jnp.float32)
+            if obstacles
+            else None
+        ),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(
+        cfg, collision="circle" if obstacles else "none", robot_radius=0.5
+    )
+    return cfg, params, step_fn, stage, terminal
+
+
+def _noise(cfg, params, seed=3):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.multivariate_normal(
+            np.zeros(2), np.asarray(params.sigma), (cfg.num_samples, cfg.horizon)
+        ),
+        jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("obstacles", [False, True])
+@pytest.mark.parametrize("last", [False, True])
+def test_tick_kernel_matches_scan_engine(obstacles, last):
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=obstacles, last=last)
+    eps = _noise(cfg, params)
+    x0 = jnp.array([0.1, -0.05, 0.2], jnp.float32)
+    state = MPPIState.init(cfg)
+    # advance the nominal sequence so u ≠ 0 exercises the energy term
+    state = MPPIState(
+        u_prev=jnp.asarray(
+            np.random.default_rng(0).normal(0, 0.3, (T, 2)), jnp.float32
+        ),
+        waypoint_idx=state.waypoint_idx,
+        key=state.key,
+    )
+
+    tick = make_pallas_diffdrive_tick(cfg, robot_radius=0.5, interpret=True)
+    u0_t, st_t, aux_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )(params, state, x0, eps)
+    u0_r, st_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+
+    np.testing.assert_allclose(
+        np.asarray(aux_t.costs), np.asarray(aux_r.costs), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_t.weights), np.asarray(aux_r.weights), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(u0_t), np.asarray(u0_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_t.u_prev), np.asarray(st_r.u_prev), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_t.optimal_traj),
+        np.asarray(aux_r.optimal_traj),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_tick_kernel_exploration_split():
+    """Global exploration split: pure-noise samples must differ from exploit
+    samples exactly as in the scan engine."""
+    cfg, params, step_fn, stage, terminal = _setup(exploration=0.5)
+    eps = _noise(cfg, params, seed=11)
+    x0 = jnp.zeros(3, jnp.float32)
+    state = MPPIState.init(cfg)
+    state = dataclasses.replace(
+        state, u_prev=jnp.full((T, 2), 0.4, jnp.float32)
+    )
+
+    tick = make_pallas_diffdrive_tick(cfg, interpret=True)
+    _, _, aux_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )(params, state, x0, eps)
+    _, _, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+    np.testing.assert_allclose(
+        np.asarray(aux_t.costs), np.asarray(aux_r.costs), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tick_closed_loop_matches_scan():
+    """15-tick closed loop with injected noise per tick: trajectories match."""
+    cfg, params, step_fn, stage, terminal = _setup()
+    tick = make_pallas_diffdrive_tick(cfg, interpret=True)
+    step_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )
+    step_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )
+    x_t = x_r = jnp.array([0.0, 0.2, 0.0], jnp.float32)
+    st_t = st_r = MPPIState.init(cfg)
+    for i in range(15):
+        eps = _noise(cfg, params, seed=100 + i)
+        u_t, st_t, _ = step_t(params, st_t, x_t, eps)
+        u_r, st_r, _ = step_r(params, st_r, x_r, eps)
+        x_t = step_fn(x_t, u_t)
+        x_r = step_fn(x_r, u_r)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_r), rtol=1e-3, atol=1e-4)
+
+
+def test_tick_guards():
+    cfg, params, step_fn, stage, terminal = _setup()
+    with pytest.raises(ValueError, match="num_rollout_repeats"):
+        make_pallas_diffdrive_tick(
+            dataclasses.replace(cfg, num_rollout_repeats=3)
+        )
+    tick = make_pallas_diffdrive_tick(cfg, interpret=True)
+    bad = dataclasses.replace(
+        params,
+        obstacles=jnp.zeros((1, 3), jnp.float32),
+        obstacle_velocities=jnp.ones((1, 2), jnp.float32),
+    )
+    with pytest.raises(ValueError, match="obstacle_velocities"):
+        jax.eval_shape(
+            lambda p: mppi_step(
+                cfg,
+                step_fn,
+                stage,
+                terminal,
+                p,
+                MPPIState.init(cfg),
+                jnp.zeros(3),
+                _noise(cfg, params),
+                tick_fn=tick,
+            ),
+            bad,
+        )

@@ -12,6 +12,7 @@ from dnn_mppi_mpc_tpu.solvers.qp import (
     barrier_qp_solve,
     relaxed_barrier,
     riccati_solve,
+    riccati_solve_parallel,
 )
 
 
@@ -264,3 +265,64 @@ def test_barrier_qp_fuzz_vs_scipy(seed):
     dX, dU = barrier_qp_solve(qp, jnp.asarray(dx0), num_iters=30, mu0=1e-1, kappa=0.4)
     np.testing.assert_allclose(np.asarray(dU), want_U, atol=1e-2)
     np.testing.assert_allclose(np.asarray(dX), want_X, atol=1e-2)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_parallel_riccati_matches_sequential(seed):
+    """Associative-scan LQR (O(log N) depth) vs the sequential Riccati sweep:
+    identical minimizer on random horizons/dimensions (incl. N=1)."""
+    rng = np.random.default_rng(400 + seed)
+    N = int(rng.integers(1, 60))
+    nx = int(rng.integers(2, 6))
+    nu = int(rng.integers(1, 4))
+    A = rng.normal(0, 0.5, (N, nx, nx)) + np.eye(nx) * 0.5
+    B = rng.normal(0, 0.5, (N, nx, nu))
+    c = rng.normal(0, 0.1, (N, nx))
+    Qh = rng.normal(0, 1, (N + 1, nx, nx))
+    Q = np.einsum("iax,iay->ixy", Qh, Qh) + np.eye(nx)[None] * 0.1
+    qx = rng.normal(0, 1, (N + 1, nx))
+    Rh = rng.normal(0, 1, (N, nu, nu))
+    R = np.einsum("iau,iav->iuv", Rh, Rh) + np.eye(nu)[None] * 0.5
+    ru = rng.normal(0, 1, (N, nu))
+    dx0 = rng.normal(0, 1, (nx,))
+    data = LQRData(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qxx=jnp.asarray(Q), qx=jnp.asarray(qx),
+        Ruu=jnp.asarray(R), ru=jnp.asarray(ru),
+    )
+    X1, U1 = riccati_solve(data, jnp.asarray(dx0))
+    X2, U2 = riccati_solve_parallel(data, jnp.asarray(dx0))
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), rtol=1e-8, atol=1e-9)
+
+
+def test_barrier_qp_parallel_and_kkt():
+    """parallel=True reproduces the sequential barrier solve; the KKT step
+    norm certificate shrinks as qp_iters grows (convergence visible)."""
+    rng = np.random.default_rng(77)
+    N, nx, nu = 8, 3, 2
+    A = np.stack([np.eye(nx) + 0.1 * rng.normal(size=(nx, nx)) for _ in range(N)])
+    B = 0.3 * rng.normal(size=(N, nx, nu))
+    c = 0.05 * rng.normal(size=(N, nx))
+    Q = np.tile(np.eye(nx), (N + 1, 1, 1))
+    qx = rng.normal(size=(N + 1, nx))
+    R = np.tile(np.eye(nu) * 0.1, (N, 1, 1))
+    ru = np.zeros((N, nu))
+    qp = BoxedQPData(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Q=jnp.asarray(Q), qx_base=jnp.asarray(qx),
+        R=jnp.asarray(R), ru_base=jnp.asarray(ru),
+        lbx=jnp.full((N + 1, nx), 5.0), ubx=jnp.full((N + 1, nx), 5.0),
+        lbu=jnp.full((N, nu), 0.8), ubu=jnp.full((N, nu), 0.8),
+        Jh=None, h0=None,
+    )
+    dx0 = jnp.zeros(nx)
+    dX_s, dU_s = barrier_qp_solve(qp, dx0, num_iters=20)
+    dX_p, dU_p, kkt20 = barrier_qp_solve(
+        qp, dx0, num_iters=20, parallel=True, return_kkt=True
+    )
+    np.testing.assert_allclose(np.asarray(dU_p), np.asarray(dU_s), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dX_p), np.asarray(dX_s), rtol=1e-6, atol=1e-8)
+    *_, kkt4 = barrier_qp_solve(qp, dx0, num_iters=4, parallel=True, return_kkt=True)
+    assert float(kkt20) < float(kkt4)
+    assert float(kkt20) < 1e-3

@@ -112,9 +112,25 @@ def test_sharded_scaling_efficiency_on_virtual_mesh():
     cfg8 = dataclasses.replace(cfg, num_samples=K1 * 8)
     t1 = run(cfg1)
     t8 = run(cfg8, make_mesh(("k",)))
-    # weak scaling: 8x the work on 8 virtual devices should cost < 4x the time
-    # even on CPU (virtual devices share cores, so allow generous slack)
-    assert t8 < t1 * 8, (t1, t8)
+    # Weak scaling: 8x the work sharded over 8 virtual devices must come in
+    # under 7x serial cost even with CPU core contention — a serialized /
+    # non-overlapping collective layout lands at >=8x. (Wall-clock on shared
+    # cores is too noisy for a tighter bound; the structural guard below is
+    # the real check.)
+    assert t8 < t1 * 7, (t1, t8)
+
+    # Structural guard (load-independent): the sharded tick must compile to a
+    # handful of scalar/(T,nu) cross-device reductions — ρ (pmin), η (psum),
+    # w·ε (psum) — not per-sample communication. A layout regression that
+    # gathers the K dimension would add large all-gathers/all-reduces.
+    stage, terminal = make_tracking_costs(cfg8)
+    step = make_sharded_mppi_step(cfg8, step_fn, stage, terminal, make_mesh(("k",)))
+    hlo = jax.jit(step).lower(
+        params, MPPIState.init(cfg8), jnp.zeros(3), None
+    ).compile().as_text()
+    n_ar = hlo.count("all-reduce")
+    assert 0 < n_ar <= 8, f"unexpected collective structure: {n_ar} all-reduces"
+    assert "all-to-all" not in hlo
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")

@@ -116,3 +116,95 @@ def test_converged_sqp_matches_scipy_on_nonlinear_ocp():
     assert c_ours < c_ref * 1.02 + 1e-4, (c_ours, c_ref)
     # and the actual control sequences should be close pointwise
     np.testing.assert_allclose(np.asarray(aux.U), U_ref, atol=0.08)
+
+
+@pytest.mark.slow
+def test_general_nonlinear_ls_mixed_xu_matches_scipy():
+    """General NONLINEAR_LS over (x, u) — acados' cost_y_expr
+    (mpc_differential_drive_obstacle_static.py:186-190) with a *genuinely
+    mixed* residual: y couples u with x, so the Gauss-Newton cross blocks
+    S = JuᵀWJx are nonzero and flow through the Riccati solve."""
+    x0 = np.array([0.0, 0.0, 0.0])
+    goal = np.array([0.8, 0.5, 0.0])
+    w = np.array([10.0, 10.0, 1.0, 1.0, 0.5])
+    W = np.diag(w)
+    Qe = np.diag([20.0, 20.0, 2.0])
+    lbu, ubu = np.array([-1.0, -1.0]), np.array([1.0, 1.0])
+
+    def y_np(x, u):
+        return np.array(
+            [
+                x[0],
+                x[1],
+                x[2],
+                u[0] * (1.0 + 0.3 * x[2]),
+                u[1] + 0.2 * x[0] * u[0],
+            ]
+        )
+
+    yref = np.concatenate([goal, np.zeros(2)])
+
+    # scipy ground truth on the dense NLP
+    nz = N * (NX + NU)
+
+    def unpack(z):
+        X = np.concatenate([x0[None], z[: N * NX].reshape(N, NX)])
+        U = z[N * NX :].reshape(N, NU)
+        return X, U
+
+    def fun(z):
+        X, U = unpack(z)
+        f = 0.0
+        for i in range(N):
+            e = y_np(X[i], U[i]) - yref
+            f += 0.5 * e @ W @ e
+        eT = X[N] - goal
+        f += 0.5 * eT @ Qe @ eT
+        return f
+
+    def dyn_con(z):
+        X, U = unpack(z)
+        return np.concatenate([_step_np(X[i], U[i]) - X[i + 1] for i in range(N)])
+
+    lo = np.concatenate([np.full(N * NX, -np.inf), np.tile(lbu, N)])
+    hi = np.concatenate([np.full(N * NX, np.inf), np.tile(ubu, N)])
+    res = scipy.optimize.minimize(
+        fun,
+        np.zeros(nz),
+        method="SLSQP",
+        bounds=list(zip(lo, hi)),
+        constraints=[{"type": "eq", "fun": dyn_con}],
+        options={"maxiter": 800, "ftol": 1e-12},
+    )
+    assert res.success, res.message
+    X_ref, U_ref = unpack(res.x)
+
+    def y_jax(x, u):
+        return jnp.stack(
+            [
+                x[0],
+                x[1],
+                x[2],
+                u[0] * (1.0 + 0.3 * x[2]),
+                u[1] + 0.2 * x[0] * u[0],
+            ]
+        )
+
+    cfg = SQPConfig(N=N, dim_x=NX, dim_u=NU, dt=DT, sqp_iters=40, qp_iters=20)
+    solver = NMPCSolver(cfg, unicycle, y_fn=y_jax, y_e_fn=lambda x: x)
+    params = OCPParams(
+        Q=jnp.asarray(W),  # full W over the 5-dim residual in y_fn mode
+        R=jnp.eye(NU),  # unused by the y_fn cost path
+        Qe=jnp.asarray(Qe),
+        yref=jnp.tile(jnp.asarray(yref)[None], (N, 1)),
+        yref_e=jnp.asarray(goal),
+        lbx=jnp.full(NX, -50.0),
+        ubx=jnp.full(NX, 50.0),
+        lbu=jnp.asarray(lbu),
+        ubu=jnp.asarray(ubu),
+    )
+    st = solver.init(jnp.asarray(x0))
+    u0, st, aux = solver.solve(params, st, jnp.asarray(x0))
+    np.testing.assert_allclose(np.asarray(aux.U), U_ref, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(aux.X), X_ref, atol=2e-2)
+    assert float(aux.defect) < 1e-4
