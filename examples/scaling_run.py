@@ -1,0 +1,155 @@
+"""One-command scaling harness: solves/s at 1 device → all local devices → hosts.
+
+Measures the sample-sharded MPPI (parallel/sharding.py) at increasing mesh
+sizes and emits one efficiency JSON line per scale plus a summary — the
+push-button measurement for the BASELINE scaling gate (≥80 % efficiency
+1 chip → 1 host → N hosts) once a pod slice exists.
+
+Weak-scaling protocol (the north-star metric is solves/s/chip at fixed
+K/device): each scale runs K = k_per_device × n_devices so per-chip work is
+constant; efficiency(n) = throughput(n) / (n × throughput(1)). The only
+cross-device traffic per tick is the three softmax/weighted-noise reductions
+(SURVEY §2.10), so efficiency should track ICI latency, not bandwidth.
+
+Timing uses chained on-device ticks with the slope estimator from
+``bench.py`` (two chain lengths; fixed dispatch/fetch costs cancel — see
+docs/PERF.md "Measuring through the remote-attach tunnel").
+
+Local (virtual CPU mesh, CI path):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/scaling_run.py --k-per-device 256 --horizon 20
+
+Real hardware, single host: ``python examples/scaling_run.py``.
+
+Multi-host pod slice (run the same command on every worker; jax.distributed
+auto-configures on Cloud TPU):
+
+    python examples/scaling_run.py --coordinator <host0>:8476 \
+        --num-processes <P> --process-id <i>
+
+Process 0 prints the results; scales are powers of two up to the global
+device count, so a v5e-64 run reports 1, 2, 4, … 64 chips in one invocation.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The session image's sitecustomize initializes the TPU plugin before env
+    # vars are read (see tests/conftest.py) — flip the config explicitly so
+    # the virtual --xla_force_host_platform_device_count mesh is honored.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+    except Exception:
+        pass
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from __graft_entry__ import _flagship
+from dnn_mppi_mpc_tpu.parallel.distributed import initialize_distributed
+from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_mppi_step
+from dnn_mppi_mpc_tpu.solvers.mppi import MPPIState
+
+
+def measure(step, params, state0, x0, n1, n2, reps):
+    """Slope-estimated per-tick seconds for a jitted sharded step."""
+
+    def chain_fn(n):
+        def body(carry, _):
+            state, x = carry
+            u0, state, aux = step(params, state, x)
+            # state-dependent chaining so ticks cannot be overlapped
+            x = x.at[0].add(u0[0] * 1e-6)
+            return (state, x), aux.costs.min()
+        def run(state, x):
+            (_, _), ys = jax.lax.scan(body, (state, x), None, length=n)
+            return ys
+        return jax.jit(run)
+
+    c1, c2 = chain_fn(n1), chain_fn(n2)
+    float(jnp.sum(c1(state0, x0)))  # compile + warm
+    float(jnp.sum(c2(state0, x0)))
+
+    def wall(c):
+        t0 = time.perf_counter()
+        out = c(state0, x0)
+        float(jnp.sum(out))
+        return time.perf_counter() - t0
+
+    w1 = min(wall(c1) for _ in range(reps))
+    w2 = min(wall(c2) for _ in range(reps))
+    return (w2 - w1) / (n2 - n1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k-per-device", type=int, default=1280)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--chain", type=int, nargs=2, default=None,
+                    metavar=("N1", "N2"), help="chain lengths for the slope")
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--coordinator", type=str, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    args = ap.parse_args()
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    devices = jax.devices()
+    on_tpu = devices[0].platform != "cpu"
+    n1, n2 = args.chain or ((20, 100) if on_tpu else (3, 9))
+    reps = args.reps or (10 if on_tpu else 3)
+
+    # powers of two up to the global device count: 1, 2, 4, ...
+    scales = []
+    n = 1
+    while n <= len(devices):
+        scales.append(n)
+        n *= 2
+    if scales[-1] != len(devices):
+        scales.append(len(devices))
+
+    results = []
+    for n_dev in scales:
+        K = args.k_per_device * n_dev
+        cfg, params, step_fn, stage, terminal = _flagship(K, args.horizon)
+        mesh = Mesh(np.asarray(devices[:n_dev]), ("k",))
+        step = make_sharded_mppi_step(cfg, step_fn, stage, terminal, mesh)
+        state0 = MPPIState.init(cfg)
+        x0 = jnp.zeros(3, jnp.float32)
+        tau = measure(step, params, state0, x0, n1, n2, reps)
+        results.append({"devices": n_dev, "K": K, "per_solve_ms": round(tau * 1e3, 4),
+                        "solves_per_s": round(1 / tau, 1)})
+        if jax.process_index() == 0:
+            print(json.dumps(results[-1]), flush=True)
+
+    if jax.process_index() == 0:
+        base = results[0]["per_solve_ms"]
+        summary = {
+            "metric": "mppi_weak_scaling_efficiency",
+            "k_per_device": args.k_per_device,
+            "horizon": args.horizon,
+            "device": str(devices[0]),
+            "n_hosts": jax.process_count(),
+            "scales": results,
+            # weak scaling: constant work/device → efficiency = t(1)/t(n)
+            "efficiency": {str(r["devices"]): round(base / r["per_solve_ms"], 3)
+                           for r in results},
+        }
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
