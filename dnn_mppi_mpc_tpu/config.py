@@ -177,6 +177,10 @@ class SQPConfig:
     parallel_riccati: bool = True  # associative-scan (O(log N)-depth) Riccati
     # sweeps instead of sequential lax.scan — identical solution (FP reorder
     # only); the sequential path remains for reference/debugging
+    qp_backend: str = "xla"  # 'xla' (lax.scan Riccati) or 'pallas' (the fused
+    # single-launch barrier-Riccati kernel, ops/pallas/riccati_qp.py — the
+    # low-latency path for single-tick NMPC; f32, falls back to interpret
+    # mode on CPU)
 
 
 __all__ = [

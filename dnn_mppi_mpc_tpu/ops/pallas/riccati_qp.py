@@ -1,0 +1,505 @@
+"""Fused barrier-Riccati QP kernel — the whole NMPC QP solve in one launch.
+
+The stage-structured barrier QP of solvers/qp.py::barrier_qp_solve is
+latency-bound, not FLOP-bound (docs/PERF.md): qp_iters × (backward + forward)
+Riccati sweeps over N stages of 3×3/5×5 matrices are ~10³ *sequential* tiny
+XLA ops, each paying per-op dispatch — 3.6 ms for N=30 where the arithmetic
+is microseconds. HPIPM wins on CPU precisely by keeping the whole solve in
+one hot loop; this kernel is the TPU equivalent: every Newton iteration —
+relaxed-barrier derivative folds, the backward Riccati recursion, the forward
+rollout, fraction-to-boundary damping, the iterate update — runs on the
+scalar core against SMEM-resident problem data, with zero kernel-launch or
+op boundaries inside the solve.
+
+Semantics are bit-for-bit those of ``barrier_qp_solve`` (same μ-schedule,
+same regularization, same damping rule, same final condensing roll);
+parity-tested against it in tests/test_riccati_qp.py, including the
+h-constraint and cross-term (S) paths. Replaces acados'
+FULL_CONDENSING_HPIPM step (mpc_differential_drive_obstacle_static.py:237)
+at the kernel level.
+
+All matrices are small and static (nx, nu, n_h ≤ ~8): loops over matrix
+dimensions are Python-unrolled into straight-line scalar code; loops over
+stages and Newton iterations are ``fori_loop``s with dynamic SMEM indexing.
+Stage-stacked inputs are flattened to 2-D (stage, row·col) SMEM tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 3.0e38
+
+
+def _qp_kernel(
+    mus_ref,  # SMEM (num_iters,) barrier μ schedule
+    misc_ref,  # SMEM (5,) δ, κ_bound, κ_h, h_slope, reg
+    A_ref,  # SMEM (N, nx·nx)
+    B_ref,  # SMEM (N, nx·nu)
+    c_ref,  # SMEM (N, nx)
+    Q_ref,  # SMEM (N+1, nx·nx)
+    qxb_ref,  # SMEM (N+1, nx)
+    R_ref,  # SMEM (N, nu·nu)
+    rub_ref,  # SMEM (N, nu)
+    lbx_ref,  # SMEM (N+1, nx) margins at δ=0
+    ubx_ref,  # SMEM (N+1, nx)
+    lbu_ref,  # SMEM (N, nu)
+    ubu_ref,  # SMEM (N, nu)
+    Jh_ref,  # SMEM (N+1, n_h·nx) (dummy (1,1) when n_h=0)
+    h0_ref,  # SMEM (N+1, n_h)
+    S_ref,  # SMEM (N, nu·nx) (dummy when has_S=False)
+    dx0_ref,  # SMEM (nx,)
+    dX_ref,  # out SMEM (N+1, nx)
+    dU_ref,  # out SMEM (N, nu)
+    kkt_ref,  # out SMEM (1,)
+    K_s,  # scratch SMEM (N, nu·nx) feedback gains
+    k_s,  # scratch SMEM (N, nu)
+    ddX_s,  # scratch SMEM (N+1, nx) Newton step
+    ddU_s,  # scratch SMEM (N, nu)
+    cres_s,  # scratch SMEM (N, nx) dynamics residual at the iterate
+    *,
+    N: int,
+    nx: int,
+    nu: int,
+    n_h: int,
+    num_iters: int,
+    has_S: bool,
+):
+    f32 = jnp.float32
+    delta = misc_ref[0]
+    stiff = misc_ref[1]
+    h_stiff = misc_ref[2]
+    h_slope = misc_ref[3]
+    reg = misc_ref[4]
+
+    def rb(w, mu, kappa):
+        """(ψ', ψ'') of the relaxed log barrier (solvers/qp.py::relaxed_barrier)."""
+        use_log = w > delta
+        w_safe = jnp.maximum(w, delta)
+        g = jnp.where(use_log, -mu / w_safe, -mu / delta - kappa * (delta - w))
+        h = jnp.where(use_log, mu / (w_safe * w_safe), kappa)
+        return g, h
+
+    def lu_solve(M, rhs_cols):
+        """Solve M X = rhs for unrolled M (nu×nu nested lists) via
+        partial-pivot LU; rhs is a list of columns (each a list of nu
+        scalars). Returns list of columns. Pivoted LU rather than Cholesky:
+        f32 cancellation under barrier stiffness can leave Luu indefinite,
+        where Cholesky pivot clamping explodes the gain but LU returns the
+        same bounded step as jnp.linalg.solve (see
+        ops/sampling.py::small_lu_solve)."""
+        m = len(rhs_cols)
+        w = nu + m
+        rows = [
+            [M[i][j] for j in range(nu)] + [col[i] for col in rhs_cols]
+            for i in range(nu)
+        ]
+        for i in range(nu):
+            # bubble the max-|column i| row into position i
+            for j in range(i + 1, nu):
+                swap = jnp.abs(rows[j][i]) > jnp.abs(rows[i][i])
+                for t in range(w):
+                    hi = jnp.where(swap, rows[j][t], rows[i][t])
+                    lo = jnp.where(swap, rows[i][t], rows[j][t])
+                    rows[i][t], rows[j][t] = hi, lo
+            inv_p = f32(1.0) / rows[i][i]
+            for j in range(i + 1, nu):
+                f = rows[j][i] * inv_p
+                for t in range(i, w):
+                    rows[j][t] = rows[j][t] - f * rows[i][t]
+        out = []
+        for ci in range(m):
+            x = [None] * nu
+            for i in reversed(range(nu)):
+                s = rows[i][nu + ci]
+                for t in range(i + 1, nu):
+                    s = s - rows[i][t] * x[t]
+                x[i] = s / rows[i][i]
+            out.append(x)
+        return out
+
+    def load_mat(ref, i, rows, cols):
+        return [[ref[i, r * cols + c] for c in range(cols)] for r in range(rows)]
+
+    def fold_x(i, mu):
+        """Folded state Hessian/gradient at stage i for the current iterate:
+        Q + barrier diag + Jhᵀ·h''·Jh ;  qx_base + Q·δx + barrier + Jhᵀ·h'."""
+        dXi = [dX_ref[i, d] for d in range(nx)]
+        Qxx = load_mat(Q_ref, i, nx, nx)
+        qx = [
+            qxb_ref[i, d] + sum(Qxx[d][e] * dXi[e] for e in range(nx))
+            for d in range(nx)
+        ]
+        for d in range(nx):
+            wl = lbx_ref[i, d] + dXi[d]
+            wu = ubx_ref[i, d] - dXi[d]
+            gl, hl = rb(wl, mu, stiff)
+            gu, hu = rb(wu, mu, stiff)
+            qx[d] = qx[d] + gl - gu
+            Qxx[d][d] = Qxx[d][d] + hl + hu
+        for r in range(n_h):
+            Jr = [Jh_ref[i, r * nx + d] for d in range(nx)]
+            wh = h0_ref[i, r] + sum(Jr[d] * dXi[d] for d in range(nx))
+            gh, hh = rb(wh, mu, h_stiff)
+            gh = gh - h_slope * jnp.where(wh < 0, f32(1.0), f32(0.0))
+            for d in range(nx):
+                qx[d] = qx[d] + Jr[d] * gh
+                for e in range(nx):
+                    Qxx[d][e] = Qxx[d][e] + Jr[d] * hh * Jr[e]
+        return Qxx, qx, dXi
+
+    def newton_iter(it, _):
+        mu = mus_ref[it]
+
+        # ---- terminal value function --------------------------------------
+        QxxN, qxN, _ = fold_x(N, mu)
+        P = QxxN
+        p = qxN
+
+        # ---- backward sweep ------------------------------------------------
+        def backward(j, carry):
+            i = N - 1 - j
+            Pf = [[carry[r * nx + c] for c in range(nx)] for r in range(nx)]
+            pf = [carry[nx * nx + r] for r in range(nx)]
+
+            Qxx, qx, dXi = fold_x(i, mu)
+            dUi = [dU_ref[i, a] for a in range(nu)]
+            Ruu = load_mat(R_ref, i, nu, nu)
+            ru = [
+                rub_ref[i, a] + sum(Ruu[a][b] * dUi[b] for b in range(nu))
+                for a in range(nu)
+            ]
+            for a in range(nu):
+                wl = lbu_ref[i, a] + dUi[a]
+                wu = ubu_ref[i, a] - dUi[a]
+                gl, hl = rb(wl, mu, stiff)
+                gu, hu = rb(wu, mu, stiff)
+                ru[a] = ru[a] + gl - gu
+                Ruu[a][a] = Ruu[a][a] + hl + hu
+            if has_S:
+                Sm = load_mat(S_ref, i, nu, nx)
+                for d in range(nx):
+                    qx[d] = qx[d] + sum(Sm[a][d] * dUi[a] for a in range(nu))
+                for a in range(nu):
+                    ru[a] = ru[a] + sum(Sm[a][d] * dXi[d] for d in range(nx))
+            else:
+                Sm = [[f32(0.0)] * nx for _ in range(nu)]
+
+            Am = load_mat(A_ref, i, nx, nx)
+            Bm = load_mat(B_ref, i, nx, nu)
+            cres = [
+                sum(Am[d][e] * dXi[e] for e in range(nx))
+                + sum(Bm[d][a] * dUi[a] for a in range(nu))
+                + c_ref[i, d]
+                - dX_ref[i + 1, d]
+                for d in range(nx)
+            ]
+            for d in range(nx):
+                cres_s[i, d] = cres[d]
+
+            PA = [
+                [sum(Pf[r][e] * Am[e][c] for e in range(nx)) for c in range(nx)]
+                for r in range(nx)
+            ]
+            PB = [
+                [sum(Pf[r][e] * Bm[e][a] for e in range(nx)) for a in range(nu)]
+                for r in range(nx)
+            ]
+            Pc = [sum(Pf[r][e] * cres[e] for e in range(nx)) for r in range(nx)]
+
+            Luu_raw = [
+                [
+                    Ruu[a][b] + sum(Bm[r][a] * PB[r][b] for r in range(nx))
+                    for b in range(nu)
+                ]
+                for a in range(nu)
+            ]
+            Luu = [
+                [
+                    0.5 * (Luu_raw[a][b] + Luu_raw[b][a])
+                    + (reg if a == b else f32(0.0))
+                    for b in range(nu)
+                ]
+                for a in range(nu)
+            ]
+            Lux = [
+                [
+                    Sm[a][c] + sum(Bm[r][a] * PA[r][c] for r in range(nx))
+                    for c in range(nx)
+                ]
+                for a in range(nu)
+            ]
+            lu = [
+                ru[a] + sum(Bm[r][a] * (pf[r] + Pc[r]) for r in range(nx))
+                for a in range(nu)
+            ]
+
+            cols = [[Lux[a][c] for a in range(nu)] for c in range(nx)]
+            cols.append(lu)
+            sol = lu_solve(Luu, cols)
+            Kg = [[-sol[c][a] for c in range(nx)] for a in range(nu)]  # (nu, nx)
+            kg = [-sol[nx][a] for a in range(nu)]
+            for a in range(nu):
+                k_s[i, a] = kg[a]
+                for c in range(nx):
+                    K_s[i, a * nx + c] = Kg[a][c]
+
+            Pn_raw = [
+                [
+                    Qxx[r][c]
+                    + sum(Am[e][r] * PA[e][c] for e in range(nx))
+                    + sum(Lux[a][r] * Kg[a][c] for a in range(nu))
+                    for c in range(nx)
+                ]
+                for r in range(nx)
+            ]
+            pn = [
+                qx[r]
+                + sum(Am[e][r] * (pf[e] + Pc[e]) for e in range(nx))
+                + sum(Lux[a][r] * kg[a] for a in range(nu))
+                for r in range(nx)
+            ]
+            flat = []
+            for r in range(nx):
+                for c in range(nx):
+                    flat.append(0.5 * (Pn_raw[r][c] + Pn_raw[c][r]))
+            flat.extend(pn)
+            return tuple(flat)
+
+        init = []
+        for r in range(nx):
+            for c in range(nx):
+                init.append(P[r][c])
+        init.extend(p)
+        jax.lax.fori_loop(0, N, backward, tuple(init))
+
+        # ---- forward sweep (residual problem: ddx₀ = 0) --------------------
+        for d in range(nx):
+            ddX_s[0, d] = f32(0.0)
+
+        def forward(i, carry):
+            ddx = list(carry)
+            ddu = [
+                k_s[i, a]
+                + sum(K_s[i, a * nx + c] * ddx[c] for c in range(nx))
+                for a in range(nu)
+            ]
+            for a in range(nu):
+                ddU_s[i, a] = ddu[a]
+            Am = load_mat(A_ref, i, nx, nx)
+            Bm = load_mat(B_ref, i, nx, nu)
+            nxt = [
+                sum(Am[d][e] * ddx[e] for e in range(nx))
+                + sum(Bm[d][a] * ddu[a] for a in range(nu))
+                + cres_s[i, d]
+                for d in range(nx)
+            ]
+            for d in range(nx):
+                ddX_s[i + 1, d] = nxt[d]
+            return tuple(nxt)
+
+        jax.lax.fori_loop(0, N, forward, tuple(f32(0.0) for _ in range(nx)))
+
+        # ---- fraction-to-boundary damping ---------------------------------
+        def ftb(w, dw, amin):
+            shrink = jnp.logical_and(dw < 0, w > delta)
+            a = jnp.where(
+                shrink, (w - 0.5 * delta) / jnp.maximum(-dw, f32(1e-30)), f32(_INF)
+            )
+            return jnp.minimum(amin, a)
+
+        def alpha_x(i, amin):
+            for d in range(nx):
+                dxv = dX_ref[i, d]
+                ddv = ddX_s[i, d]
+                amin = ftb(lbx_ref[i, d] + dxv, ddv, amin)
+                amin = ftb(ubx_ref[i, d] - dxv, -ddv, amin)
+            for r in range(n_h):
+                wh = h0_ref[i, r]
+                dwh = f32(0.0)
+                for d in range(nx):
+                    wh = wh + Jh_ref[i, r * nx + d] * dX_ref[i, d]
+                    dwh = dwh + Jh_ref[i, r * nx + d] * ddX_s[i, d]
+                amin = ftb(wh, dwh, amin)
+            return amin
+
+        def alpha_u(i, amin):
+            for a in range(nu):
+                duv = dU_ref[i, a]
+                ddv = ddU_s[i, a]
+                amin = ftb(lbu_ref[i, a] + duv, ddv, amin)
+                amin = ftb(ubu_ref[i, a] - duv, -ddv, amin)
+            return amin
+
+        amin = jax.lax.fori_loop(0, N + 1, alpha_x, f32(_INF))
+        amin = jax.lax.fori_loop(0, N, alpha_u, amin)
+        alpha = jnp.minimum(f32(1.0), amin)
+
+        # ---- update + step norm -------------------------------------------
+        def update(i, mx):
+            for d in range(nx):
+                s = alpha * ddX_s[i, d]
+                dX_ref[i, d] = dX_ref[i, d] + s
+                mx = jnp.maximum(mx, jnp.abs(s))
+            return mx
+
+        def update_u(i, mx):
+            for a in range(nu):
+                s = alpha * ddU_s[i, a]
+                dU_ref[i, a] = dU_ref[i, a] + s
+                mx = jnp.maximum(mx, jnp.abs(s))
+            return mx
+
+        mx = jax.lax.fori_loop(0, N + 1, update, f32(0.0))
+        mx = jax.lax.fori_loop(0, N, update_u, mx)
+        kkt_ref[0] = mx
+        return 0
+
+    # initial iterate: δX = 0 except δx₀ = dx0, δU = 0
+    for d in range(nx):
+        dX_ref[0, d] = dx0_ref[d]
+
+    def zero_x(i, _):
+        for d in range(nx):
+            dX_ref[i + 1, d] = jnp.float32(0.0)
+        return 0
+
+    def zero_u(i, _):
+        for a in range(nu):
+            dU_ref[i, a] = jnp.float32(0.0)
+        return 0
+
+    jax.lax.fori_loop(0, N, zero_x, 0)
+    jax.lax.fori_loop(0, N, zero_u, 0)
+
+    jax.lax.fori_loop(0, num_iters, newton_iter, 0)
+
+    # ---- condensing roll: exact linear-dynamics propagation of δU ---------
+    def roll(i, carry):
+        dx = list(carry)
+        Am = load_mat(A_ref, i, nx, nx)
+        Bm = load_mat(B_ref, i, nx, nu)
+        nxt = [
+            sum(Am[d][e] * dx[e] for e in range(nx))
+            + sum(Bm[d][a] * dU_ref[i, a] for a in range(nu))
+            + c_ref[i, d]
+            for d in range(nx)
+        ]
+        for d in range(nx):
+            dX_ref[i + 1, d] = nxt[d]
+        return tuple(nxt)
+
+    jax.lax.fori_loop(
+        0, N, roll, tuple(dx0_ref[d] for d in range(nx))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iters", "interpret"),
+)
+def pallas_barrier_qp_solve(
+    qp,  # solvers.qp.BoxedQPData
+    dx0: jnp.ndarray,
+    num_iters: int = 12,
+    mu0: float = 1.0e-1,
+    kappa: float = 0.35,
+    delta: float = 1.0e-3,
+    stiffness: Optional[float] = None,
+    h_stiffness: Optional[float] = None,
+    h_slope: float = 0.0,
+    *,
+    interpret: bool = False,
+):
+    """Drop-in fused-kernel replacement for ``barrier_qp_solve`` (always
+    returns the KKT step norm): (δX (N+1,nx), δU (N,nu), kkt ())."""
+    N, nx = qp.A.shape[0], qp.A.shape[1]
+    nu = qp.B.shape[2]
+    n_h = qp.Jh.shape[1] if qp.Jh is not None else 0
+    has_S = qp.S is not None
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+    if h_stiffness is None:
+        h_stiffness = stiffness
+
+    f = jnp.float32
+    mus = (f(mu0) * (f(kappa) ** jnp.arange(num_iters, dtype=jnp.float32))).astype(
+        jnp.float32
+    )
+    misc = jnp.stack(
+        [
+            jnp.asarray(delta, f),
+            jnp.asarray(stiffness, f),
+            jnp.asarray(h_stiffness, f),
+            jnp.asarray(h_slope, f),
+            jnp.asarray(1e-9, f),  # Luu regularization (barrier_qp_solve)
+        ]
+    )
+
+    def flat(a, rows):
+        return a.astype(f).reshape(rows, -1)
+
+    Jh = (
+        flat(qp.Jh, N + 1)
+        if qp.Jh is not None
+        else jnp.zeros((1, 1), f)
+    )
+    h0 = qp.h0.astype(f) if qp.h0 is not None else jnp.zeros((1, 1), f)
+    S = flat(qp.S, N) if has_S else jnp.zeros((1, 1), f)
+
+    kernel = functools.partial(
+        _qp_kernel,
+        N=N,
+        nx=nx,
+        nu=nu,
+        n_h=n_h,
+        num_iters=num_iters,
+        has_S=has_S,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    dX, dU, kkt = pl.pallas_call(
+        kernel,
+        in_specs=[smem() for _ in range(17)],
+        out_specs=(smem(), smem(), smem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((N + 1, nx), f),
+            jax.ShapeDtypeStruct((N, nu), f),
+            jax.ShapeDtypeStruct((1,), f),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((N, nu * nx), f),
+            pltpu.SMEM((N, nu), f),
+            pltpu.SMEM((N + 1, nx), f),
+            pltpu.SMEM((N, nu), f),
+            pltpu.SMEM((N, nx), f),
+        ],
+        interpret=interpret,
+    )(
+        mus,
+        misc,
+        flat(qp.A, N),
+        flat(qp.B, N),
+        qp.c.astype(f),
+        flat(qp.Q, N + 1),
+        qp.qx_base.astype(f),
+        flat(qp.R, N),
+        qp.ru_base.astype(f),
+        qp.lbx.astype(f),
+        qp.ubx.astype(f),
+        qp.lbu.astype(f),
+        qp.ubu.astype(f),
+        Jh,
+        h0,
+        S,
+        dx0.astype(f),
+    )
+    return dX, dU, kkt[0]
+
+
+__all__ = ["pallas_barrier_qp_solve"]

@@ -90,6 +90,7 @@ def racecar_mppi(
     wheel_base: float = 2.5,
     obstacles: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    fused_tick: bool = False,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -134,11 +135,19 @@ def racecar_mppi(
         safety_margin_rate=1.5,
     )
     rollout_fn = None
-    if use_pallas:
+    tick_fn = None
+    if fused_tick:
+        from .solvers.mppi import make_pallas_bicycle_tick
+
+        tick_fn = make_pallas_bicycle_tick(cfg, wheel_base=wheel_base)
+    elif use_pallas:
         from .solvers.mppi import make_pallas_bicycle_rollout
 
         rollout_fn = make_pallas_bicycle_rollout(cfg, wheel_base=wheel_base)
-    return MPPISolver(cfg, step, stage, terminal, rollout_fn=rollout_fn), params
+    return (
+        MPPISolver(cfg, step, stage, terminal, rollout_fn=rollout_fn, tick_fn=tick_fn),
+        params,
+    )
 
 
 def goal_seeking_mppi(

@@ -541,6 +541,82 @@ def make_pallas_diffdrive_tick(
     return tick
 
 
+def make_pallas_bicycle_tick(
+    cfg: MPPIConfig,
+    wheel_base: float = 2.5,
+    vehicle_length: float = 4.0,
+    vehicle_width: float = 3.0,
+    margin_rate: float = 1.5,
+    interpret: bool = False,
+):
+    """Bind the fully-fused race-car tick kernel (ops/pallas/bicycle_tick.py).
+
+    One kernel per tick: on-chip ε ~ N(0, Σ), bicycle rollout + wrap-yaw
+    tracking + polygon collision over the W≈200 window, softmax, weighted
+    reduce — the ε tensor never exists in HBM. Single-device; semantics of
+    make_pallas_bicycle_rollout (parity: tests/test_bicycle_tick.py).
+    """
+    from ..ops.pallas.bicycle_tick import bicycle_mppi_tick
+    from ..ops.sampling import small_cholesky
+
+    if cfg.accumulation == CostAccumulation.LAST:
+        raise ValueError(
+            "the fused bicycle tick implements SUM accumulation only "
+            "(mppi_race_car_obstacle.py:94) — use the scan path"
+        )
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the fused bicycle tick does not implement num_rollout_repeats>1 "
+            "— use the scan path"
+        )
+
+    def tick(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        x0: jnp.ndarray,
+        seed: jnp.ndarray,
+        noise: Optional[jnp.ndarray],
+    ):
+        if params.obstacle_velocities is not None:
+            raise ValueError(
+                "the fused bicycle tick does not implement in-rollout moving "
+                "obstacles (obstacle_velocities) — use the scan path"
+            )
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        return bicycle_mppi_tick(
+            seed,
+            u,
+            a,
+            small_cholesky(params.sigma),
+            x0,
+            window[:, :4],
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            cfg.inv_temperature,
+            obstacles=params.obstacles,
+            wheel_base=wheel_base,
+            vehicle_length=vehicle_length,
+            vehicle_width=vehicle_width,
+            margin_rate=margin_rate,
+            eps=noise,
+            K=cfg.num_samples,
+            T=cfg.horizon,
+            W=Wlen,
+            interpret=interpret,
+        )
+
+    return tick
+
+
 def make_pallas_bicycle_rollout(
     cfg: MPPIConfig,
     wheel_base: float = 2.5,
@@ -687,6 +763,8 @@ __all__ = [
     "make_tracking_costs",
     "make_pallas_diffdrive_rollout",
     "make_pallas_diffdrive_tick",
+    "make_pallas_bicycle_rollout",
+    "make_pallas_bicycle_tick",
     "mppi_step",
     "sampled_trajectories",
     "MPPISolver",

@@ -23,6 +23,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.sampling import small_lu_solve
+
 
 def relaxed_barrier(
     w: jnp.ndarray, mu: float, delta: float, stiffness: Optional[float] = None
@@ -88,8 +90,13 @@ def riccati_solve(data: LQRData, dx0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
         Luu = 0.5 * (Luu + Luu.T) + reg * jnp.eye(Luu.shape[0], dtype=Luu.dtype)
         Lux = S + B.T @ PA
         lu = ru + B.T @ (p + P @ c)
-        K = -jnp.linalg.solve(Luu, Lux)
-        k = -jnp.linalg.solve(Luu, lu)
+        # Unrolled partial-pivot LU: jnp.linalg.solve on a 2×2 lowers to a
+        # batched-LU path whose per-scan-step cost dominates the whole
+        # backward sweep; pivoting (not Cholesky) because f32 cancellation
+        # can leave Luu indefinite under barrier stiffness — see
+        # ops/sampling.py::small_lu_solve.
+        K = -small_lu_solve(Luu, Lux)
+        k = -small_lu_solve(Luu, lu)
         P_new = Qxx + A.T @ PA + Lux.T @ K
         P_new = 0.5 * (P_new + P_new.T)
         p_new = qx + A.T @ (p + P @ c) + Lux.T @ k

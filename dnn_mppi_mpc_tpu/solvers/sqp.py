@@ -290,20 +290,36 @@ def sqp_solve(
             h0=h0,
             S=S_cross,
         )
-        dX, dU, kkt = barrier_qp_solve(
-            qp,
-            dx0=x0 - X[0],
-            num_iters=cfg.qp_iters,
-            mu0=cfg.ip_mu0,
-            kappa=cfg.ip_kappa,
-            # soft h-constraints: the barrier's quadratic extension plays the
-            # Zl L2 slack role and h_slope the zl L1 role
-            # (test_diff_mpc_dyna_slack.py:158-182)
-            h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
-            h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
-            parallel=cfg.parallel_riccati,
-            return_kkt=True,
-        )
+        if cfg.qp_backend == "pallas":
+            from ..ops.pallas.riccati_qp import pallas_barrier_qp_solve
+
+            dX, dU, kkt = pallas_barrier_qp_solve(
+                qp,
+                dx0=x0 - X[0],
+                num_iters=cfg.qp_iters,
+                mu0=cfg.ip_mu0,
+                kappa=cfg.ip_kappa,
+                h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
+                h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
+                interpret=jax.default_backend() == "cpu",
+            )
+            dX = dX.astype(dtype)
+            dU = dU.astype(dtype)
+        else:
+            dX, dU, kkt = barrier_qp_solve(
+                qp,
+                dx0=x0 - X[0],
+                num_iters=cfg.qp_iters,
+                mu0=cfg.ip_mu0,
+                kappa=cfg.ip_kappa,
+                # soft h-constraints: the barrier's quadratic extension plays
+                # the Zl L2 slack role and h_slope the zl L1 role
+                # (test_diff_mpc_dyna_slack.py:158-182)
+                h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
+                h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
+                parallel=cfg.parallel_riccati,
+                return_kkt=True,
+            )
 
         # Globalization: pick the step size minimizing an ℓ1 merit function
         # (LS cost + defect + bound-violation penalties) over a fixed candidate

@@ -117,4 +117,76 @@ def plot_training_curves(path: str, history: dict) -> None:
     plt.close(fig)
 
 
-__all__ = ["plot_trajectory", "draw_robot", "plot_controls", "plot_training_curves"]
+def save_animation(
+    path: str,
+    states: np.ndarray,
+    ref_path: Optional[np.ndarray] = None,
+    planned_trajs: Optional[np.ndarray] = None,
+    obstacles: Optional[np.ndarray] = None,
+    obstacle_trajs: Optional[np.ndarray] = None,
+    fps: int = 10,
+    stride: int = 1,
+    title: str = "closed loop",
+) -> None:
+    """Animated closed-loop artifact — the reference's primary verification
+    output (FuncAnimation drivers at controllers/mppi_differential_drive.py:
+    291-372 and the 4-pane models/vehicle.py:45-83,247+), re-done headless.
+
+    Per frame: driven path so far, robot footprint at the current pose, the
+    tick's planned trajectory (``planned_trajs`` (n_ticks, T, ≥2)), and
+    obstacles — static ``obstacles`` (n, 3) or per-tick ``obstacle_trajs``
+    (n_ticks, n, 3) for moving-obstacle runs. Writes .gif via Pillow (this
+    image has no ffmpeg; pass an .mp4 path on machines that do).
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter, FFMpegWriter
+
+    states = np.asarray(states)
+    frames = range(1, states.shape[0] + 1, stride)
+    fig, ax = plt.subplots(figsize=(7, 7))
+
+    pts = [states[:, :2]]
+    if ref_path is not None:
+        pts.append(np.asarray(ref_path)[:, :2])
+    allp = np.concatenate(pts, axis=0)
+    pad = 1.0
+    xlim = (allp[:, 0].min() - pad, allp[:, 0].max() + pad)
+    ylim = (allp[:, 1].min() - pad, allp[:, 1].max() + pad)
+
+    def draw(i):
+        ax.clear()
+        ax.set_xlim(*xlim), ax.set_ylim(*ylim)
+        ax.set_aspect("equal"), ax.grid(True, alpha=0.3)
+        ax.set_title(f"{title} — tick {i}")
+        if ref_path is not None:
+            rp = np.asarray(ref_path)
+            ax.plot(rp[:, 0], rp[:, 1], "b--", lw=1.0, zorder=3)
+        obs_now = None
+        if obstacle_trajs is not None:
+            obs_now = np.asarray(obstacle_trajs)[min(i - 1, len(obstacle_trajs) - 1)]
+        elif obstacles is not None:
+            obs_now = np.asarray(obstacles)
+        if obs_now is not None:
+            for ox, oy, r in obs_now:
+                ax.add_patch(plt.Circle((ox, oy), r, color="red", alpha=0.4, zorder=1))
+        if planned_trajs is not None and i - 1 < len(planned_trajs):
+            tr = np.asarray(planned_trajs)[i - 1]
+            ax.plot(tr[:, 0], tr[:, 1], color="#990099", lw=1.5, zorder=4)
+        ax.plot(states[:i, 0], states[:i, 1], "g-", lw=1.5, zorder=5)
+        if states.shape[1] >= 3:
+            draw_robot(ax, states[i - 1, 0], states[i - 1, 1], states[i - 1, 2])
+
+    anim = FuncAnimation(fig, draw, frames=frames)
+    writer = (
+        FFMpegWriter(fps=fps) if path.endswith(".mp4") else PillowWriter(fps=fps)
+    )
+    anim.save(path, writer=writer)
+    plt.close(fig)
+
+
+__all__ = [
+    "plot_trajectory",
+    "draw_robot",
+    "plot_controls",
+    "plot_training_curves",
+    "save_animation",
+]

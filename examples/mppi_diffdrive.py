@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--samples", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument(
+        "--animate",
+        action="store_true",
+        help="also write an animated closed-loop gif (the reference's "
+        "FuncAnimation artifact, mppi_differential_drive.py:291-372)",
+    )
     ap.add_argument("--out", default="/tmp/mppi_diffdrive")
     args = ap.parse_args()
 
@@ -63,7 +69,7 @@ def main():
 
     x = jnp.zeros(3)
     state = solver.init(jax.random.PRNGKey(0))
-    xs, us = [np.zeros(3)], []
+    xs, us, plans = [np.zeros(3)], [], []
     timer = Timer()
     for i in range(args.ticks):
         with timer:
@@ -72,6 +78,8 @@ def main():
         x = step_fn(x, u0)
         xs.append(np.asarray(x))
         us.append(np.asarray(u0))
+        if args.animate:
+            plans.append(np.asarray(aux.optimal_traj))
         if i % 50 == 0:
             print(f"tick {i}: x={np.round(np.asarray(x), 3)} u={np.round(np.asarray(u0), 3)}")
 
@@ -84,6 +92,18 @@ def main():
         title=f"MPPI diff-drive K={cfg.num_samples} T={cfg.horizon}",
     )
     plot_controls(os.path.join(args.out, "controls.png"), np.asarray(us), dt, ["v [m/s]", "ω [rad/s]"])
+    if args.animate:
+        from dnn_mppi_mpc_tpu.utils.plotting import save_animation
+
+        save_animation(
+            os.path.join(args.out, "closed_loop.gif"),
+            np.asarray(xs),
+            ref_path=np.asarray(ref),
+            planned_trajs=np.asarray(plans),
+            fps=10,
+            stride=max(1, args.ticks // 100),
+            title=f"MPPI diff-drive K={cfg.num_samples}",
+        )
     print("timing:", {k: round(v, 3) for k, v in timer.summary().items()})
     print(f"plots -> {args.out}")
 

@@ -1,0 +1,119 @@
+"""Parity: the fused barrier-Riccati QP kernel vs solvers/qp.py (interpret).
+
+The kernel (ops/pallas/riccati_qp.py) must reproduce ``barrier_qp_solve``
+in f32 — same μ-schedule, damping, regularization, condensing roll — across
+randomized stage-structured QPs with box bounds, h-rows, and cross terms,
+plus end-to-end through the SQP engine (cfg.qp_backend='pallas').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import pallas_barrier_qp_solve
+from dnn_mppi_mpc_tpu.solvers.qp import BoxedQPData, barrier_qp_solve
+
+
+def _random_qp(rng, N=12, nx=3, nu=2, n_h=0, with_S=False):
+    f = jnp.float32
+
+    def spd(n, scale=1.0):
+        M = rng.normal(size=(n, n)) * 0.3
+        return jnp.asarray(M @ M.T + scale * np.eye(n), f)
+
+    A = jnp.asarray(
+        np.stack([np.eye(nx) + 0.05 * rng.normal(size=(nx, nx)) for _ in range(N)]),
+        f,
+    )
+    B = jnp.asarray(0.2 * rng.normal(size=(N, nx, nu)), f)
+    c = jnp.asarray(0.05 * rng.normal(size=(N, nx)), f)
+    Q = jnp.stack([spd(nx) for _ in range(N + 1)])
+    R = jnp.stack([spd(nu) for _ in range(N)])
+    qxb = jnp.asarray(0.5 * rng.normal(size=(N + 1, nx)), f)
+    rub = jnp.asarray(0.5 * rng.normal(size=(N, nu)), f)
+    lbx = jnp.asarray(1.5 + 0.2 * rng.random(size=(N + 1, nx)), f)
+    ubx = jnp.asarray(1.5 + 0.2 * rng.random(size=(N + 1, nx)), f)
+    lbu = jnp.asarray(1.0 + 0.2 * rng.random(size=(N, nu)), f)
+    ubu = jnp.asarray(1.0 + 0.2 * rng.random(size=(N, nu)), f)
+    if n_h:
+        Jh = jnp.asarray(rng.normal(size=(N + 1, n_h, nx)), f)
+        h0 = jnp.asarray(1.0 + rng.random(size=(N + 1, n_h)), f)
+    else:
+        Jh = h0 = None
+    S = jnp.asarray(0.1 * rng.normal(size=(N, nu, nx)), f) if with_S else None
+    return BoxedQPData(
+        A=A, B=B, c=c, Q=Q, qx_base=qxb, R=R, ru_base=rub,
+        lbx=lbx, ubx=ubx, lbu=lbu, ubu=ubu, Jh=Jh, h0=h0, S=S,
+    )
+
+
+@pytest.mark.parametrize(
+    "n_h,with_S", [(0, False), (2, False), (0, True), (2, True)]
+)
+def test_kernel_matches_xla_qp(n_h, with_S):
+    rng = np.random.default_rng(0 if not with_S else 7)
+    qp = _random_qp(rng, n_h=n_h, with_S=with_S)
+    dx0 = jnp.asarray(0.2 * rng.normal(size=(3,)), jnp.float32)
+
+    dX_r, dU_r, kkt_r = barrier_qp_solve(qp, dx0, num_iters=8, return_kkt=True)
+    dX_k, dU_k, kkt_k = pallas_barrier_qp_solve(
+        qp, dx0, num_iters=8, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(dU_k), np.asarray(dU_r), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dX_k), np.asarray(dX_r), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(kkt_k), float(kkt_r), rtol=5e-2, atol=1e-4
+    )
+
+
+def test_kernel_fuzz_many_seeds():
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        qp = _random_qp(rng, N=8, nx=2 + seed % 3, nu=1 + seed % 2, n_h=seed % 3)
+        nx = qp.A.shape[1]
+        dx0 = jnp.asarray(0.1 * rng.normal(size=(nx,)), jnp.float32)
+        dX_r, dU_r = barrier_qp_solve(qp, dx0, num_iters=8)
+        dX_k, dU_k, _ = pallas_barrier_qp_solve(qp, dx0, num_iters=8, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(dU_k), np.asarray(dU_r), rtol=3e-3, atol=3e-3,
+            err_msg=f"seed {seed}",
+        )
+
+
+def test_sqp_engine_pallas_backend_closed_loop():
+    """cfg.qp_backend='pallas' end-to-end: diff-drive obstacle NMPC tracks
+    the same trajectory as the XLA backend."""
+    from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+    from dnn_mppi_mpc_tpu.presets import diff_drive_nmpc
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, circle_obstacle_h
+
+    obs = jnp.array([[2.0, 0.6, 0.5]], jnp.float32)
+    goal = jnp.array([4.0, 0.0, 0.0], jnp.float32)
+    solver_x, params = diff_drive_nmpc(goal, N=20, obstacles=obs)
+    cfg_p = dataclasses.replace(solver_x.cfg, qp_backend="pallas")
+    solver_p = NMPCSolver(cfg_p, unicycle, h_fn=circle_obstacle_h)
+
+    def drive(solver):
+        x = jnp.zeros(3, jnp.float32)
+        st = solver.init(x)
+        for _ in range(40):
+            u0, st, aux = solver.solve(params, st, x)
+            x = solver.dyn_step(x, u0)
+        return np.asarray(x), float(aux.h_margin)
+
+    x_x, hm_x = drive(solver_x)
+    x_p, hm_p = drive(solver_p)
+    # both reach the goal, respecting the obstacle
+    assert np.linalg.norm(x_p[:2] - np.asarray(goal[:2])) < 0.3, x_p
+    assert hm_p > -1e-3
+    np.testing.assert_allclose(x_p, x_x, rtol=0.05, atol=0.05)
