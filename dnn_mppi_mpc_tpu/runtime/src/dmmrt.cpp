@@ -191,11 +191,39 @@ Channel* chan_create(int64_t size) {
   return c;
 }
 
+// Seqlock buffer copies are intentionally concurrent (a reader may race a
+// writer and then discard the torn snapshot via the seq check). A plain
+// memcpy would make that race undefined behavior in the C++ memory model —
+// and ThreadSanitizer rightly flags it — so the copies go through relaxed
+// word-wise atomics (the Linux-kernel seqlock idiom): tearing is still
+// possible, but each word access is well-defined and the seq protocol
+// rejects torn reads. Exercised under TSAN by tests/test_runtime_stress.py.
+static inline void seq_copy_in(uint8_t* dst, const uint8_t* src, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, src + i, 8);
+    __atomic_store_n(reinterpret_cast<uint64_t*>(dst + i), w,
+                     __ATOMIC_RELAXED);
+  }
+  for (; i < n; ++i) __atomic_store_n(dst + i, src[i], __ATOMIC_RELAXED);
+}
+
+static inline void seq_copy_out(uint8_t* dst, const uint8_t* src, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w = __atomic_load_n(reinterpret_cast<const uint64_t*>(src + i),
+                                 __ATOMIC_RELAXED);
+    std::memcpy(dst + i, &w, 8);
+  }
+  for (; i < n; ++i) dst[i] = __atomic_load_n(src + i, __ATOMIC_RELAXED);
+}
+
 void chan_write(Channel* c, const void* data) {
   uint64_t s = c->seq.load(std::memory_order_relaxed);
   c->seq.store(s + 1, std::memory_order_release);  // mark dirty
   std::atomic_thread_fence(std::memory_order_release);
-  std::memcpy(c->buf, data, c->size);
+  seq_copy_in(c->buf, static_cast<const uint8_t*>(data), c->size);
   std::atomic_thread_fence(std::memory_order_release);
   c->seq.store(s + 2, std::memory_order_release);  // publish
 }
@@ -208,7 +236,7 @@ int64_t chan_read(Channel* c, void* out) {
     if (s1 == 0) return -1;
     if (s1 & 1) continue;  // write in progress
     std::atomic_thread_fence(std::memory_order_acquire);
-    std::memcpy(out, c->buf, c->size);
+    seq_copy_out(static_cast<uint8_t*>(out), c->buf, c->size);
     std::atomic_thread_fence(std::memory_order_acquire);
     uint64_t s2 = c->seq.load(std::memory_order_acquire);
     if (s1 == s2) return static_cast<int64_t>(s1);
