@@ -36,6 +36,9 @@ def run_closed_loop(
     num_ticks: int,
     nominal_step: Optional[PlantStep] = None,
     x_ref: Optional[jnp.ndarray] = None,
+    metric_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], dict]] = None,
+    metric_cb: Optional[Callable[..., None]] = None,
+    metric_every: int = 1,
 ) -> Tuple[Episode, object]:
     """Run ``num_ticks`` of controller+plant inside one ``lax.scan``.
 
@@ -45,9 +48,18 @@ def run_closed_loop(
       (train/bullet_mpc_differential_drive.py:96, error = state − nominal)
     * with ``x_ref``: tracking error x − x_ref (collect_data_series :169)
     * else zeros.
+
+    Metrics streaming (SURVEY §5.5 — the reference has only end-of-run
+    artifacts): when both ``metric_fn`` (in-graph ``(x_next, u) → dict of
+    scalars``) and ``metric_cb`` (host callable ``(tick, **metrics)``, e.g.
+    ``utils.logging.MetricsWriter.write``) are given, every ``metric_every``-th
+    tick streams its metrics out of the running scan via
+    ``jax.debug.callback`` — live telemetry from a loop that never returns to
+    Python. Callbacks are unordered (they don't stall the device); the tick
+    index is passed so the host can re-order.
     """
 
-    def tick(carry, _):
+    def tick(carry, t):
         cs, x = carry
         u, cs = controller(cs, x)
         x_next = plant_step(x, u)
@@ -57,10 +69,20 @@ def run_closed_loop(
             err = x - x_ref
         else:
             err = jnp.zeros_like(x)
+        if metric_fn is not None and metric_cb is not None:
+            metrics = metric_fn(x_next, u)
+            jax.lax.cond(
+                t % metric_every == 0,
+                lambda m: jax.debug.callback(
+                    lambda tt, mm: metric_cb(int(tt), **mm), t, m
+                ),
+                lambda m: None,
+                metrics,
+            )
         return (cs, x_next), (x_next, u, err)
 
     (ctrl_state, _), (xs, us, errs) = jax.lax.scan(
-        tick, (ctrl_state0, x0), None, length=num_ticks
+        tick, (ctrl_state0, x0), jnp.arange(num_ticks)
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return Episode(states=states, controls=us, errors=errs), ctrl_state
@@ -102,6 +124,75 @@ def collect_residual_dataset(
     )
 
 
+def collect_residual_dataset_resumable(
+    controller_factory: Callable[[jax.Array], Tuple[Controller, object]],
+    plant_step: PlantStep,
+    nominal_step: PlantStep,
+    x0_sampler: Callable[[jax.Array], jnp.ndarray],
+    key: jax.Array,
+    num_series: int,
+    ticks_per_series: int,
+    out_dir: str,
+    series_per_chunk: int = 8,
+) -> Episode:
+    """Checkpointed data collection: episode-chunk-level resume (SURVEY §5.4).
+
+    The reference's collection runs (train/bullet_mpc_differential_drive.py)
+    lose everything on a crash — the .npy triplet is written once at the end
+    (:334-336). Here the scenario series are collected in chunks of
+    ``series_per_chunk``; each finished chunk is persisted to
+    ``out_dir/chunk_<i>.npz``, and a re-run with the same key/out_dir skips
+    completed chunks. Chunk keys are ``fold_in(key, chunk_idx)`` so a resumed
+    run produces bit-identical data to an uninterrupted one.
+    """
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_chunks = -(-num_series // series_per_chunk)
+    parts = []
+    for i in range(n_chunks):
+        path = os.path.join(out_dir, f"chunk_{i:05d}.npz")
+        n_i = min(series_per_chunk, num_series - i * series_per_chunk)
+        if os.path.exists(path):
+            with np.load(path) as z:
+                if int(z["num_series"]) == n_i and int(z["ticks"]) == ticks_per_series:
+                    parts.append(
+                        Episode(
+                            states=jnp.asarray(z["states"]),
+                            controls=jnp.asarray(z["controls"]),
+                            errors=jnp.asarray(z["errors"]),
+                        )
+                    )
+                    continue  # valid checkpoint — skip recompute
+        ep = collect_residual_dataset(
+            controller_factory,
+            plant_step,
+            nominal_step,
+            x0_sampler,
+            jax.random.fold_in(key, i),
+            n_i,
+            ticks_per_series,
+        )
+        tmp = path + ".tmp.npz"
+        np.savez(
+            tmp,
+            states=np.asarray(ep.states),
+            controls=np.asarray(ep.controls),
+            errors=np.asarray(ep.errors),
+            num_series=n_i,
+            ticks=ticks_per_series,
+        )
+        os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
+        parts.append(ep)
+    return Episode(
+        states=jnp.concatenate([p.states for p in parts]),
+        controls=jnp.concatenate([p.controls for p in parts]),
+        errors=jnp.concatenate([p.errors for p in parts]),
+    )
+
+
 def mppi_controller(solver, params) -> Controller:
     """Adapt an MPPISolver into the (ctrl_state, x) -> (u, ctrl_state) shape
     run_closed_loop expects, so whole MPPI episodes run as one on-device scan
@@ -132,6 +223,7 @@ __all__ = [
     "Episode",
     "run_closed_loop",
     "collect_residual_dataset",
+    "collect_residual_dataset_resumable",
     "mppi_controller",
     "nmpc_controller",
 ]

@@ -214,3 +214,91 @@ def test_on_device_nmpc_closed_loop_scan():
     ep, _ = run(solver.init(jnp.zeros(3)), jnp.zeros(3))
     final = np.asarray(ep.states[-1])
     assert np.linalg.norm(final[:2] - np.asarray(goal[:2])) < 0.1
+
+
+def test_metrics_streaming_from_jitted_loop():
+    """jax.debug.callback streams per-tick metrics out of a running scan
+    (SURVEY §5.5 — live telemetry the reference's print()-at-end lacks)."""
+    from dnn_mppi_mpc_tpu.envs.closed_loop import run_closed_loop
+
+    dt = 0.1
+    goal = jnp.array([1.0, 0.5])
+    step = lambda x, u: euler_step(unicycle, x, u, dt)
+
+    def controller(cs, x):
+        d = goal - x[:2]
+        heading = jnp.arctan2(d[1], d[0])
+        v = jnp.clip(jnp.linalg.norm(d), 0.0, 1.0)
+        w = jnp.clip(2.0 * (heading - x[2]), -1.5, 1.5)
+        return jnp.stack([v, w]), cs
+
+    received = []
+
+    def cb(tick, **metrics):
+        received.append((tick, {k: float(v) for k, v in metrics.items()}))
+
+    metric_fn = lambda x, u: {
+        "dist": jnp.linalg.norm(x[:2] - goal),
+        "u_norm": jnp.linalg.norm(u),
+    }
+    run = jax.jit(
+        lambda cs, x0: run_closed_loop(
+            controller, step, cs, x0, 40,
+            metric_fn=metric_fn, metric_cb=cb, metric_every=5,
+        )
+    )
+    ep, _ = run(None, jnp.zeros(3))
+    jax.block_until_ready(ep.states)
+    jax.effects_barrier()
+    assert len(received) == 8  # ticks 0,5,...,35
+    ticks = sorted(t for t, _ in received)
+    assert ticks == [0, 5, 10, 15, 20, 25, 30, 35]
+    by_tick = dict(received)
+    # distance to goal must shrink over the episode
+    assert by_tick[35]["dist"] < by_tick[0]["dist"]
+    assert all("u_norm" in m for _, m in received)
+
+
+def test_collect_resumable_checkpoints_and_matches(tmp_path):
+    """Chunk-level resume: interrupted collection skips finished chunks and
+    the result is bit-identical to an uninterrupted run (SURVEY §5.4)."""
+    from dnn_mppi_mpc_tpu.envs.closed_loop import (
+        collect_residual_dataset_resumable,
+    )
+
+    dt = 0.1
+    nominal = lambda x, u: euler_step(unicycle, x, u, dt)
+    drift = jnp.array([0.01, -0.02, 0.0])
+    plant = lambda x, u: euler_step(unicycle, x, u, dt) + drift
+
+    def controller_factory(key):
+        u_rand = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+        return (lambda cs, x: (u_rand, cs)), None
+
+    def x0_sampler(key):
+        return jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+
+    key = jax.random.PRNGKey(3)
+    args = (controller_factory, plant, nominal, x0_sampler, key, 10, 12)
+
+    d1 = str(tmp_path / "run1")
+    ep_full = collect_residual_dataset_resumable(*args, out_dir=d1, series_per_chunk=4)
+    assert ep_full.states.shape == (120, 3)
+    import os
+
+    chunks = sorted(os.listdir(d1))
+    assert chunks == ["chunk_00000.npz", "chunk_00001.npz", "chunk_00002.npz"]
+
+    # "crashed" run: only the first two chunks survived
+    d2 = str(tmp_path / "run2")
+    os.makedirs(d2)
+    for c in chunks[:2]:
+        import shutil
+
+        shutil.copy(os.path.join(d1, c), os.path.join(d2, c))
+    t0 = os.path.getmtime(os.path.join(d2, chunks[0]))
+    ep_resumed = collect_residual_dataset_resumable(*args, out_dir=d2, series_per_chunk=4)
+    # finished chunks were not recomputed (mtime untouched), data identical
+    assert os.path.getmtime(os.path.join(d2, chunks[0])) == t0
+    np.testing.assert_array_equal(np.asarray(ep_resumed.states), np.asarray(ep_full.states))
+    np.testing.assert_array_equal(np.asarray(ep_resumed.errors), np.asarray(ep_full.errors))

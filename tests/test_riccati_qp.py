@@ -76,6 +76,19 @@ def test_kernel_matches_xla_qp(n_h, with_S):
     )
 
 
+def test_kernel_four_wheel_dims():
+    """nx=5/nu=4 — the four-wheel torque model's shape class
+    (mpc_differential_dynamics.py:71-131)."""
+    rng = np.random.default_rng(42)
+    qp = _random_qp(rng, N=10, nx=5, nu=4, n_h=2, with_S=True)
+    dx0 = jnp.asarray(0.1 * rng.normal(size=(5,)), jnp.float32)
+    dX_r, dU_r = barrier_qp_solve(qp, dx0, num_iters=8)
+    dX_k, dU_k, _ = pallas_barrier_qp_solve(qp, dx0, num_iters=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dU_k), np.asarray(dU_r), rtol=3e-3, atol=3e-3
+    )
+
+
 def test_kernel_fuzz_many_seeds():
     for seed in range(5):
         rng = np.random.default_rng(100 + seed)
@@ -117,3 +130,29 @@ def test_sqp_engine_pallas_backend_closed_loop():
     assert np.linalg.norm(x_p[:2] - np.asarray(goal[:2])) < 0.3, x_p
     assert hm_p > -1e-3
     np.testing.assert_allclose(x_p, x_x, rtol=0.05, atol=0.05)
+
+
+def test_sqp_engine_pallas_backend_four_wheel():
+    """qp_backend='pallas' on the four-wheel torque model (nx=5, nu=4,
+    mpc_differential_dynamics.py) — the largest stage dims in the suite."""
+    from dnn_mppi_mpc_tpu.models.dynamics import four_wheel_torque
+    from dnn_mppi_mpc_tpu.presets import four_wheel_nmpc
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver
+
+    goal = jnp.array([1.0, 0.5, 0.0, 0.0, 0.0], jnp.float32)
+    solver_x, params = four_wheel_nmpc(goal, N=20, sqp_iters=2, qp_iters=10)
+    cfg_p = dataclasses.replace(solver_x.cfg, qp_backend="pallas")
+    solver_p = NMPCSolver(cfg_p, four_wheel_torque)
+
+    def drive(solver):
+        x = jnp.zeros(5, jnp.float32)
+        st = solver.init(x)
+        for _ in range(80):
+            u0, st, aux = solver.solve(params, st, x)
+            x = solver.dyn_step(x, u0)
+        return np.asarray(x)
+
+    x_p = drive(solver_p)
+    x_x = drive(solver_x)
+    assert np.linalg.norm(x_p[:2] - np.asarray(goal[:2])) < 0.15, x_p
+    np.testing.assert_allclose(x_p, x_x, rtol=0.05, atol=0.08)
