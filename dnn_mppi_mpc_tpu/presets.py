@@ -233,6 +233,7 @@ def diff_drive_nmpc(
         N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=sqp_iters,
         qp_iters=overrides.pop("qp_iters", 12),
         n_h_constraints=0 if obstacles is None else obstacles.shape[0],
+        **overrides,
     )
     solver = NMPCSolver(cfg, unicycle, h_fn=None if obstacles is None else circle_obstacle_h)
     params = _ls_params(
@@ -262,7 +263,7 @@ def racecar_nmpc(
     """Race-car NMPC: kinematic bicycle (mpc_racecar.py, L=0.325, N=50) or the
     dynamic single-track model with tire slip (mpc_racecar_class.py)."""
     cfg = SQPConfig(N=N, dim_x=4, dim_u=2, dt=dt, sqp_iters=sqp_iters,
-                    qp_iters=overrides.pop("qp_iters", 12))
+                    qp_iters=overrides.pop("qp_iters", 12), **overrides)
     if dynamic_model:
         dbp = DynamicBicycleParams.default()
         dyn = lambda x, u: dynamic_bicycle(x, u, dbp)
@@ -289,7 +290,7 @@ def four_wheel_nmpc(
 ) -> Tuple[NMPCSolver, OCPParams]:
     """Four-wheel torque-input NMPC (mpc_differential_dynamics.py:71-131)."""
     cfg = SQPConfig(N=N, dim_x=5, dim_u=4, dt=dt, sqp_iters=sqp_iters,
-                    qp_iters=overrides.pop("qp_iters", 12))
+                    qp_iters=overrides.pop("qp_iters", 12), **overrides)
     solver = NMPCSolver(cfg, four_wheel_torque)
     params = _ls_params(
         Q=jnp.diag(jnp.array([20.0, 20.0, 1.0, 1.0, 1.0])),
@@ -323,6 +324,7 @@ def dnn_nmpc(
         N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=sqp_iters,
         qp_iters=overrides.pop("qp_iters", 12),
         n_h_constraints=0 if obstacles is None else obstacles.shape[0],
+        **overrides,
     )
     solver = NMPCSolver(
         cfg, solver_dyn, h_fn=None if obstacles is None else circle_obstacle_h

@@ -33,6 +33,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--samples", type=int, default=2048)
+    ap.add_argument(
+        "--fused-tick",
+        action="store_true",
+        help="run the single-launch Pallas bicycle tick (on-chip PRNG; "
+        "TPU only — ops/pallas/bicycle_tick.py)",
+    )
+    ap.add_argument(
+        "--animate",
+        action="store_true",
+        help="also write the reference-style closed-loop gif "
+        "(mppi_race_car_obstacle.py open-loop demo, :324-343)",
+    )
     ap.add_argument("--out", default="/tmp/mppi_racecar")
     args = ap.parse_args()
 
@@ -64,16 +76,23 @@ def main():
     bp = BicycleParams(wheel_base=jnp.asarray(2.5))
     step_fn = lambda x, u: euler_step(lambda s, a: kinematic_bicycle(s, a, bp), x, u, dt)
     stage, terminal = make_tracking_costs(cfg, wrap_yaw=True, collision="polygon")
-    solver = MPPISolver(cfg, step_fn, stage, terminal)
+    tick_fn = None
+    if args.fused_tick:
+        from dnn_mppi_mpc_tpu.solvers.mppi import make_pallas_bicycle_tick
+
+        tick_fn = make_pallas_bicycle_tick(cfg, wheel_base=2.5)
+    solver = MPPISolver(cfg, step_fn, stage, terminal, tick_fn=tick_fn)
 
     x = jnp.asarray(np.asarray(ref[0], dtype=np.float32))
     state = solver.init(jax.random.PRNGKey(0))
-    xs, us = [np.asarray(x)], []
+    xs, us, plans = [np.asarray(x)], [], []
     for i in range(args.ticks):
         u0, state, aux = solver.step(params, state, x)
         x = step_fn(x, u0)
         xs.append(np.asarray(x))
         us.append(np.asarray(u0))
+        if args.animate:
+            plans.append(np.asarray(aux.optimal_traj))
         if i % 50 == 0:
             print(f"tick {i}: pos=({float(x[0]):.2f},{float(x[1]):.2f}) v={float(x[3]):.2f}")
 
@@ -86,6 +105,19 @@ def main():
         title="MPPI race car + polygon collision",
     )
     plot_controls(os.path.join(args.out, "controls.png"), np.asarray(us), dt, ["steer [rad]", "accel [m/s²]"])
+    if args.animate:
+        from dnn_mppi_mpc_tpu.utils.plotting import save_animation
+
+        save_animation(
+            os.path.join(args.out, "closed_loop.gif"),
+            np.asarray(xs),
+            ref_path=np.asarray(ref),
+            planned_trajs=np.asarray(plans),
+            obstacles=np.asarray(params.obstacles),
+            fps=10,
+            stride=max(1, args.ticks // 100),
+            title=f"MPPI race car K={cfg.num_samples}",
+        )
     print(f"plots -> {args.out}")
 
 

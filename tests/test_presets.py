@@ -74,3 +74,21 @@ def test_dnn_nmpc_preset():
     solver, params = presets.dnn_nmpc(jnp.array([2.0, 1.0, 0.0]), net, N=8)
     u0, st, aux = solver.solve(params, solver.init(jnp.zeros(3)), jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_nmpc_preset_overrides_forwarded():
+    """**overrides must reach SQPConfig — silently dropping e.g.
+    qp_backend='pallas' was a real bug (round 2)."""
+    import pytest
+
+    from dnn_mppi_mpc_tpu.presets import (
+        diff_drive_nmpc,
+        four_wheel_nmpc,
+        racecar_nmpc,
+    )
+
+    for ctor, nx in ((diff_drive_nmpc, 3), (racecar_nmpc, 4), (four_wheel_nmpc, 5)):
+        solver, _ = ctor(jnp.zeros(nx), qp_backend="pallas")
+        assert solver.cfg.qp_backend == "pallas", ctor.__name__
+    with pytest.raises(TypeError):
+        diff_drive_nmpc(jnp.zeros(3), not_a_config_field=1)
