@@ -4,8 +4,9 @@ Bicycle counterpart of ops/pallas/mppi_tick.py: one single-program kernel
 covering the whole sample-space part of a race-car MPPI tick with the
 semantics of controllers/mppi_race_car_obstacle.py:65-131 —
 
-  1. ε ~ N(0, Σ) on-chip (`pltpu.prng_random_bits` → Box-Muller → Cholesky
-     coloring), so the (K, T, 2) noise tensor never exists in HBM (round-1
+  1. ε ~ N(0, Σ) on-chip (`pltpu.prng_random_bits` → popcount-Gaussian or
+     Box-Muller (mppi_tick.standard_normal_pair) → Cholesky coloring), so
+     the (K, T, 2) noise tensor never exists in HBM (round-1
      profiling showed host-side sampling + layout transpose cost ~1.2 ms of
      the 1.63 ms race-car solve — docs/PERF.md);
   2. Euler kinematic-bicycle rollout (:200-214) with in-rollout clamp and the
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mppi_tick import _uniform_01
+from .mppi_tick import standard_normal_pair
 
 LANES = 128
 _TWO_PI = 6.283185307179586
@@ -65,6 +66,7 @@ def _bicycle_tick_kernel(
     n_obs: int,
     gen_noise: bool,
     emit_eps: bool,
+    gaussian: str,
 ):
     rest = list(rest)
     if not gen_noise:
@@ -93,14 +95,7 @@ def _bicycle_tick_kernel(
 
     if gen_noise:
         pltpu.prng_seed(seed_ref[0])
-        b1 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
-        b2 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
-        u1 = _uniform_01(b1)
-        u2 = _uniform_01(b2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = jnp.float32(_TWO_PI) * u2
-        z0 = r * jnp.cos(theta)
-        z1 = r * jnp.sin(theta)
+        z0, z1 = standard_normal_pair((T, R, LANES), gaussian)
         eps0[:, :, :] = l00 * z0
         eps1[:, :, :] = l10 * z0 + l11 * z1
         if emit_eps:
@@ -225,7 +220,7 @@ def _bicycle_tick_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "W", "emit_eps", "interpret"),
+    static_argnames=("K", "T", "W", "emit_eps", "interpret", "gaussian"),
 )
 def bicycle_mppi_tick(
     seed: jnp.ndarray,  # () int32 — ignored when eps is given
@@ -254,9 +249,12 @@ def bicycle_mppi_tick(
     W: int,
     emit_eps: bool = False,
     interpret: bool = False,
+    gaussian: str = "popcount",
 ):
     """One fused race-car MPPI tick → ``(S (K,), w (K,), w_eps (T, 2))``
-    (plus ``eps (K, T, 2)`` when ``emit_eps``)."""
+    (plus ``eps (K, T, 2)`` when ``emit_eps``). ``gaussian`` as in
+    mppi_tick.standard_normal_pair."""
+    assert gaussian in ("popcount", "box_muller"), gaussian
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
     R_BLK = 8 if R % 8 == 0 else R
@@ -304,6 +302,7 @@ def bicycle_mppi_tick(
         n_obs=n_obs,
         gen_noise=gen_noise,
         emit_eps=emit,
+        gaussian=gaussian,
     )
 
     out_shape = [

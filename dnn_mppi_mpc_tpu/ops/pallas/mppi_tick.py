@@ -59,6 +59,44 @@ def _uniform_01(bits: jnp.ndarray) -> jnp.ndarray:
     return 2.0 - f
 
 
+def standard_normal_pair(shape, gaussian: str):
+    """Two independent N(0,1) tensors from the seeded on-chip PRNG.
+
+    ``"popcount"``: transcendental-free — popcount of a random u32 is
+    Binomial(32, ½) ≈ N(16, 8); convolving with an independent U(0,1] smooths
+    the lattice: z = (pc − 16.5 + u)/√(8 + 1/12). Exact mean/variance by
+    construction, excess kurtosis −0.062, support ±5.8σ. Box-Muller costs 2
+    transcendental evals per normal on the VPU — the single largest cost of a
+    fused MPPI tick at W ≤ 20 (slope-measured 114 → 95 µs/solve at K=10 240,
+    T=50; docs/PERF.md) — while this path is adds/shifts/popcounts only.
+
+    ``"box_muller"``: the classical exact transform (5.6σ mantissa
+    truncation), kept for A/B comparison.
+
+    Both modes' moments and the tick self-consistency (emit ε → re-inject →
+    identical outputs) are verified on hardware by tests/test_tick_prng.py.
+    """
+    if gaussian == "popcount":
+        inv_sig = jnp.float32(1.0 / 2.8455227)  # 1/√(8 + 1/12)
+
+        def normal():
+            b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bu = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            pc = pltpu.bitcast(jax.lax.population_count(b), jnp.int32).astype(
+                jnp.float32
+            )
+            return (pc - 16.5 + _uniform_01(bu)) * inv_sig
+
+        return normal(), normal()
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_01(b1)
+    u2 = _uniform_01(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = jnp.float32(_TWO_PI) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
 def _tick_kernel(
     seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
     scal_ref,  # SMEM (22,) packed f32 scalars (layout below)
@@ -75,6 +113,7 @@ def _tick_kernel(
     last_only: bool,
     gen_noise: bool,
     emit_eps: bool,
+    gaussian: str,
 ):
     rest = list(rest)
     if not gen_noise:
@@ -99,18 +138,11 @@ def _tick_kernel(
     l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ), nu=2
 
     if gen_noise:
-        # On-chip ε ~ N(0, Σ): uint32 → uniforms → Box-Muller pair → coloring
-        # by the lower-triangular Cholesky factor of Σ. Bulk PRNG calls; all
+        # On-chip ε ~ N(0, Σ): standard normals colored by the
+        # lower-triangular Cholesky factor of Σ. Bulk PRNG calls; all
         # transforms are full-tensor VPU ops over (T, R, 128).
         pltpu.prng_seed(seed_ref[0])
-        b1 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
-        b2 = pltpu.bitcast(pltpu.prng_random_bits((T, R, LANES)), jnp.uint32)
-        u1 = _uniform_01(b1)
-        u2 = _uniform_01(b2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = jnp.float32(_TWO_PI) * u2
-        z0 = r * jnp.cos(theta)
-        z1 = r * jnp.sin(theta)
+        z0, z1 = standard_normal_pair((T, R, LANES), gaussian)
         eps0[:, :, :] = l00 * z0
         eps1[:, :, :] = l10 * z0 + l11 * z1
         if emit_eps:
@@ -223,7 +255,7 @@ def _tick_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "W", "last_only", "emit_eps", "interpret"),
+    static_argnames=("K", "T", "W", "last_only", "emit_eps", "interpret", "gaussian"),
 )
 def diffdrive_mppi_tick(
     seed: jnp.ndarray,  # () int32 — ignored when eps is given
@@ -249,10 +281,17 @@ def diffdrive_mppi_tick(
     last_only: bool = False,
     emit_eps: bool = False,
     interpret: bool = False,
+    gaussian: str = "popcount",
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
+
+    ``gaussian`` selects the on-chip normal generator (PRNG mode only):
+    ``"popcount"`` (default — transcendental-free binomial+uniform, see the
+    kernel) or ``"box_muller"``. Both are exact-moment Gaussians verified by
+    ``tests/test_tick_prng.py``; injected-ε parity paths are unaffected.
     """
+    assert gaussian in ("popcount", "box_muller"), gaussian
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
     R_BLK = 8 if R % 8 == 0 else R  # register-resident rollout block rows
@@ -295,6 +334,7 @@ def diffdrive_mppi_tick(
         last_only=last_only,
         gen_noise=gen_noise,
         emit_eps=emit,
+        gaussian=gaussian,
     )
 
     out_shape = [

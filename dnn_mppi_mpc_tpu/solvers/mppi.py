@@ -478,7 +478,10 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
 
 
 def make_pallas_diffdrive_tick(
-    cfg: MPPIConfig, robot_radius: float = 0.5, interpret: bool = False
+    cfg: MPPIConfig,
+    robot_radius: float = 0.5,
+    interpret: bool = False,
+    gaussian: str = "popcount",
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -486,6 +489,8 @@ def make_pallas_diffdrive_tick(
     weighted-noise reduce — the ε tensor never exists in HBM. Only valid for
     the single-device diff-drive tracking problem (same semantics as
     make_pallas_diffdrive_rollout; parity-tested in tests/test_mppi_tick.py).
+    ``gaussian`` picks the on-chip normal generator ("popcount" default /
+    "box_muller"; see ops/pallas/mppi_tick.py).
     """
     from ..ops.pallas.mppi_tick import diffdrive_mppi_tick
     from ..ops.sampling import small_cholesky
@@ -536,6 +541,7 @@ def make_pallas_diffdrive_tick(
             W=Wlen,
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             interpret=interpret,
+            gaussian=gaussian,
         )
 
     return tick
@@ -548,6 +554,7 @@ def make_pallas_bicycle_tick(
     vehicle_width: float = 3.0,
     margin_rate: float = 1.5,
     interpret: bool = False,
+    gaussian: str = "popcount",
 ):
     """Bind the fully-fused race-car tick kernel (ops/pallas/bicycle_tick.py).
 
@@ -612,6 +619,7 @@ def make_pallas_bicycle_tick(
             T=cfg.horizon,
             W=Wlen,
             interpret=interpret,
+            gaussian=gaussian,
         )
 
     return tick

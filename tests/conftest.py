@@ -11,7 +11,13 @@ already-initialized backends.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DMM_TPU_TESTS=1 keeps the attached accelerator so the TPU-only tests
+# (tests/test_tick_prng.py) can run:
+#   DMM_TPU_TESTS=1 python -m pytest tests/test_tick_prng.py
+# Default: force the virtual 8-device CPU mesh.
+_KEEP_TPU = os.environ.get("DMM_TPU_TESTS") == "1"
+if not _KEEP_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,15 +26,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    import jax.extend.backend as _jeb
+if not _KEEP_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        import jax.extend.backend as _jeb
 
-    _jeb.clear_backends()
-except Exception:  # pragma: no cover - older jax versions
-    pass
+        _jeb.clear_backends()
+    except Exception:  # pragma: no cover - older jax versions
+        pass
 
-assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+    assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Parity tests compare against float64 numpy oracles; the library itself stays

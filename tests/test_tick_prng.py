@@ -1,0 +1,85 @@
+"""On-chip PRNG validation for the fused tick kernels (TPU-only).
+
+The Mosaic PRNG primitives have no CPU interpreter lowering, so these run
+only when a TPU is attached (CI skips them; the driver's bench exercises the
+same path). Checks per generator ("popcount" and "box_muller",
+ops/pallas/mppi_tick.standard_normal_pair):
+
+* moments — emitted ε has the requested N(0, Σ) mean/covariance, and the
+  whitened marginals have the documented excess kurtosis (≈0 Box-Muller,
+  ≈−0.062 popcount);
+* self-consistency — re-injecting the emitted ε through the injection mode
+  reproduces S, w, and w·ε bit-exactly (same compute path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu",
+    reason="Mosaic PRNG primitives are TPU-only",
+)
+
+K, T, W = 2048, 30, 10
+
+
+def _tick_args():
+    from dnn_mppi_mpc_tpu.ops.pallas.mppi_tick import diffdrive_mppi_tick
+
+    rng = np.random.default_rng(0)
+    win = jnp.asarray(rng.normal(size=(W, 3)), jnp.float32)
+    sw = jnp.array([5.0, 5.0, 10.0], jnp.float32)
+    chol = jnp.array([[0.316, 0.0], [0.05, 0.1]], jnp.float32)
+
+    def tick(gauss, seed, eps=None, emit=False):
+        return diffdrive_mppi_tick(
+            jnp.int32(seed),
+            jnp.zeros((T, 2), jnp.float32),
+            jnp.zeros((T, 2), jnp.float32),
+            chol,
+            jnp.zeros(3, jnp.float32),
+            win,
+            sw,
+            sw,
+            jnp.array([-5.0, -3.14], jnp.float32),
+            jnp.array([5.0, 3.14], jnp.float32),
+            0.02,
+            0.8 * K,
+            jnp.float32(1.0),
+            eps=eps,
+            K=K,
+            T=T,
+            W=W,
+            gaussian=gauss,
+            emit_eps=emit,
+        )
+
+    return tick, chol
+
+
+@pytest.mark.parametrize(
+    "gauss,kurt_lo,kurt_hi",
+    [("box_muller", -0.05, 0.05), ("popcount", -0.12, -0.01)],
+)
+def test_generated_noise_moments(gauss, kurt_lo, kurt_hi):
+    tick, chol = _tick_args()
+    _, _, _, eps = tick(gauss, 1234, emit=True)
+    e = np.asarray(eps).reshape(-1, 2).astype(np.float64)  # 61k draws/dim
+    sig = np.asarray(chol, np.float64) @ np.asarray(chol, np.float64).T
+    assert np.abs(e.mean(axis=0)).max() < 5e-3
+    np.testing.assert_allclose(np.cov(e.T), sig, atol=3e-3)
+    z = e @ np.linalg.inv(np.asarray(chol, np.float64).T)
+    kurt = ((z - z.mean(0)) ** 4).mean(0) / z.var(0) ** 2 - 3.0
+    assert (kurt > kurt_lo).all() and (kurt < kurt_hi).all(), kurt
+
+
+@pytest.mark.parametrize("gauss", ["box_muller", "popcount"])
+def test_emit_reinject_self_consistency(gauss):
+    tick, _ = _tick_args()
+    S, w, weps, eps = tick(gauss, 99, emit=True)
+    S2, w2, weps2 = tick(gauss, 0, eps=eps)
+    np.testing.assert_array_equal(np.asarray(S), np.asarray(S2))
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(weps), np.asarray(weps2))
