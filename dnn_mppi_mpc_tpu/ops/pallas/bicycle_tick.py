@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mppi_tick import standard_normal_pair
+from .mppi_tick import pick_r_blk, standard_normal_pair
 
 LANES = 128
 _TWO_PI = 6.283185307179586
@@ -257,7 +257,7 @@ def bicycle_mppi_tick(
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
-    R_BLK = 8 if R % 8 == 0 else R
+    R_BLK = pick_r_blk(R)
     gen_noise = eps is None
     emit = bool(emit_eps and gen_noise)
 

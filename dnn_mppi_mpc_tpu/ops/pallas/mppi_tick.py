@@ -97,6 +97,24 @@ def standard_normal_pair(shape, gaussian: str):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def pick_r_blk(R: int) -> int:
+    """Rollout block rows: the tile-aligned (multiple-of-8) divisor of R
+    closest to 40.
+
+    Measured on the chip at the flagship K=10 240 (R=80), T=50, W=20 —
+    R_BLK 8: 88.8 µs/tick, 16: 52.6, 40: 41.9–47.0, 80: 54.7. Wider blocks
+    amortize fori_loop overhead and expose ILP across rows until the
+    4×(R_BLK,128) carry overflows vector registers; non-multiple-of-8 blocks
+    (e.g. 20) are slower than either neighbor because every eps slice then
+    crosses sublane-tile boundaries.
+    """
+    best = 0
+    for c in range(8, R + 1, 8):
+        if R % c == 0 and abs(c - 40) < abs(best - 40):
+            best = c
+    return best if best else R
+
+
 def _tick_kernel(
     seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
     scal_ref,  # SMEM (22,) packed f32 scalars (layout below)
@@ -294,7 +312,7 @@ def diffdrive_mppi_tick(
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
-    R_BLK = 8 if R % 8 == 0 else R  # register-resident rollout block rows
+    R_BLK = pick_r_blk(R)
     gen_noise = eps is None
     emit = bool(emit_eps and gen_noise)
 

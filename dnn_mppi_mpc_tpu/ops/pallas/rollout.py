@@ -160,7 +160,7 @@ def diffdrive_rollout_costs(
     *,
     T: int,
     W: int,
-    R_BLK: int = 8,
+    R_BLK: Optional[int] = None,
     last_only: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -168,6 +168,10 @@ def diffdrive_rollout_costs(
     K = eps.shape[0]
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
+    if R_BLK is None:
+        from .mppi_tick import pick_r_blk
+
+        R_BLK = pick_r_blk(R)  # ~40-row blocks (hardware sweep, mppi_tick.py)
     R_BLK = min(R_BLK, R)  # small shards (sharded execution) shrink the block
     assert R % R_BLK == 0, f"rows {R} must divide by block {R_BLK}"
     n_blocks = R // R_BLK

@@ -191,12 +191,16 @@ def bicycle_rollout_costs(
     *,
     T: int,
     W: int,
-    R_BLK: int = 8,
+    R_BLK: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     K = eps.shape[0]
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
+    if R_BLK is None:
+        from .mppi_tick import pick_r_blk
+
+        R_BLK = pick_r_blk(R)  # ~40-row blocks (hardware sweep, mppi_tick.py)
     R_BLK = min(R_BLK, R)  # small shards (sharded execution) shrink the block
     assert R % R_BLK == 0, f"rows {R} must divide by block {R_BLK}"
     n_blocks = R // R_BLK
