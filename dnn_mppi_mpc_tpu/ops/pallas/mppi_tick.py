@@ -77,7 +77,7 @@ def standard_normal_pair(shape, gaussian: str):
     identical outputs) are verified on hardware by tests/test_tick_prng.py.
     """
     if gaussian == "popcount":
-        inv_sig = jnp.float32(1.0 / 2.8455227)  # 1/√(8 + 1/12)
+        inv_sig = jnp.float32(1.0 / 2.8431203515386634)  # 1/√(8 + 1/12)
 
         def normal():
             b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -97,31 +97,35 @@ def standard_normal_pair(shape, gaussian: str):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def pick_r_blk(R: int) -> int:
+def pick_r_blk(R: int, target: int = 40) -> int:
     """Rollout block rows: the tile-aligned (multiple-of-8) divisor of R
-    closest to 40.
+    closest to ``target``.
 
     Measured on the chip at the flagship K=10 240 (R=80), T=50, W=20 —
     R_BLK 8: 88.8 µs/tick, 16: 52.6, 40: 41.9–47.0, 80: 54.7. Wider blocks
     amortize fori_loop overhead and expose ILP across rows until the
     4×(R_BLK,128) carry overflows vector registers; non-multiple-of-8 blocks
-    (e.g. 20) are slower than either neighbor because every eps slice then
-    crosses sublane-tile boundaries.
+    at non-zero offsets (e.g. 20 of R=80) are slower than either neighbor
+    because every eps slice then crosses sublane-tile boundaries.
+
+    When R has no multiple-of-8 divisor (K not a multiple of 1024), fall back
+    to R_BLK=R: a single block always starts at offset 0, so no slice crosses
+    a tile boundary (only the ragged final tile pads).
     """
     best = 0
     for c in range(8, R + 1, 8):
-        if R % c == 0 and abs(c - 40) < abs(best - 40):
+        if R % c == 0 and abs(c - target) < abs(best - target):
             best = c
     return best if best else R
 
 
 def _tick_kernel(
     seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
-    scal_ref,  # SMEM (22,) packed f32 scalars (layout below)
+    scal_ref,  # SMEM (24,) packed f32 scalars (layout below)
     u_ref,  # VMEM (T, 2) nominal controls
     a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
     win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)
-    obs_ref,  # VMEM (n_obs, 3) obstacle circles (x, y, r) — may be zero rows
+    obs_ref,  # VMEM (n_obs, 5) obstacles (x, y, r, vx, vy) — may be zero rows
     *rest,  # [eps0_in, eps1_in] | outputs | [eps scratch ×2]
     T: int,
     W: int,
@@ -132,6 +136,8 @@ def _tick_kernel(
     gen_noise: bool,
     emit_eps: bool,
     gaussian: str,
+    obs_mode: str,  # "circle" (hard ×1e7) | "soft" (exp penalty)
+    moving_obs: bool,  # obstacles drift at (vx, vy) during the rollout
 ):
     rest = list(rest)
     if not gen_noise:
@@ -154,6 +160,7 @@ def _tick_kernel(
     k_offset = scal_ref[16]  # global sample-index offset
     inv_temp = scal_ref[17]
     l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ), nu=2
+    soft_dist, soft_w = scal_ref[21], scal_ref[22]  # soft obstacle params
 
     if gen_noise:
         # On-chip ε ~ N(0, Σ): standard normals colored by the
@@ -170,7 +177,10 @@ def _tick_kernel(
     # Hoist waypoint/obstacle scalars out of the T loop (VMEM scalar reads in
     # the loop cost thousands of scalar loads — docs/PERF.md Mosaic lessons).
     win = [(win_ref[w, 0], win_ref[w, 1], win_ref[w, 2]) for w in range(W)]
-    obs = [(obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2]) for o in range(n_obs)]
+    obs = [
+        (obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2], obs_ref[o, 3], obs_ref[o, 4])
+        for o in range(n_obs)
+    ]
     shape = (R_BLK, LANES)
 
     def window_refs(xc, yc):
@@ -190,13 +200,29 @@ def _tick_kernel(
             ryaw = jnp.where(better, wyaw, ryaw)
         return rx, ry, ryaw
 
-    def obstacle_penalty(xc, yc):
+    def obstacle_penalty(xc, yc, t_f=None):
+        """Per-sample obstacle cost at rollout time ``t_f`` (None → initial
+        positions, the terminal-cost rule of solvers/mppi.py collision_cost:
+        obstacles drift vel·(t·dt) during the rollout, terminal uses t=0)."""
         pen = jnp.zeros(shape, dtype=jnp.float32)
-        for ox, oy, orad in obs:
-            d2 = (xc - ox) * (xc - ox) + (yc - oy) * (yc - oy)
-            rr = orad + obs_pen_radius
-            pen = jnp.where(d2 < rr * rr, jnp.float32(1.0), pen)
-        return pen * jnp.float32(1.0e7)
+        for ox, oy, orad, ovx, ovy in obs:
+            if moving_obs and t_f is not None:
+                ox = ox + ovx * t_f
+                oy = oy + ovy * t_f
+            dxo = xc - ox
+            dyo = yc - oy
+            d2 = dxo * dxo + dyo * dyo
+            if obs_mode == "circle":
+                rr = orad + obs_pen_radius
+                pen = jnp.where(d2 < rr * rr, jnp.float32(1.0), pen)
+            else:  # soft exponential (test_mppi_diff_obs.py:59-64)
+                d = jnp.sqrt(d2 + jnp.float32(1e-12))
+                pen = pen + jnp.where(
+                    d < soft_dist, jnp.exp(soft_dist - d), jnp.float32(0.0)
+                )
+        if obs_mode == "circle":
+            return pen * jnp.float32(1.0e7)
+        return pen * soft_w
 
     # Rollout in (R_BLK, 128) row blocks: the T-loop carry must fit vector
     # registers — a full (R, 128) carry (R = 80 at the flagship scale) spills
@@ -232,7 +258,7 @@ def _tick_kernel(
             )
             c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
             if n_obs > 0:
-                c = c + obstacle_penalty(x, y)
+                c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * dt)
             if last_only:
                 S = c  # reference overwrite quirk (mppi_differential_drive.py:124)
             else:
@@ -273,7 +299,16 @@ def _tick_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "W", "last_only", "emit_eps", "interpret", "gaussian"),
+    static_argnames=(
+        "K",
+        "T",
+        "W",
+        "last_only",
+        "emit_eps",
+        "interpret",
+        "gaussian",
+        "collision",
+    ),
 )
 def diffdrive_mppi_tick(
     seed: jnp.ndarray,  # () int32 — ignored when eps is given
@@ -292,6 +327,9 @@ def diffdrive_mppi_tick(
     obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 3) or None
     robot_radius: float = 0.5,
     eps: Optional[jnp.ndarray] = None,  # (K, T, 2) injected ε (parity mode)
+    obstacle_velocities: Optional[jnp.ndarray] = None,  # (n_obs, 2) drift
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
     *,
     K: int,
     T: int,
@@ -300,6 +338,7 @@ def diffdrive_mppi_tick(
     emit_eps: bool = False,
     interpret: bool = False,
     gaussian: str = "popcount",
+    collision: str = "circle",
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -308,8 +347,17 @@ def diffdrive_mppi_tick(
     ``"popcount"`` (default — transcendental-free binomial+uniform, see the
     kernel) or ``"box_muller"``. Both are exact-moment Gaussians verified by
     ``tests/test_tick_prng.py``; injected-ε parity paths are unaffected.
+
+    ``collision`` picks the obstacle stage/terminal cost: ``"circle"`` — the
+    hard robot-circle test ×1e7 (mppi_differential_drive_obs.py:301-313) —
+    or ``"soft"`` — the exponential penalty Σ exp(d_safe−d)·[d<d_safe]·w of
+    test/test_mppi_diff_obs.py:59-64 (the pytorch_mppi goal-seeking spec).
+    ``obstacle_velocities`` makes obstacles drift vel·(t·dt) inside the
+    rollout (stage costs; terminal uses initial positions — the scan-engine
+    rule in solvers/mppi.py::make_tracking_costs).
     """
     assert gaussian in ("popcount", "box_muller"), gaussian
+    assert collision in ("circle", "soft"), collision
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
     R_BLK = pick_r_blk(R)
@@ -332,14 +380,26 @@ def diffdrive_mppi_tick(
             jnp.reshape(chol_sigma.astype(jnp.float32), (4,))[
                 jnp.asarray([0, 2, 3])
             ],  # l00, l10, l11
+            jnp.asarray([soft_safety_distance, soft_weight], jnp.float32),
             jnp.zeros((1,), jnp.float32),  # pad
         ]
     )
-    obs = (
-        obstacles.astype(jnp.float32)
-        if obstacles is not None
-        else jnp.zeros((1, 3), jnp.float32)
-    )
+    # Obstacle rows packed as (x, y, r, vx, vy); zero drift when static,
+    # zero radius when only centers are given (soft mode ignores r).
+    if obstacles is not None:
+        ob = obstacles.astype(jnp.float32)
+        if ob.shape[1] == 2:
+            ob = jnp.concatenate(
+                [ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1
+            )
+        vel = (
+            obstacle_velocities[..., :2].astype(jnp.float32)
+            if obstacle_velocities is not None
+            else jnp.zeros((ob.shape[0], 2), jnp.float32)
+        )
+        obs = jnp.concatenate([ob[:, :3], vel], axis=1)
+    else:
+        obs = jnp.zeros((1, 5), jnp.float32)
     n_obs = obstacles.shape[0] if obstacles is not None else 0
 
     kernel = functools.partial(
@@ -353,6 +413,8 @@ def diffdrive_mppi_tick(
         gen_noise=gen_noise,
         emit_eps=emit,
         gaussian=gaussian,
+        obs_mode=collision,
+        moving_obs=obstacle_velocities is not None,
     )
 
     out_shape = [

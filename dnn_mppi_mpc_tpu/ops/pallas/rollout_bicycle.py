@@ -200,7 +200,11 @@ def bicycle_rollout_costs(
     if R_BLK is None:
         from .mppi_tick import pick_r_blk
 
-        R_BLK = pick_r_blk(R)  # ~40-row blocks (hardware sweep, mppi_tick.py)
+        # ~40-row blocks (hardware sweep, mppi_tick.py), capped so the
+        # double-buffered (T, 2, R_BLK, 128) f32 eps grid block stays within
+        # a ~4 MiB VMEM budget at long horizons.
+        max_rows = max(8, (4 << 20) // (T * 2 * LANES * 4))
+        R_BLK = pick_r_blk(R, target=min(40, max_rows))
     R_BLK = min(R_BLK, R)  # small shards (sharded execution) shrink the block
     assert R % R_BLK == 0, f"rows {R} must divide by block {R_BLK}"
     n_blocks = R // R_BLK

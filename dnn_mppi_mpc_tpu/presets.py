@@ -91,6 +91,7 @@ def racecar_mppi(
     obstacles: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     fused_tick: bool = False,
+    gaussian: str = "popcount",
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -139,7 +140,7 @@ def racecar_mppi(
     if fused_tick:
         from .solvers.mppi import make_pallas_bicycle_tick
 
-        tick_fn = make_pallas_bicycle_tick(cfg, wheel_base=wheel_base)
+        tick_fn = make_pallas_bicycle_tick(cfg, wheel_base=wheel_base, gaussian=gaussian)
     elif use_pallas:
         from .solvers.mppi import make_pallas_bicycle_rollout
 
@@ -157,6 +158,8 @@ def goal_seeking_mppi(
     dt: float = 0.05,
     obstacles: Optional[jnp.ndarray] = None,
     obstacle_velocities: Optional[jnp.ndarray] = None,
+    fused_tick: bool = False,
+    gaussian: str = "popcount",
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """pytorch_mppi-style goal-point MPPI with soft obstacle costs.
@@ -164,6 +167,9 @@ def goal_seeking_mppi(
     The configuration of test/test_mppi_diff_obs.py:631-667 (K=1500, T=50,
     δt=.05, einsum Q=diag(30,5,9), soft exponential obstacle penalty, moving
     obstacles, Savitzky-Golay smoothing). The 'path' is the single goal pose.
+    ``fused_tick`` binds the single-launch Pallas tick (collision="soft",
+    W=1 goal window, in-rollout obstacle drift; TPU-only for the on-chip
+    PRNG path — parity in tests/test_mppi_tick.py).
     """
     cfg = MPPIConfig(
         num_samples=num_samples,
@@ -196,7 +202,19 @@ def goal_seeking_mppi(
         cfg, collision="none" if obstacles is None else "soft",
         soft_safety_distance=2.0, soft_weight=100.0,
     )
-    return MPPISolver(cfg, step, stage, terminal), params
+    tick_fn = None
+    if fused_tick:
+        from .solvers.mppi import make_pallas_diffdrive_tick
+
+        # collision="soft" is a no-op when params.obstacles is None (n_obs=0)
+        tick_fn = make_pallas_diffdrive_tick(
+            cfg,
+            gaussian=gaussian,
+            collision="soft",
+            soft_safety_distance=2.0,
+            soft_weight=100.0,
+        )
+    return MPPISolver(cfg, step, stage, terminal, tick_fn=tick_fn), params
 
 
 def _ls_params(Q, R, Qe, goal, N, lbx, ubx, lbu, ubu, p=None) -> OCPParams:

@@ -482,15 +482,22 @@ def make_pallas_diffdrive_tick(
     robot_radius: float = 0.5,
     interpret: bool = False,
     gaussian: str = "popcount",
+    collision: str = "circle",
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
     One kernel per tick: on-chip ε ~ N(0, Σ), rollout + cost, softmax,
     weighted-noise reduce — the ε tensor never exists in HBM. Only valid for
-    the single-device diff-drive tracking problem (same semantics as
+    single-device diff-drive problems (same semantics as
     make_pallas_diffdrive_rollout; parity-tested in tests/test_mppi_tick.py).
     ``gaussian`` picks the on-chip normal generator ("popcount" default /
-    "box_muller"; see ops/pallas/mppi_tick.py).
+    "box_muller"; see ops/pallas/mppi_tick.py). ``collision`` must match the
+    bound cost functions: "circle" (hard ×penalty,
+    mppi_differential_drive_obs.py) or "soft" (exponential,
+    test_mppi_diff_obs.py — the goal-seeking preset with W=1). In-rollout
+    moving obstacles (params.obstacle_velocities) are supported in both.
     """
     from ..ops.pallas.mppi_tick import diffdrive_mppi_tick
     from ..ops.sampling import small_cholesky
@@ -509,11 +516,6 @@ def make_pallas_diffdrive_tick(
         seed: jnp.ndarray,
         noise: Optional[jnp.ndarray],
     ):
-        if params.obstacle_velocities is not None:
-            raise ValueError(
-                "the fused tick kernel does not implement in-rollout moving "
-                "obstacles (obstacle_velocities) — use the scan path"
-            )
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
@@ -536,12 +538,16 @@ def make_pallas_diffdrive_tick(
             obstacles=params.obstacles,
             robot_radius=robot_radius,
             eps=noise,
+            obstacle_velocities=params.obstacle_velocities,
+            soft_safety_distance=soft_safety_distance,
+            soft_weight=soft_weight,
             K=cfg.num_samples,
             T=cfg.horizon,
             W=Wlen,
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             interpret=interpret,
             gaussian=gaussian,
+            collision=collision,
         )
 
     return tick
@@ -724,12 +730,13 @@ class MPPISolver:
         rollout_fn: Optional[Callable] = None,
         fused_tick: bool = False,
         tick_fn: Optional[Callable] = None,
+        gaussian: str = "popcount",
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
         if tick_fn is None and fused_tick:
-            tick_fn = make_pallas_diffdrive_tick(cfg, robot_radius)
+            tick_fn = make_pallas_diffdrive_tick(cfg, robot_radius, gaussian=gaussian)
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
         self._step = jax.jit(

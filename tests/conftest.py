@@ -12,9 +12,11 @@ already-initialized backends.
 import os
 
 # DMM_TPU_TESTS=1 keeps the attached accelerator so the TPU-only tests
-# (tests/test_tick_prng.py) can run:
+# (marked ``tpu_hw``, e.g. tests/test_tick_prng.py) can run:
 #   DMM_TPU_TESTS=1 python -m pytest tests/test_tick_prng.py
-# Default: force the virtual 8-device CPU mesh.
+# Everything NOT marked tpu_hw is auto-skipped in this mode — the rest of the
+# suite expects the virtual CPU mesh + x64 oracles and would mis-run on the
+# accelerator. Default: force the virtual 8-device CPU mesh.
 _KEEP_TPU = os.environ.get("DMM_TPU_TESTS") == "1"
 if not _KEEP_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -41,3 +43,22 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Parity tests compare against float64 numpy oracles; the library itself stays
 # explicit-f32 on its hot paths.
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu_hw: needs real TPU hardware (runs under DMM_TPU_TESTS=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _KEEP_TPU:
+        skip = pytest.mark.skip(
+            reason="DMM_TPU_TESTS=1 runs only tpu_hw-marked tests; the rest "
+            "of the suite expects the virtual CPU mesh"
+        )
+        for item in items:
+            if "tpu_hw" not in item.keywords:
+                item.add_marker(skip)

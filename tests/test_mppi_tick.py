@@ -189,24 +189,87 @@ def test_tick_guards():
         make_pallas_diffdrive_tick(
             dataclasses.replace(cfg, num_rollout_repeats=3)
         )
-    tick = make_pallas_diffdrive_tick(cfg, interpret=True)
-    bad = dataclasses.replace(
-        params,
-        obstacles=jnp.zeros((1, 3), jnp.float32),
-        obstacle_velocities=jnp.ones((1, 2), jnp.float32),
-    )
-    with pytest.raises(ValueError, match="obstacle_velocities"):
-        jax.eval_shape(
-            lambda p: mppi_step(
-                cfg,
-                step_fn,
-                stage,
-                terminal,
-                p,
-                MPPIState.init(cfg),
-                jnp.zeros(3),
-                _noise(cfg, params),
-                tick_fn=tick,
-            ),
-            bad,
+
+
+def _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick, seed=3):
+    eps = _noise(cfg, params, seed=seed)
+    x0 = jnp.array([0.1, -0.05, 0.2], jnp.float32)
+    state = MPPIState.init(cfg)
+    u0_t, st_t, aux_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
         )
+    )(params, state, x0, eps)
+    u0_r, st_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+    np.testing.assert_allclose(
+        np.asarray(aux_t.costs), np.asarray(aux_r.costs), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_t.weights), np.asarray(aux_r.weights), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(u0_t), np.asarray(u0_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_t.u_prev), np.asarray(st_r.u_prev), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tick_kernel_moving_obstacles_matches_scan():
+    """In-rollout obstacle drift (vel·t·dt in stage, initial at terminal —
+    test_mppi_diff_obs.py:17-20 semantics) in the circle collision mode."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
+    params = dataclasses.replace(
+        params,
+        obstacle_velocities=jnp.array([[0.8, -0.5], [-0.6, 0.4]], jnp.float32),
+    )
+    tick = make_pallas_diffdrive_tick(cfg, robot_radius=0.5, interpret=True)
+    _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)
+
+
+@pytest.mark.parametrize("moving", [False, True])
+def test_tick_kernel_goal_seeking_soft_matches_scan(moving):
+    """The pytorch_mppi goal-seeking family fused: single-goal window (W=1),
+    soft exponential obstacle cost, optional in-rollout obstacle motion
+    (presets.goal_seeking_mppi / test_mppi_diff_obs.py:631-667)."""
+    from dnn_mppi_mpc_tpu.config import SmoothingFilter, Temperature
+
+    cfg = MPPIConfig(
+        num_samples=K,
+        horizon=T,
+        dim_x=3,
+        dim_u=2,
+        dt=DT,
+        lam=1.0,
+        alpha=1.0,
+        exploration=0.0,
+        temperature=Temperature.LAMBDA,
+        filter=SmoothingFilter.SAVGOL,
+        filter_window=min(11, T),
+        savgol_polyorder=3,
+        waypoint_search_len=1,
+    )
+    params = MPPIParams(
+        sigma=jnp.array([[0.5, 0.0], [0.0, 0.3]], jnp.float32),
+        stage_weight=jnp.array([30.0, 5.0, 9.0], jnp.float32),
+        terminal_weight=jnp.array([30.0, 5.0, 9.0], jnp.float32),
+        u_min=jnp.array([-2.0, -2.0], jnp.float32),
+        u_max=jnp.array([2.0, 2.0], jnp.float32),
+        ref_path=jnp.array([[3.0, 2.0, 0.0]], jnp.float32),
+        obstacles=jnp.array([[1.2, 0.9, 0.3], [2.2, 1.6, 0.4]], jnp.float32),
+        obstacle_velocities=(
+            jnp.array([[0.5, 0.3], [-0.4, 0.2]], jnp.float32) if moving else None
+        ),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(
+        cfg, collision="soft", soft_safety_distance=2.0, soft_weight=100.0
+    )
+    tick = make_pallas_diffdrive_tick(
+        cfg,
+        interpret=True,
+        collision="soft",
+        soft_safety_distance=2.0,
+        soft_weight=100.0,
+    )
+    _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)

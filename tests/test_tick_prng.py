@@ -18,10 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    jax.devices()[0].platform == "cpu",
-    reason="Mosaic PRNG primitives are TPU-only",
-)
+pytestmark = [
+    pytest.mark.tpu_hw,
+    pytest.mark.skipif(
+        jax.devices()[0].platform != "tpu",
+        reason="Mosaic PRNG primitives are TPU-only",
+    ),
+]
 
 K, T, W = 2048, 30, 10
 
@@ -107,8 +110,11 @@ def _check_moments(eps, chol, kurt_lo, kurt_hi):
 
 @pytest.mark.parametrize("make", [_tick_args, _bicycle_tick_args])
 @pytest.mark.parametrize(
+    # ±4·se windows around the expected excess kurtosis (se = √(24/n) ≈ 0.020
+    # at n = 61 440 draws) so a different deterministic PRNG stream (another
+    # TPU generation / Mosaic revision) doesn't fail spuriously.
     "gauss,kurt_lo,kurt_hi",
-    [("box_muller", -0.05, 0.05), ("popcount", -0.12, -0.01)],
+    [("box_muller", -0.08, 0.08), ("popcount", -0.14, 0.02)],
 )
 def test_generated_noise_moments(make, gauss, kurt_lo, kurt_hi):
     tick, chol = make()
