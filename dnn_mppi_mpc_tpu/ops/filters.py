@@ -17,7 +17,7 @@ All operate on (T, d) sequences along axis 0 and are jit/vmap friendly
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -123,23 +123,95 @@ def savgol_filter(x: jnp.ndarray, window_size: int, polyorder: int) -> jnp.ndarr
     return out
 
 
+def filter_matrix(
+    kind_value: str, T: int, window: int, polyorder: int = 3
+) -> np.ndarray:
+    """The (T, T) matrix F of a smoothing filter: ``filter(x) == F @ x``.
+
+    All three filters are linear in x with static shape parameters, so each is
+    exactly one precomputed matrix. ``apply_filter`` uses this as its hot path:
+    on TPU the conv + edge-scatter op chains cost ~15 µs of the fused-tick
+    control step, the single (T, T)@(T, d) matmul ~2 µs (docs/PERF.md).
+    Host-side float64 numpy, mirroring the op implementations above
+    column-by-column (equivalence pinned by tests/test_ops.py at 1e-12).
+    """
+    return _filter_matrix_cached(kind_value, T, window, polyorder)
+
+
+@lru_cache(maxsize=None)
+def _filter_matrix_cached(kind_value: str, T: int, window: int, polyorder: int):
+    from ..config import SmoothingFilter
+
+    kind = SmoothingFilter(kind_value)
+    eye = np.eye(T, dtype=np.float64)
+
+    def conv_same_cols(x, kernel):
+        return np.stack(
+            [np.convolve(x[:, j], kernel, mode="same") for j in range(x.shape[1])],
+            axis=1,
+        )
+
+    if kind == SmoothingFilter.MOVING_AVERAGE_EDGE:
+        w = min(window, T)
+        out = conv_same_cols(eye, np.ones(w) / w)
+        n_conv = math.ceil(w / 2)
+        scale = np.ones((T,), dtype=np.float64)
+        scale[0] = w / n_conv
+        last = 1.0
+        for i in range(1, n_conv):
+            scale[i] = w / (i + n_conv)
+            last *= w / (i + n_conv - (w % 2))
+        scale[-1] *= last
+        return out * scale[:, None]
+
+    if kind == SmoothingFilter.MOVING_AVERAGE_PADDED:
+        w = min(window, T)
+        padded = np.concatenate([eye[: w // 2], eye, eye[-(w // 2):]], axis=0)
+        out = conv_same_cols(padded, np.ones(w) / w)
+        return out[w // 2 : -(w // 2)] if w // 2 else out
+
+    if kind == SmoothingFilter.SAVGOL:
+        w = min(window, T)
+        if w % 2 == 0:
+            w -= 1
+        p = min(polyorder, w - 1)
+        if w <= 1:
+            return eye
+        half = (w - 1) // 2
+        coeffs = savgol_coefficients(w, p)[::-1]
+        out = conv_same_cols(eye, coeffs)
+        j = np.arange(w, dtype=np.float64)
+        design = np.stack([j**i for i in range(p + 1)], axis=1)
+        pinv = np.linalg.pinv(design)
+        head_eval = np.stack([np.arange(half) ** i for i in range(p + 1)], axis=1)
+        tail_pos = np.arange(w - half, w, dtype=np.float64)
+        tail_eval = np.stack([tail_pos**i for i in range(p + 1)], axis=1)
+        out[:half] = (head_eval @ pinv) @ eye[:w]
+        out[T - half :] = (tail_eval @ pinv) @ eye[-w:]
+        return out
+
+    raise ValueError(f"no matrix form for filter: {kind!r}")
+
+
 def apply_filter(x: jnp.ndarray, kind, window: int, polyorder: int = 3) -> jnp.ndarray:
-    """Dispatch on config.SmoothingFilter (string value or enum)."""
+    """Dispatch on config.SmoothingFilter (string value or enum).
+
+    Applies the filter as one precomputed (T, T) matmul (``filter_matrix``) —
+    numerically equivalent to the op implementations above (which remain the
+    tested semantic definition) but one fused MXU op instead of a conv +
+    edge-fixup chain.
+    """
     from ..config import SmoothingFilter
 
     kind = SmoothingFilter(kind) if not isinstance(kind, SmoothingFilter) else kind
     if kind == SmoothingFilter.NONE:
         return x
-    if kind == SmoothingFilter.MOVING_AVERAGE_EDGE:
-        return moving_average_edge(x, window)
-    if kind == SmoothingFilter.MOVING_AVERAGE_PADDED:
-        return moving_average_padded(x, window)
-    if kind == SmoothingFilter.SAVGOL:
-        return savgol_filter(x, window, polyorder)
-    raise ValueError(f"unknown filter: {kind!r}")
+    F = jnp.asarray(filter_matrix(kind.value, x.shape[0], window, polyorder), x.dtype)
+    return jnp.matmul(F, x, precision=jax.lax.Precision.HIGHEST)
 
 
 __all__ = [
+    "filter_matrix",
     "moving_average_edge",
     "moving_average_padded",
     "savgol_coefficients",

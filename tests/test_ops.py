@@ -78,6 +78,39 @@ def test_savgol_matches_scipy(T, w, p):
     np.testing.assert_allclose(got, want, atol=1e-8)
 
 
+@pytest.mark.parametrize(
+    "kind,T,w,p",
+    [
+        ("ma_edge", 50, 10, 0),
+        ("ma_edge", 10, 10, 0),
+        ("ma_edge", 25, 7, 0),
+        ("ma_padded", 50, 8, 0),
+        ("ma_padded", 20, 10, 0),
+        ("savgol", 50, 11, 3),
+        ("savgol", 60, 21, 3),
+        ("savgol", 50, 51, 3),  # window clamps to T, forced odd
+        ("savgol", 30, 4, 5),  # even window, polyorder clamp
+    ],
+)
+def test_filter_matrix_equals_op_path(kind, T, w, p):
+    """apply_filter's hot path is one precomputed (T, T) matmul; pin it to the
+    reference-semantics op implementations (linear filters → exact matrix)."""
+    from dnn_mppi_mpc_tpu.ops.filters import apply_filter, filter_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(T, 2))
+    ops = {
+        "ma_edge": lambda z: moving_average_edge(z, w),
+        "ma_padded": lambda z: moving_average_padded(z, w),
+        "savgol": lambda z: savgol_filter(z, w, p),
+    }
+    want = np.asarray(ops[kind](jnp.asarray(x, jnp.float64)))
+    F = filter_matrix(kind, T, w, p)
+    np.testing.assert_allclose(F @ x, want, atol=1e-12)
+    got = np.asarray(apply_filter(jnp.asarray(x, jnp.float64), kind, w, p))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_nearest_waypoint_window_semantics():
     path = np.stack(
         [np.linspace(0, 10, 101), np.zeros(101), np.zeros(101)], axis=1
