@@ -442,6 +442,19 @@ class NMPCSolver:
             sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn, y_fn=y_fn, y_e_fn=y_e_fn
         )
         self._solve = jax.jit(self._core)
+        # Fleet path: the fused Pallas QP is a per-problem scalar-core program
+        # and does not auto-batch under vmap; batched fleets instead use the
+        # XLA Riccati backend, where the B-stacked tiny matmuls batch into
+        # efficient (B, nx, nx) ops (same semantics — the kernel is
+        # parity-tested against barrier_qp_solve in tests/test_riccati_qp.py).
+        if cfg.qp_backend == "pallas":
+            fleet_cfg = dataclasses.replace(cfg, qp_backend="xla")
+            self._fleet_core = functools.partial(
+                sqp_solve, fleet_cfg, step, h_fn,
+                y_x_fn=y_x_fn, y_fn=y_fn, y_e_fn=y_e_fn,
+            )
+        else:
+            self._fleet_core = self._core
 
     def init(self, x0: jnp.ndarray) -> NMPCState:
         return NMPCState.init(self.cfg, x0)
@@ -457,9 +470,11 @@ class NMPCSolver:
         A whole fleet of independent OCPs (multi-robot, randomized data
         collection) factors into one batched Riccati program — the
         'batched QP' scaling axis of SURVEY §2.10(c). Shard the batch
-        dimension over a mesh axis for pod-scale fleets.
+        dimension over a mesh axis for pod-scale fleets. Always runs the XLA
+        Riccati backend (the fused Pallas QP is per-problem; batching turns
+        the XLA path's tiny sequential matmuls into efficient batched ones).
         """
-        return jax.jit(jax.vmap(self._core))
+        return jax.jit(jax.vmap(self._fleet_core))
 
 
 __all__ = [

@@ -235,6 +235,51 @@ def test_batched_nmpc_fleet_matches_single():
         np.testing.assert_allclose(np.asarray(u0s[b]), np.asarray(u0), rtol=1e-4, atol=1e-5)
 
 
+def test_batched_fleet_works_with_pallas_qp_backend():
+    """A qp_backend="pallas" solver must still serve fleets: batched_solve
+    dispatches to the (semantically identical) XLA Riccati backend — the
+    fused kernel is per-problem and does not auto-batch under vmap."""
+    N, dt = 10, 0.1
+    cfg = SQPConfig(
+        N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=1, qp_iters=8,
+        qp_backend="pallas",
+    )
+    solver = NMPCSolver(cfg, unicycle)
+    B = 3
+    goals = jnp.asarray([[2.0, 1.0, 0.0], [1.0, -1.0, 0.0], [-1.5, 0.5, 0.0]])
+    x0s = jnp.asarray(
+        np.random.default_rng(1).uniform(-0.3, 0.3, (B, 3)), jnp.float32
+    )
+
+    def make_params(goal):
+        return OCPParams(
+            Q=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            R=jnp.diag(jnp.array([0.5, 0.05])),
+            Qe=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+            yref_e=goal,
+            lbx=jnp.full(3, -10.0),
+            ubx=jnp.full(3, 10.0),
+            lbu=jnp.array([-1.0, -1.0]),
+            ubu=jnp.array([1.0, 1.0]),
+        )
+
+    fleet = solver.batched_solve()
+    u0s, _, _ = fleet(
+        jax.vmap(make_params)(goals),
+        jax.vmap(lambda x: NMPCState.init(cfg, x))(x0s),
+        x0s,
+    )
+    assert u0s.shape == (B, 2)
+    for b in range(B):
+        u0, _, _ = solver.solve(
+            make_params(goals[b]), NMPCState.init(cfg, x0s[b]), x0s[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(u0s[b]), np.asarray(u0), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_soft_h_constraints_trade_violation_for_tracking():
     """Soft (slack) h-constraints — the Zl/zl slack formulation of
     test_diff_mpc_dyna_slack.py:158-182: when the goal itself violates the
