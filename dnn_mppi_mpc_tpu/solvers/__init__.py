@@ -3,6 +3,7 @@ from .mppi import (  # noqa: F401
     MPPIAux,
     MPPISolver,
     MPPIState,
+    make_generic_fused_tick,
     make_pallas_diffdrive_rollout,
     make_tracking_costs,
     mppi_step,

@@ -631,6 +631,94 @@ def make_pallas_bicycle_tick(
     return tick
 
 
+def make_generic_fused_tick(
+    cfg: MPPIConfig,
+    step_tile: Callable,
+    nx: Optional[int] = None,
+    *,
+    wrap_yaw: bool = False,
+    collision: str = "circle",
+    robot_radius: float = 0.5,
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    interpret: bool = False,
+    gaussian: str = "popcount",
+):
+    """Bind the generic fused tick kernel (ops/pallas/generic_tick.py) as
+    tick_fn for *arbitrary* dynamics.
+
+    ``step_tile`` is a tile-form discrete step (models/tile.py — built-in
+    families, or ``lift_dynamics`` around any F(x, u)). It is traced into one
+    Pallas kernel per tick with the engine's tracking-cost semantics
+    (make_tracking_costs: nearest-waypoint window, optional wrap-yaw,
+    circle/soft obstacles incl. in-rollout drift, exploration split, energy
+    term, SUM/LAST accumulation). Single-device, like the other fused ticks.
+
+    The number of tracked dims comes from ``params.stage_weight`` at trace
+    time; ``nx`` defaults to ``cfg.dim_x``. Construct once and reuse — the
+    returned closure holds the static kernel arguments.
+    """
+    from ..ops.pallas.generic_tick import generic_mppi_tick
+    from ..ops.sampling import small_cholesky
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the generic fused tick does not implement num_rollout_repeats>1 "
+            "(M-repeat variance cost) — use the scan path"
+        )
+    nx = cfg.dim_x if nx is None else nx
+    nu = cfg.dim_u
+
+    def tick(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        x0: jnp.ndarray,
+        seed: jnp.ndarray,
+        noise: Optional[jnp.ndarray],
+    ):
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        return generic_mppi_tick(
+            seed,
+            u,
+            a,
+            small_cholesky(params.sigma),
+            x0,
+            window,
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            cfg.inv_temperature,
+            obstacles=params.obstacles,
+            robot_radius=robot_radius,
+            eps=noise,
+            obstacle_velocities=params.obstacle_velocities,
+            soft_safety_distance=soft_safety_distance,
+            soft_weight=soft_weight,
+            step_tile=step_tile,
+            nx=nx,
+            nu=nu,
+            n_track=int(params.stage_weight.shape[0]),
+            K=cfg.num_samples,
+            T=cfg.horizon,
+            W=Wlen,
+            wrap_yaw=wrap_yaw,
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+            interpret=interpret,
+            gaussian=gaussian,
+            collision=collision,
+        )
+
+    return tick
+
+
 def make_pallas_bicycle_rollout(
     cfg: MPPIConfig,
     wheel_base: float = 2.5,
@@ -731,12 +819,29 @@ class MPPISolver:
         fused_tick: bool = False,
         tick_fn: Optional[Callable] = None,
         gaussian: str = "popcount",
+        tile_dynamics: Optional[Callable] = None,
+        wrap_yaw: bool = False,
+        collision: str = "circle",
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
         if tick_fn is None and fused_tick:
-            tick_fn = make_pallas_diffdrive_tick(cfg, robot_radius, gaussian=gaussian)
+            if tile_dynamics is not None:
+                # Generic fused tick: any model family in one Pallas launch
+                # (tile_dynamics from models/tile.py or lift_dynamics).
+                tick_fn = make_generic_fused_tick(
+                    cfg,
+                    tile_dynamics,
+                    wrap_yaw=wrap_yaw,
+                    collision=collision,
+                    robot_radius=robot_radius,
+                    gaussian=gaussian,
+                )
+            else:
+                tick_fn = make_pallas_diffdrive_tick(
+                    cfg, robot_radius, gaussian=gaussian
+                )
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
         self._step = jax.jit(
@@ -780,6 +885,7 @@ __all__ = [
     "make_pallas_diffdrive_tick",
     "make_pallas_bicycle_rollout",
     "make_pallas_bicycle_tick",
+    "make_generic_fused_tick",
     "mppi_step",
     "sampled_trajectories",
     "MPPISolver",

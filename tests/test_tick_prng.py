@@ -1,6 +1,6 @@
 """On-chip PRNG validation for the fused tick kernels (TPU-only).
 
-Covers both fused tick kernels (diff-drive and bicycle).
+Covers all three fused tick kernels (diff-drive, bicycle, generic).
 The Mosaic PRNG primitives have no CPU interpreter lowering, so these run
 only when a TPU is attached (CI skips them; the driver's bench exercises the
 same path). Checks per generator ("popcount" and "box_muller",
@@ -97,8 +97,55 @@ def _bicycle_tick_args():
     return tick, chol
 
 
+def _generic_tick_args():
+    """Generic fused tick (ops/pallas/generic_tick.py) with the four-wheel
+    torque model: exercises the general-nu (here 4) Cholesky coloring and the
+    arbitrary-dynamics rollout on hardware."""
+    from dnn_mppi_mpc_tpu.models import four_wheel_torque_tile
+    from dnn_mppi_mpc_tpu.ops.pallas.generic_tick import generic_mppi_tick
+
+    rng = np.random.default_rng(2)
+    win = jnp.asarray(rng.normal(size=(W, 3)), jnp.float32)
+    sw = jnp.array([5.0, 5.0, 10.0], jnp.float32)
+    A = rng.normal(0.0, 0.2, (4, 4))
+    chol = jnp.asarray(
+        np.linalg.cholesky(A @ A.T + 0.05 * np.eye(4)), jnp.float32
+    )
+    tile = four_wheel_torque_tile(0.02)
+
+    def tick(gauss, seed, eps=None, emit=False):
+        return generic_mppi_tick(
+            jnp.int32(seed),
+            jnp.zeros((T, 4), jnp.float32),
+            jnp.zeros((T, 4), jnp.float32),
+            chol,
+            jnp.zeros(5, jnp.float32),
+            win,
+            sw,
+            sw,
+            jnp.full((4,), -3.0, jnp.float32),
+            jnp.full((4,), 3.0, jnp.float32),
+            0.02,
+            0.8 * K,
+            jnp.float32(1.0),
+            eps=eps,
+            step_tile=tile,
+            nx=5,
+            nu=4,
+            n_track=3,
+            K=K,
+            T=T,
+            W=W,
+            gaussian=gauss,
+            emit_eps=emit,
+        )
+
+    return tick, chol
+
+
 def _check_moments(eps, chol, kurt_lo, kurt_hi):
-    e = np.asarray(eps).reshape(-1, 2).astype(np.float64)  # 61k draws/dim
+    nu = np.asarray(chol).shape[0]
+    e = np.asarray(eps).reshape(-1, nu).astype(np.float64)  # ≥30k draws/dim
     sig = np.asarray(chol, np.float64) @ np.asarray(chol, np.float64).T
     scale = float(np.sqrt(np.diag(sig)).max())
     assert np.abs(e.mean(axis=0)).max() < 2e-2 * scale
@@ -108,7 +155,7 @@ def _check_moments(eps, chol, kurt_lo, kurt_hi):
     assert (kurt > kurt_lo).all() and (kurt < kurt_hi).all(), kurt
 
 
-@pytest.mark.parametrize("make", [_tick_args, _bicycle_tick_args])
+@pytest.mark.parametrize("make", [_tick_args, _bicycle_tick_args, _generic_tick_args])
 @pytest.mark.parametrize(
     # ±4·se windows around the expected excess kurtosis (se = √(24/n) ≈ 0.020
     # at n = 61 440 draws) so a different deterministic PRNG stream (another
@@ -122,7 +169,7 @@ def test_generated_noise_moments(make, gauss, kurt_lo, kurt_hi):
     _check_moments(eps, chol, kurt_lo, kurt_hi)
 
 
-@pytest.mark.parametrize("make", [_tick_args, _bicycle_tick_args])
+@pytest.mark.parametrize("make", [_tick_args, _bicycle_tick_args, _generic_tick_args])
 @pytest.mark.parametrize("gauss", ["box_muller", "popcount"])
 def test_emit_reinject_self_consistency(make, gauss):
     tick, _ = make()
