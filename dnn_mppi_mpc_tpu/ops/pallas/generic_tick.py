@@ -84,11 +84,14 @@ def _tick_kernel(
     gaussian: str,
     obs_mode: str,  # "circle" | "soft"
     moving_obs: bool,
+    rollout_only: bool = False,  # S only — the sharded rollout_fn path
 ):
     rest = list(rest)
     if not gen_noise:
         eps = [rest.pop(0) for _ in range(nu)]  # (T, R, 128) inputs
-    S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    S_ref = rest.pop(0)
+    if not rollout_only:
+        w_ref, weps_ref = rest.pop(0), rest.pop(0)
     if emit_eps:
         eps_out = [rest.pop(0) for _ in range(nu)]
     if gen_noise:
@@ -269,6 +272,12 @@ def _tick_kernel(
             S = S + obstacle_penalty(xs[0], xs[1])
         S_ref[r0 : r0 + R_BLK, :] = S
 
+    if rollout_only:
+        # Sharded execution: softmax normalization and the weighted-noise
+        # reduce are *global* over K, so they happen outside the kernel via
+        # pmin/psum collectives (solvers/mppi.py::mppi_step).
+        return
+
     # Softmax with ρ = min S (mppi_differential_drive.py:167-180).
     S = S_ref[:, :]
     rho = jnp.min(S)
@@ -286,7 +295,7 @@ def _tick_kernel(
 def _pack_scalars(
     dt, n_exploit, inv_temperature, robot_radius, soft_dist, soft_w,
     u_min, u_max, stage_w, term_w, x0, chol_sigma, nu, n_track, nx,
-    obstacles_on,
+    obstacles_on, k_offset=0.0,
 ):
     tri = [chol_sigma[j, i] for j in range(nu) for i in range(j + 1)]
     return jnp.concatenate(
@@ -296,7 +305,7 @@ def _pack_scalars(
             jnp.reshape(jnp.asarray(inv_temperature, jnp.float32), (1,)),
             jnp.asarray([robot_radius if obstacles_on else -1.0], jnp.float32),
             jnp.asarray([soft_dist, soft_w], jnp.float32),
-            jnp.asarray([0.0], jnp.float32),  # k_offset (single-device: 0)
+            jnp.reshape(jnp.asarray(k_offset, jnp.float32), (1,)),
             u_min.astype(jnp.float32)[:nu],
             u_max.astype(jnp.float32)[:nu],
             stage_w.astype(jnp.float32)[:n_track],
@@ -305,6 +314,21 @@ def _pack_scalars(
             jnp.stack([jnp.asarray(t, jnp.float32) for t in tri]),
         ]
     )
+
+
+def _pack_obstacles(obstacles, obstacle_velocities):
+    """(n_obs, 2|3) centers(+radii) + optional velocities → (n_obs, 5) rows."""
+    if obstacles is None:
+        return jnp.zeros((1, 5), jnp.float32), 0
+    ob = obstacles.astype(jnp.float32)
+    if ob.shape[1] == 2:
+        ob = jnp.concatenate([ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1)
+    vel = (
+        obstacle_velocities[..., :2].astype(jnp.float32)
+        if obstacle_velocities is not None
+        else jnp.zeros((ob.shape[0], 2), jnp.float32)
+    )
+    return jnp.concatenate([ob[:, :3], vel], axis=1), obstacles.shape[0]
 
 
 @functools.partial(
@@ -396,21 +420,7 @@ def generic_mppi_tick(
         nx,
         obstacles is not None,
     )
-    if obstacles is not None:
-        ob = obstacles.astype(jnp.float32)
-        if ob.shape[1] == 2:
-            ob = jnp.concatenate(
-                [ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1
-            )
-        vel = (
-            obstacle_velocities[..., :2].astype(jnp.float32)
-            if obstacle_velocities is not None
-            else jnp.zeros((ob.shape[0], 2), jnp.float32)
-        )
-        obs = jnp.concatenate([ob[:, :3], vel], axis=1)
-    else:
-        obs = jnp.zeros((1, 5), jnp.float32)
-    n_obs = obstacles.shape[0] if obstacles is not None else 0
+    obs, n_obs = _pack_obstacles(obstacles, obstacle_velocities)
 
     kernel = functools.partial(
         _tick_kernel,
@@ -491,4 +501,133 @@ def generic_mppi_tick(
     return S, w, w_eps
 
 
-__all__ = ["generic_mppi_tick", "TileStep"]
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_tile",
+        "nx",
+        "nu",
+        "n_track",
+        "T",
+        "W",
+        "wrap_yaw",
+        "last_only",
+        "interpret",
+        "collision",
+    ),
+)
+def generic_rollout_costs(
+    eps: jnp.ndarray,  # (K_local, T, nu) injected ε (the sharded path samples
+    #                    per shard via jax.random outside the kernel)
+    u: jnp.ndarray,  # (T, nu)
+    a: jnp.ndarray,  # (T, nu) γ·u_tᵀΣ⁻¹
+    x0: jnp.ndarray,  # (nx,)
+    window: jnp.ndarray,  # (W, ≥n_track)
+    stage_w: jnp.ndarray,
+    term_w: jnp.ndarray,
+    u_min: jnp.ndarray,
+    u_max: jnp.ndarray,
+    dt: float,
+    n_exploit: float,
+    obstacles: Optional[jnp.ndarray] = None,
+    robot_radius: float = 0.5,
+    obstacle_velocities: Optional[jnp.ndarray] = None,
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    k_offset: jnp.ndarray | float = 0.0,
+    *,
+    step_tile: TileStep,
+    nx: int,
+    nu: int,
+    n_track: int,
+    T: int,
+    W: int,
+    wrap_yaw: bool = False,
+    last_only: bool = False,
+    interpret: bool = False,
+    collision: str = "circle",
+) -> jnp.ndarray:
+    """Rollout + cost only (no softmax/weighted reduce): the sample-sharded
+    counterpart of ``generic_mppi_tick``, bound as the engine's ``rollout_fn``
+    (solvers/mppi.py::make_generic_pallas_rollout).
+
+    ``k_offset`` is the global sample-index offset of this shard so the
+    exploration split stays a property of the *global* K (SURVEY §2.10). The
+    global reductions (ρ via pmin, η and w·ε via psum) happen outside via XLA
+    collectives. Returns ``S (K_local,)``.
+    """
+    assert collision in ("circle", "soft"), collision
+    K = eps.shape[0]
+    assert K % LANES == 0, f"local K={K} must be a multiple of {LANES}"
+    assert window.shape[1] >= n_track
+    R = K // LANES
+    R_BLK = pick_r_blk(R)
+
+    scal = _pack_scalars(
+        dt,
+        n_exploit,
+        0.0,  # inv_temperature unused in rollout-only mode
+        robot_radius,
+        soft_safety_distance,
+        soft_weight,
+        u_min,
+        u_max,
+        stage_w,
+        term_w,
+        x0,
+        jnp.zeros((nu, nu), jnp.float32),  # chol unused (ε injected)
+        nu,
+        n_track,
+        nx,
+        obstacles is not None,
+        k_offset=k_offset,
+    )
+    obs, n_obs = _pack_obstacles(obstacles, obstacle_velocities)
+
+    kernel = functools.partial(
+        _tick_kernel,
+        step_tile=step_tile,
+        nx=nx,
+        nu=nu,
+        n_track=n_track,
+        T=T,
+        W=W,
+        R=R,
+        R_BLK=R_BLK,
+        n_obs=n_obs,
+        wrap_yaw=wrap_yaw,
+        last_only=last_only,
+        gen_noise=False,
+        emit_eps=False,
+        gaussian="popcount",
+        obs_mode=collision,
+        moving_obs=obstacle_velocities is not None,
+        rollout_only=True,
+    )
+
+    eps_t = jnp.transpose(
+        eps.astype(jnp.float32).reshape(R, LANES, T, nu), (2, 3, 0, 1)
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * (4 + nu)
+    args = [
+        jnp.zeros((1,), jnp.int32),  # seed unused
+        scal,
+        u.astype(jnp.float32),
+        a.astype(jnp.float32),
+        window[:, :n_track].astype(jnp.float32),
+        obs,
+    ] + [eps_t[:, j] for j in range(nu)]
+
+    S = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        out_shape=(jax.ShapeDtypeStruct((R, LANES), jnp.float32),),
+        interpret=interpret,
+    )(*args)[0]
+    return S.reshape(K)
+
+
+__all__ = ["generic_mppi_tick", "generic_rollout_costs", "TileStep"]

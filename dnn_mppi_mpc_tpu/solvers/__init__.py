@@ -4,6 +4,7 @@ from .mppi import (  # noqa: F401
     MPPISolver,
     MPPIState,
     make_generic_fused_tick,
+    make_generic_pallas_rollout,
     make_pallas_diffdrive_rollout,
     make_tracking_costs,
     mppi_step,

@@ -719,6 +719,87 @@ def make_generic_fused_tick(
     return tick
 
 
+def make_generic_pallas_rollout(
+    cfg: MPPIConfig,
+    step_tile: Callable,
+    nx: Optional[int] = None,
+    *,
+    wrap_yaw: bool = False,
+    collision: str = "circle",
+    robot_radius: float = 0.5,
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    interpret: bool = False,
+):
+    """Bind the generic rollout+cost kernel as rollout_fn for *arbitrary*
+    dynamics — the sample-sharded counterpart of ``make_generic_fused_tick``.
+
+    Each shard rolls out its local K/n samples in one Pallas launch with the
+    global sample-index offset (exploration split over the *global* K); the
+    three cross-sample reductions (ρ, η, w·ε) ride XLA collectives in
+    ``mppi_step`` (SURVEY §2.10). Same cost semantics as the fused tick.
+    """
+    from ..ops.pallas.generic_tick import generic_rollout_costs
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the generic rollout kernel does not implement "
+            "num_rollout_repeats>1 (M-repeat variance cost) — use the scan path"
+        )
+    nx = cfg.dim_x if nx is None else nx
+    nu = cfg.dim_u
+
+    def rollout(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        eps: jnp.ndarray,
+        x0: jnp.ndarray,
+        axis_name=None,
+    ):
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        k_offset = 0.0
+        if axis_name is not None:
+            k_offset = (
+                jax.lax.axis_index(axis_name).astype(jnp.float32) * eps.shape[0]
+            )
+        return generic_rollout_costs(
+            eps,
+            u,
+            a,
+            x0,
+            window,
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            obstacles=params.obstacles,
+            robot_radius=robot_radius,
+            obstacle_velocities=params.obstacle_velocities,
+            soft_safety_distance=soft_safety_distance,
+            soft_weight=soft_weight,
+            k_offset=k_offset,
+            step_tile=step_tile,
+            nx=nx,
+            nu=nu,
+            n_track=int(params.stage_weight.shape[0]),
+            T=cfg.horizon,
+            W=Wlen,
+            wrap_yaw=wrap_yaw,
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+            interpret=interpret,
+            collision=collision,
+        )
+
+    return rollout
+
+
 def make_pallas_bicycle_rollout(
     cfg: MPPIConfig,
     wheel_base: float = 2.5,
@@ -886,6 +967,7 @@ __all__ = [
     "make_pallas_bicycle_rollout",
     "make_pallas_bicycle_tick",
     "make_generic_fused_tick",
+    "make_generic_pallas_rollout",
     "mppi_step",
     "sampled_trajectories",
     "MPPISolver",

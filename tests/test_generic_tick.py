@@ -261,3 +261,84 @@ def test_generic_guards():
     cfg = _cfg(3, 2, num_rollout_repeats=3)
     with pytest.raises(ValueError, match="num_rollout_repeats"):
         make_generic_fused_tick(cfg, unicycle_tile(DT))
+
+
+def test_generic_rollout_matches_scan_four_wheel():
+    """The rollout-only generic kernel (rollout_fn path, ε injected) matches
+    the scan engine for the four-wheel model."""
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_generic_pallas_rollout
+
+    cfg = _cfg(5, 4)
+    params = MPPIParams(
+        sigma=_sigma(4),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0, 2.0], jnp.float32),
+        u_min=jnp.full((4,), -2.0, jnp.float32),
+        u_max=jnp.full((4,), 2.0, jnp.float32),
+        ref_path=_path(3),
+        obstacles=jnp.array([[1.0, 0.4, 0.3]], jnp.float32),
+    )
+    step_fn = lambda x, u: euler_step(four_wheel_torque, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg, collision="circle", robot_radius=0.5)
+    rollout = make_generic_pallas_rollout(
+        cfg, four_wheel_torque_tile(DT), collision="circle", interpret=True
+    )
+    eps = _noise(cfg, params)
+    state = _state(cfg)
+    x0 = jnp.array([0.1, -0.05, 0.2, 0.3, 0.05], jnp.float32)
+    u0_p, st_p, aux_p = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, rollout_fn=rollout
+        )
+    )(params, state, x0, eps)
+    u0_r, st_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+    np.testing.assert_allclose(
+        np.asarray(aux_p.costs), np.asarray(aux_r.costs), rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(np.asarray(u0_p), np.asarray(u0_r), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_generic_rollout_sharded_matches_unsharded():
+    """Sample-sharded generic rollout under shard_map: the global sample-index
+    offset must make sharded == unsharded (exploration split over global K)."""
+    from dnn_mppi_mpc_tpu.parallel.sharding import make_mesh, make_sharded_mppi_step
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_generic_pallas_rollout
+
+    cfg = _cfg(5, 4, num_samples=2048)
+    params = MPPIParams(
+        sigma=_sigma(4),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0, 2.0], jnp.float32),
+        u_min=jnp.full((4,), -2.0, jnp.float32),
+        u_max=jnp.full((4,), 2.0, jnp.float32),
+        ref_path=_path(3),
+    )
+    step_fn = lambda x, u: euler_step(four_wheel_torque, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    rollout = make_generic_pallas_rollout(cfg, four_wheel_torque_tile(DT), interpret=True)
+
+    mesh = make_mesh(("k",))
+    sharded = make_sharded_mppi_step(
+        cfg, step_fn, stage, terminal, mesh, rollout_fn=rollout
+    )
+    rng = np.random.default_rng(13)
+    eps = jnp.asarray(
+        rng.multivariate_normal(np.zeros(4), np.asarray(params.sigma), (2048, T)),
+        jnp.float32,
+    )
+    x0 = jnp.array([0.1, -0.05, 0.2, 0.3, 0.05], jnp.float32)
+    state = _state(cfg)
+
+    u0_s, _, aux_s = sharded(params, state, x0, eps)
+    u0_r, _, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, rollout_fn=rollout
+        )
+    )(params, state, x0, eps)
+    np.testing.assert_allclose(np.asarray(u0_s), np.asarray(u0_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux_s.costs), np.asarray(aux_r.costs), rtol=1e-4, atol=1e-4
+    )
