@@ -394,6 +394,7 @@ def generic_mppi_tick(
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert collision in ("circle", "soft"), collision
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
+    assert n_track >= 2, "tracking needs at least (x, y) — n_track >= 2"
     assert window.shape[1] >= n_track, (
         f"window has {window.shape[1]} cols < n_track={n_track}"
     )
@@ -559,6 +560,7 @@ def generic_rollout_costs(
     assert collision in ("circle", "soft"), collision
     K = eps.shape[0]
     assert K % LANES == 0, f"local K={K} must be a multiple of {LANES}"
+    assert n_track >= 2, "tracking needs at least (x, y) — n_track >= 2"
     assert window.shape[1] >= n_track
     R = K // LANES
     R_BLK = pick_r_blk(R)

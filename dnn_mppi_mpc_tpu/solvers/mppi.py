@@ -682,6 +682,13 @@ def make_generic_fused_tick(
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
         window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        if params.terminal_weight.shape[0] != params.stage_weight.shape[0]:
+            raise ValueError(
+                "the generic fused tick tracks one n_track for both costs — "
+                f"stage_weight has {params.stage_weight.shape[0]} dims, "
+                f"terminal_weight {params.terminal_weight.shape[0]}; "
+                "use the scan path for asymmetric weights"
+            )
         return generic_mppi_tick(
             seed,
             u,
@@ -762,6 +769,11 @@ def make_generic_pallas_rollout(
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
         window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        if params.terminal_weight.shape[0] != params.stage_weight.shape[0]:
+            raise ValueError(
+                "the generic rollout kernel tracks one n_track for both costs "
+                "— stage/terminal weight lengths must match; use the scan path"
+            )
         k_offset = 0.0
         if axis_name is not None:
             k_offset = (
@@ -907,6 +919,12 @@ class MPPISolver:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
+        if tile_dynamics is not None and not fused_tick and tick_fn is None:
+            raise ValueError(
+                "tile_dynamics is only used by the fused tick kernel — pass "
+                "fused_tick=True (or bind make_generic_pallas_rollout as "
+                "rollout_fn for the sharded path)"
+            )
         if tick_fn is None and fused_tick:
             if tile_dynamics is not None:
                 # Generic fused tick: any model family in one Pallas launch

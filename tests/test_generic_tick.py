@@ -342,3 +342,35 @@ def test_generic_rollout_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(aux_s.costs), np.asarray(aux_r.costs), rtol=1e-4, atol=1e-4
     )
+
+
+def test_solver_guards():
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
+
+    cfg = _cfg(3, 2)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    with pytest.raises(ValueError, match="tile_dynamics"):
+        MPPISolver(cfg, step_fn, stage, terminal,
+                   tile_dynamics=unicycle_tile(DT))
+
+
+def test_generic_guards_weight_mismatch():
+    cfg = _cfg(3, 2)
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.05], [0.05, 0.1]], jnp.float32),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0], jnp.float32),  # mismatched
+        u_min=jnp.array([-1.5, -2.0], jnp.float32),
+        u_max=jnp.array([1.5, 2.0], jnp.float32),
+        ref_path=_path(3),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    tick = make_generic_fused_tick(cfg, unicycle_tile(DT), interpret=True)
+    with pytest.raises(ValueError, match="n_track"):
+        jax.jit(
+            lambda p, s, x, n: mppi_step(
+                cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+            )
+        )(params, _state(cfg), jnp.zeros(3, jnp.float32), _noise(cfg, params))
