@@ -374,3 +374,135 @@ def test_generic_guards_weight_mismatch():
                 cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
             )
         )(params, _state(cfg), jnp.zeros(3, jnp.float32), _noise(cfg, params))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_generic_fuzz_random_configs(seed):
+    """Randomized (nx, nu, n_track, collision, accumulation, wrap-yaw) parity
+    vs the scan engine under random *linear* dynamics — broad-spectrum
+    evidence the generic kernel is shape- and config-agnostic."""
+    rng = np.random.default_rng(100 + seed)
+    nx = int(rng.choice([3, 4, 5]))
+    nu = int(rng.choice([2, 3, 4]))
+    n_track = int(rng.integers(2, nx + 1))
+    Kf = int(rng.choice([128, 256]))
+    Tf = int(rng.choice([5, 10]))
+    dtf = float(rng.uniform(0.03, 0.12))
+    wrap = bool(rng.choice([False, True])) and n_track >= 3
+    collision = str(rng.choice(["none", "circle", "soft"]))
+    last = bool(rng.choice([False, True]))
+    moving = collision != "none" and bool(rng.choice([False, True]))
+
+    # stable-ish random linear dynamics x' = x + (A x + B u) dt
+    A = rng.normal(0.0, 0.3, (nx, nx)) - 0.5 * np.eye(nx)
+    B = rng.normal(0.0, 0.5, (nx, nu))
+    Aj, Bj = jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32)
+
+    def step_fn(x, u):
+        return x + (x @ Aj.T + u @ Bj.T) * dtf
+
+    Al = [[float(A[i, k]) for k in range(nx)] for i in range(nx)]
+    Bl = [[float(B[i, j]) for j in range(nu)] for i in range(nx)]
+
+    def tile(xs, vs):
+        out = []
+        for i in range(nx):
+            acc = xs[i]
+            for k in range(nx):
+                acc = acc + Al[i][k] * xs[k] * dtf
+            for j in range(nu):
+                acc = acc + Bl[i][j] * vs[j] * dtf
+            out.append(acc)
+        return tuple(out)
+
+    M = rng.normal(0.0, 0.3, (nu, nu))
+    sigma = jnp.asarray(M @ M.T + 0.05 * np.eye(nu), jnp.float32)
+    n_obs = int(rng.integers(1, 3))
+    cfg = MPPIConfig(
+        num_samples=Kf,
+        horizon=Tf,
+        dim_x=nx,
+        dim_u=nu,
+        dt=dtf,
+        lam=float(rng.uniform(0.5, 2.0)),
+        alpha=float(rng.uniform(0.0, 0.9)),
+        exploration=float(rng.choice([0.0001, 0.2])),
+        temperature=Temperature.LAMBDA,
+        accumulation=CostAccumulation.LAST if last else CostAccumulation.SUM,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
+        filter_window=5,
+        waypoint_search_len=int(rng.choice([6, 12])),
+    )
+    params = MPPIParams(
+        sigma=sigma,
+        stage_weight=jnp.asarray(rng.uniform(0.5, 10.0, n_track), jnp.float32),
+        terminal_weight=jnp.asarray(rng.uniform(0.5, 10.0, n_track), jnp.float32),
+        u_min=jnp.asarray(-rng.uniform(1.0, 3.0, nu), jnp.float32),
+        u_max=jnp.asarray(rng.uniform(1.0, 3.0, nu), jnp.float32),
+        ref_path=_path(max(n_track, 2)),
+        # obstacles kept >= 1.5 from the start region so collision-free
+        # samples always exist: an all-colliding config saturates S at the
+        # 1e7 penalty where f32 ULP is ~1 and the softmax argmin is decided
+        # by rounding — not a meaningful parity comparison.
+        obstacles=(
+            jnp.asarray(
+                np.concatenate(
+                    [
+                        rng.uniform(1.5, 4.0, (n_obs, 1)),
+                        rng.uniform(-2.5, -1.5, (n_obs, 1)),
+                        rng.uniform(0.2, 0.5, (n_obs, 1)),
+                    ],
+                    axis=1,
+                ),
+                jnp.float32,
+            )
+            if collision != "none"
+            else None
+        ),
+        obstacle_velocities=(
+            jnp.asarray(rng.normal(0.0, 0.4, (n_obs, 2)), jnp.float32)
+            if moving
+            else None
+        ),
+    )
+    stage, terminal = make_tracking_costs(
+        cfg,
+        wrap_yaw=wrap,
+        collision=collision,
+        robot_radius=0.4,
+        soft_safety_distance=1.2,
+        soft_weight=40.0,
+    )
+    tick = make_generic_fused_tick(
+        cfg,
+        tile,
+        wrap_yaw=wrap,
+        collision=collision if collision != "none" else "circle",
+        robot_radius=0.4,
+        soft_safety_distance=1.2,
+        soft_weight=40.0,
+        interpret=True,
+    )
+    eps = jnp.asarray(
+        rng.multivariate_normal(np.zeros(nu), np.asarray(sigma), (Kf, Tf)),
+        jnp.float32,
+    )
+    state = MPPIState.init(cfg)
+    state = dataclasses.replace(
+        state, u_prev=jnp.asarray(rng.normal(0, 0.3, (Tf, nu)), jnp.float32)
+    )
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, nx), jnp.float32)
+    u0_t, _, aux_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )(params, state, x0, eps)
+    u0_r, _, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+    S_r = np.asarray(aux_r.costs)
+    assert S_r.min() < 1e6, "degenerate all-colliding config — adjust the fuzz"
+    np.testing.assert_allclose(
+        np.asarray(aux_t.costs), S_r, rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(np.asarray(u0_t), np.asarray(u0_r), rtol=2e-4, atol=2e-5)
