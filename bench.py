@@ -22,10 +22,13 @@ is an upper bound on device-side variation (see PERF.md).
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
+
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke must not dial the TPU
 
 
 def _sync(*arrays) -> None:
@@ -55,6 +58,7 @@ def _make_chain(solver, params, x0, n):
 def main() -> None:
     from __graft_entry__ import _flagship
     from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
+    from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
 
     K, T = 10240, 50
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -68,38 +72,18 @@ def main() -> None:
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)
 
+    def make_runner(n):
+        chain = _make_chain(solver, params, x0, n)
+
+        def run():
+            _sync(*jax.tree.leaves(chain(st0, x0)))
+
+        return run
+
     n1, n2 = (40, 200) if on_tpu else (4, 12)
-    chain1 = _make_chain(solver, params, x0, n1)
-    chain2 = _make_chain(solver, params, x0, n2)
-
-    # compile + warm both programs
-    _sync(*jax.tree.leaves(chain1(st0, x0)))
-    _sync(*jax.tree.leaves(chain2(st0, x0)))
-
-    def wall(chain):
-        t0 = time.perf_counter()
-        out = chain(st0, x0)
-        _sync(*jax.tree.leaves(out))
-        return time.perf_counter() - t0
-
-    reps = 30 if on_tpu else 5
-    w1 = [wall(chain1) for _ in range(reps)]
-    w2 = [wall(chain2) for _ in range(reps)]
-    w1.sort()
-    w2.sort()
-
-    # robust slope from best walls (fixed costs cancel); distribution of
-    # per-solve estimates from per-chain walls with the median overhead C
-    tau = (w2[0] - w1[0]) / (n2 - n1)
-    C = w1[len(w1) // 2] - n1 * tau
-    per_solve = sorted(max((w - C) / n2, 1e-9) for w in w2)
-
-    def pct(xs, q):
-        return xs[min(len(xs) - 1, int(q * len(xs)))]
-
-    p50 = pct(per_solve, 0.50)
-    p99 = pct(per_solve, 0.99)
-    solves_per_s = 1.0 / tau
+    timing = slope_timing(make_runner, n1, n2, reps=30 if on_tpu else 5)
+    tau, p50, p99 = timing.tau, timing.p50, timing.p99
+    solves_per_s = timing.ticks_per_s
 
     budget_hz = 50.0
     result = {

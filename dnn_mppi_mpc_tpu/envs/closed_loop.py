@@ -134,6 +134,7 @@ def collect_residual_dataset_resumable(
     ticks_per_series: int,
     out_dir: str,
     series_per_chunk: int = 8,
+    config_tag: str = "",
 ) -> Episode:
     """Checkpointed data collection: episode-chunk-level resume (SURVEY §5.4).
 
@@ -144,6 +145,11 @@ def collect_residual_dataset_resumable(
     ``out_dir/chunk_<i>.npz``, and a re-run with the same key/out_dir skips
     completed chunks. Chunk keys are ``fold_in(key, chunk_idx)`` so a resumed
     run produces bit-identical data to an uninterrupted one.
+
+    Cached chunks are validated against the chunk's PRNG key bits and
+    ``config_tag`` (pass a fingerprint of the controller/sampler setup if you
+    reuse ``out_dir`` across configurations) — a re-run with a different key
+    or tag recomputes instead of silently returning stale data.
     """
     import os
 
@@ -155,9 +161,20 @@ def collect_residual_dataset_resumable(
     for i in range(n_chunks):
         path = os.path.join(out_dir, f"chunk_{i:05d}.npz")
         n_i = min(series_per_chunk, num_series - i * series_per_chunk)
+        chunk_key = jax.random.fold_in(key, i)
+        key_bits = np.asarray(jax.random.key_data(chunk_key), np.uint32)
         if os.path.exists(path):
             with np.load(path) as z:
-                if int(z["num_series"]) == n_i and int(z["ticks"]) == ticks_per_series:
+                valid = (
+                    int(z["num_series"]) == n_i
+                    and int(z["ticks"]) == ticks_per_series
+                    and "key_bits" in z
+                    and z["key_bits"].shape == key_bits.shape
+                    and bool(np.all(z["key_bits"] == key_bits))
+                    and (str(z["config_tag"]) if "config_tag" in z else "")
+                    == config_tag
+                )
+                if valid:
                     parts.append(
                         Episode(
                             states=jnp.asarray(z["states"]),
@@ -171,7 +188,7 @@ def collect_residual_dataset_resumable(
             plant_step,
             nominal_step,
             x0_sampler,
-            jax.random.fold_in(key, i),
+            chunk_key,
             n_i,
             ticks_per_series,
         )
@@ -183,6 +200,8 @@ def collect_residual_dataset_resumable(
             errors=np.asarray(ep.errors),
             num_series=n_i,
             ticks=ticks_per_series,
+            key_bits=key_bits,
+            config_tag=np.str_(config_tag),
         )
         os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
         parts.append(ep)

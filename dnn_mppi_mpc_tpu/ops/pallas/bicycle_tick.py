@@ -40,10 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mppi_tick import pick_r_blk, standard_normal_pair
-
-LANES = 128
-_TWO_PI = 6.283185307179586
+from .mppi_tick import _TWO_PI, LANES, pick_r_blk, standard_normal_pair
 
 # body-frame outline points of the vehicle polygon (unit half-extents),
 # order per mppi_race_car_obstacle.py:263-264

@@ -53,9 +53,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mppi_tick import LANES, pick_r_blk, standard_normal_pair
-
-_TWO_PI = 6.283185307179586
+from .mppi_tick import (
+    _TWO_PI,
+    LANES,
+    pack_obstacles as _pack_obstacles,
+    pick_r_blk,
+    standard_normal_pair,
+)
 
 TileStep = Callable[[Sequence[jnp.ndarray], Sequence[jnp.ndarray]], Sequence[jnp.ndarray]]
 
@@ -65,7 +69,7 @@ def _tick_kernel(
     scal_ref,  # SMEM (n_scal,) packed f32 scalars (layout in _pack_scalars)
     u_ref,  # VMEM (T, nu) nominal controls
     a_ref,  # VMEM (T, nu) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
-    win_ref,  # VMEM (W, n_track) waypoint window
+    win_ref,  # SMEM (W, n_track) waypoint window (dynamic reads at W>32)
     obs_ref,  # VMEM (n_obs, 5) obstacles (x, y, r, vx, vy)
     *rest,  # [eps inputs ×nu] | outputs | [eps scratch ×nu]
     step_tile: TileStep,
@@ -136,11 +140,13 @@ def _tick_kernel(
             if emit_eps:
                 eps_out[j][:, :, :] = eps[j][:, :, :]
 
-    # Hoist small-window waypoint / obstacle scalars out of the T loop (VMEM
-    # scalar reads inside the loop cost thousands of scalar loads —
+    # Hoist small-window waypoint / obstacle scalars out of the T loop
+    # (scalar reads inside the loop cost thousands of scalar loads —
     # docs/PERF.md). Large windows (> _UNROLL_W) instead run a stride-1
-    # fori_loop reading win_ref in-body (the bicycle_tick.py pattern — full
-    # unroll at W≈200 × T explodes compile time).
+    # fori_loop reading win_ref in-body with *traced* indices — which is why
+    # the window lives in SMEM (Mosaic requires SMEM for dynamic scalar
+    # reads; the bicycle_tick.py pattern, hardware-measured at W=200). Full
+    # unroll at W≈200 × T would explode compile time.
     _UNROLL_W = 32
     win = (
         [tuple(win_ref[w, i] for i in range(n_track)) for w in range(W)]
@@ -316,21 +322,6 @@ def _pack_scalars(
     )
 
 
-def _pack_obstacles(obstacles, obstacle_velocities):
-    """(n_obs, 2|3) centers(+radii) + optional velocities → (n_obs, 5) rows."""
-    if obstacles is None:
-        return jnp.zeros((1, 5), jnp.float32), 0
-    ob = obstacles.astype(jnp.float32)
-    if ob.shape[1] == 2:
-        ob = jnp.concatenate([ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1)
-    vel = (
-        obstacle_velocities[..., :2].astype(jnp.float32)
-        if obstacle_velocities is not None
-        else jnp.zeros((ob.shape[0], 2), jnp.float32)
-    )
-    return jnp.concatenate([ob[:, :3], vel], axis=1), obstacles.shape[0]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -459,7 +450,7 @@ def generic_mppi_tick(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         pl.BlockSpec(memory_space=pltpu.VMEM),  # u
         pl.BlockSpec(memory_space=pltpu.VMEM),  # a
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # window: dynamic scalar reads
         pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
     ]
     args = [
@@ -610,9 +601,14 @@ def generic_rollout_costs(
     eps_t = jnp.transpose(
         eps.astype(jnp.float32).reshape(R, LANES, T, nu), (2, 3, 0, 1)
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-    ] * (4 + nu)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # window: dynamic scalar reads
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nu
     args = [
         jnp.zeros((1,), jnp.int32),  # seed unused
         scal,

@@ -97,6 +97,27 @@ def standard_normal_pair(shape, gaussian: str):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def pack_obstacles(obstacles, obstacle_velocities):
+    """(n_obs, 2|3) centers(+radii) + optional velocities → (n_obs, 5) rows.
+
+    Rows are (x, y, r, vx, vy): zero drift when static, zero radius when only
+    centers are given (soft mode ignores r). Shared by every fused tick
+    kernel so the packing layout is defined once. Returns ``(rows, n_obs)``
+    with a single zero row when there are no obstacles.
+    """
+    if obstacles is None:
+        return jnp.zeros((1, 5), jnp.float32), 0
+    ob = obstacles.astype(jnp.float32)
+    if ob.shape[1] == 2:
+        ob = jnp.concatenate([ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1)
+    vel = (
+        obstacle_velocities[..., :2].astype(jnp.float32)
+        if obstacle_velocities is not None
+        else jnp.zeros((ob.shape[0], 2), jnp.float32)
+    )
+    return jnp.concatenate([ob[:, :3], vel], axis=1), obstacles.shape[0]
+
+
 def pick_r_blk(R: int, target: int = 40) -> int:
     """Rollout block rows: the tile-aligned (multiple-of-8) divisor of R
     closest to ``target``.
@@ -384,23 +405,7 @@ def diffdrive_mppi_tick(
             jnp.zeros((1,), jnp.float32),  # pad
         ]
     )
-    # Obstacle rows packed as (x, y, r, vx, vy); zero drift when static,
-    # zero radius when only centers are given (soft mode ignores r).
-    if obstacles is not None:
-        ob = obstacles.astype(jnp.float32)
-        if ob.shape[1] == 2:
-            ob = jnp.concatenate(
-                [ob, jnp.zeros((ob.shape[0], 1), jnp.float32)], axis=1
-            )
-        vel = (
-            obstacle_velocities[..., :2].astype(jnp.float32)
-            if obstacle_velocities is not None
-            else jnp.zeros((ob.shape[0], 2), jnp.float32)
-        )
-        obs = jnp.concatenate([ob[:, :3], vel], axis=1)
-    else:
-        obs = jnp.zeros((1, 5), jnp.float32)
-    n_obs = obstacles.shape[0] if obstacles is not None else 0
+    obs, n_obs = pack_obstacles(obstacles, obstacle_velocities)
 
     kernel = functools.partial(
         _tick_kernel,

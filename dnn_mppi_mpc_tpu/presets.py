@@ -33,6 +33,19 @@ from .solvers.mppi import MPPISolver, make_tracking_costs
 from .solvers.sqp import NMPCSolver, OCPParams, circle_obstacle_h
 
 
+def _lane_rounded_samples(num_samples: int) -> int:
+    """Round K up to the TPU lane width the Pallas kernels require.
+
+    Every fused/split kernel lays the K samples out as (rows, 128 lanes) and
+    asserts K % 128 == 0 (ops/pallas/mppi_tick.py:361 and siblings). Presets
+    round a non-conforming K *up* — extra samples only sharpen the
+    Monte-Carlo estimate, and the fused path draws its own on-chip noise, so
+    there is no fixed-K parity with the scan path to preserve. The effective
+    K is visible in the returned solver's ``cfg.num_samples``.
+    """
+    return -(-num_samples // 128) * 128
+
+
 def diff_drive_mppi(
     ref_path: jnp.ndarray,
     num_samples: int = 100,
@@ -48,7 +61,10 @@ def diff_drive_mppi(
     K=100, T=10, exploration=1e-4, λ=1, α=0.2, Σ=diag(.1,.01), weights
     (5,5,10), v∈±5, ω∈±3.14); with ``obstacles`` the circle-collision variant
     of mppi_differential_drive_obs.py (K=500, T=20 in its main :428-486).
+    With ``use_pallas`` K is rounded up to a multiple of 128 (lane layout).
     """
+    if use_pallas:
+        num_samples = _lane_rounded_samples(num_samples)
     cfg = MPPIConfig(
         num_samples=num_samples,
         horizon=horizon,
@@ -99,7 +115,11 @@ def racecar_mppi(
     Defaults from controllers/mppi_race_car_obstacle.py:11-62 (δt=.05, L=2.5,
     λ=50, α=1, exploration=.01, Σ=diag(.5,.1), 4-term weights (50,50,1,20),
     steer ±0.523, accel ±2.0, vehicle 4×3 m with 1.5× safety margin).
+    With ``fused_tick``/``use_pallas`` K is rounded up to a multiple of 128
+    (lane layout — see ``_lane_rounded_samples``).
     """
+    if fused_tick or use_pallas:
+        num_samples = _lane_rounded_samples(num_samples)
     cfg = MPPIConfig(
         num_samples=num_samples,
         horizon=horizon,
@@ -169,8 +189,11 @@ def goal_seeking_mppi(
     obstacles, Savitzky-Golay smoothing). The 'path' is the single goal pose.
     ``fused_tick`` binds the single-launch Pallas tick (collision="soft",
     W=1 goal window, in-rollout obstacle drift; TPU-only for the on-chip
-    PRNG path — parity in tests/test_mppi_tick.py).
+    PRNG path — parity in tests/test_mppi_tick.py). With ``fused_tick`` K is
+    rounded up to a multiple of 128 (lane layout).
     """
+    if fused_tick:
+        num_samples = _lane_rounded_samples(num_samples)
     cfg = MPPIConfig(
         num_samples=num_samples,
         horizon=horizon,

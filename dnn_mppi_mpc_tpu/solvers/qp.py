@@ -438,11 +438,6 @@ def barrier_qp_solve(
     # *linear* dynamics; eliminate it exactly by propagating δx with the solved
     # δU (the state-elimination step of a condensed QP). The SQP outer loop
     # then only contends with genuine nonlinearity.
-    def roll(dx, inp):
-        A, B, c, du = inp
-        dx_next = A @ dx + B @ du + c
-        return dx_next, dx_next
-
     if parallel:
         # prefix composition of the affine maps δx ↦ Aδx + (Bδu + c);
         # associative_scan (forward) passes (earlier, later) — compose later∘earlier

@@ -105,7 +105,7 @@ class NMPCAux(NamedTuple):
     status: jnp.ndarray  # int32: 0 ok, 2 non-finite detected (solve rejected,
     # warm start held — the solver-status handling of SURVEY §5.3, replacing
     # acados' status codes at husky_nmpc_controller.py:306-309)
-    kkt_residual: jnp.ndarray = jnp.zeros(())  # ∞-norm of the last damped
+    kkt_residual: jnp.ndarray  # ∞-norm of the last damped
     # Newton step of the final QP solve — a convergence certificate for the
     # fixed qp_iters μ-schedule: large values mean the barrier solve did not
     # reach its central point (raise cfg.qp_iters). Replaces acados' qp_stat.

@@ -13,11 +13,14 @@ NMPC. Here the trained residual plugs straight back into the MPPI engine
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke must not dial the TPU
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +36,7 @@ from dnn_mppi_mpc_tpu.paths import line
 from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs
 from dnn_mppi_mpc_tpu.train.checkpoint import save_checkpoint
 from dnn_mppi_mpc_tpu.train.training import TrainConfig, train_residual_model
+from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
 from dnn_mppi_mpc_tpu.utils.plotting import plot_training_curves, plot_trajectory
 
 DT = 0.05
@@ -147,24 +151,24 @@ def main():
     solver, params = make_solver(corrected_step, args.samples, args.horizon, ref_path)
     core, dyn = solver._step, solver.dynamics_step
 
-    def chain(n):
+    c0 = (solver.init(), jnp.zeros(3, jnp.float32))
+
+    def make_runner(n):
         @jax.jit
-        def run(carry):
+        def run_chain(carry):
             def body(c, _):
                 st, x = c
                 u0, st, aux = core(params, st, x, None)
                 return (st, dyn(x, u0)), aux.costs[0]
             c, ys = jax.lax.scan(body, carry, None, length=n)
             return ys
+
+        def run():
+            float(jnp.sum(run_chain(c0)))  # device reduce + host fetch
+
         return run
 
-    c0 = (solver.init(), jnp.zeros(3, jnp.float32))
-    c1, c2 = chain(20), chain(100)
-    float(jnp.sum(c1(c0))); float(jnp.sum(c2(c0)))
-    def wall(c):
-        t0 = time.perf_counter(); out = c(c0); float(jnp.sum(out))
-        return time.perf_counter() - t0
-    tau = (min(wall(c2) for _ in range(8)) - min(wall(c1) for _ in range(8))) / 80
+    tau = slope_timing(make_runner, 20, 100, reps=8).tau
     print(
         f"DNN-MPPI (K={args.samples}, T={args.horizon}, MLP 5-128-128-3): "
         f"{tau*1e3:.3f} ms/solve ({1/tau:.0f} solves/s) on {jax.devices()[0].platform}"

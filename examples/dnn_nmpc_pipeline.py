@@ -16,6 +16,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke must not dial the TPU
 import jax.numpy as jnp
 import numpy as np
 

@@ -18,6 +18,10 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke must not dial the TPU
+
 from dnn_mppi_mpc_tpu.config import SQPConfig
 from dnn_mppi_mpc_tpu.envs.obstacles import drift_obstacles
 from dnn_mppi_mpc_tpu.models import erk_step, unicycle

@@ -36,23 +36,10 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # The session image's sitecustomize initializes the TPU plugin before env
-    # vars are read (see tests/conftest.py) — flip the config explicitly so
-    # the virtual --xla_force_host_platform_device_count mesh is honored.
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        import jax.extend.backend as _jeb
-
-        _jeb.clear_backends()
-    except Exception:
-        pass
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -61,36 +48,36 @@ from __graft_entry__ import _flagship
 from dnn_mppi_mpc_tpu.parallel.distributed import initialize_distributed
 from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_mppi_step
 from dnn_mppi_mpc_tpu.solvers.mppi import MPPIState
+from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+# The image's sitecustomize pins the TPU plugin after import — flip the
+# config so the virtual --xla_force_host_platform_device_count mesh works.
+honor_jax_platforms_env()
 
 
 def measure(step, params, state0, x0, n1, n2, reps):
     """Slope-estimated per-tick seconds for a jitted sharded step."""
 
-    def chain_fn(n):
+    def make_runner(n):
         def body(carry, _):
             state, x = carry
             u0, state, aux = step(params, state, x)
             # state-dependent chaining so ticks cannot be overlapped
             x = x.at[0].add(u0[0] * 1e-6)
             return (state, x), aux.costs.min()
-        def run(state, x):
+
+        @jax.jit
+        def chain(state, x):
             (_, _), ys = jax.lax.scan(body, (state, x), None, length=n)
             return ys
-        return jax.jit(run)
 
-    c1, c2 = chain_fn(n1), chain_fn(n2)
-    float(jnp.sum(c1(state0, x0)))  # compile + warm
-    float(jnp.sum(c2(state0, x0)))
+        def run():
+            float(jnp.sum(chain(state0, x0)))  # device reduce + host fetch
 
-    def wall(c):
-        t0 = time.perf_counter()
-        out = c(state0, x0)
-        float(jnp.sum(out))
-        return time.perf_counter() - t0
+        return run
 
-    w1 = min(wall(c1) for _ in range(reps))
-    w2 = min(wall(c2) for _ in range(reps))
-    return (w2 - w1) / (n2 - n1)
+    return slope_timing(make_runner, n1, n2, reps).tau
 
 
 def main():

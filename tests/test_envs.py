@@ -302,3 +302,48 @@ def test_collect_resumable_checkpoints_and_matches(tmp_path):
     assert os.path.getmtime(os.path.join(d2, chunks[0])) == t0
     np.testing.assert_array_equal(np.asarray(ep_resumed.states), np.asarray(ep_full.states))
     np.testing.assert_array_equal(np.asarray(ep_resumed.errors), np.asarray(ep_full.errors))
+
+def test_collect_resumable_invalidates_stale_cache(tmp_path):
+    """A cached chunk from a different PRNG key or config tag must be
+    recomputed, not silently returned (round-2 review finding)."""
+    from dnn_mppi_mpc_tpu.envs.closed_loop import (
+        collect_residual_dataset_resumable,
+    )
+
+    dt = 0.1
+    nominal = lambda x, u: euler_step(unicycle, x, u, dt)
+    plant = lambda x, u: euler_step(unicycle, x, u, dt) + jnp.array([0.01, 0.0, 0.0])
+
+    def controller_factory(key):
+        u_rand = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+        return (lambda cs, x: (u_rand, cs)), None
+
+    def x0_sampler(key):
+        return jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+
+    d = str(tmp_path / "run")
+    common = (controller_factory, plant, nominal, x0_sampler)
+    ep_a = collect_residual_dataset_resumable(
+        *common, jax.random.PRNGKey(0), 4, 6, out_dir=d, series_per_chunk=4
+    )
+    # same out_dir, different key: cache must be invalidated and recomputed
+    ep_b = collect_residual_dataset_resumable(
+        *common, jax.random.PRNGKey(1), 4, 6, out_dir=d, series_per_chunk=4
+    )
+    assert not np.array_equal(np.asarray(ep_a.states), np.asarray(ep_b.states))
+    # fresh from key 1 with an empty dir must equal the key-1 rerun above
+    d2 = str(tmp_path / "run2")
+    ep_b2 = collect_residual_dataset_resumable(
+        *common, jax.random.PRNGKey(1), 4, 6, out_dir=d2, series_per_chunk=4
+    )
+    np.testing.assert_array_equal(np.asarray(ep_b.states), np.asarray(ep_b2.states))
+
+    # different config_tag with the same key likewise invalidates
+    import os
+
+    t0 = os.path.getmtime(os.path.join(d2, "chunk_00000.npz"))
+    collect_residual_dataset_resumable(
+        *common, jax.random.PRNGKey(1), 4, 6,
+        out_dir=d2, series_per_chunk=4, config_tag="other-controller",
+    )
+    assert os.path.getmtime(os.path.join(d2, "chunk_00000.npz")) != t0

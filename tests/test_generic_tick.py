@@ -257,6 +257,26 @@ def test_lift_dynamics_adapter_matches_tile():
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-5)
 
 
+def test_generic_matches_scan_large_window():
+    """W > 32 takes the SMEM fori_loop window path (dynamic scalar reads)
+    instead of the unrolled one — it must reproduce the scan engine too
+    (round-2 review: this branch previously had no test at all)."""
+    cfg = _cfg(3, 2, waypoint_search_len=48)
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.05], [0.05, 0.1]], jnp.float32),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0, 2.0], jnp.float32),
+        u_min=jnp.array([-1.5, -2.0], jnp.float32),
+        u_max=jnp.array([1.5, 2.0], jnp.float32),
+        ref_path=_path(3, n=80),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    tick = make_generic_fused_tick(cfg, unicycle_tile(DT), interpret=True)
+    _run_both(cfg, params, step_fn, stage, terminal, tick,
+              jnp.array([0.1, -0.05, 0.2], jnp.float32))
+
+
 def test_generic_guards():
     cfg = _cfg(3, 2, num_rollout_repeats=3)
     with pytest.raises(ValueError, match="num_rollout_repeats"):

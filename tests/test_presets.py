@@ -92,3 +92,27 @@ def test_nmpc_preset_overrides_forwarded():
         assert solver.cfg.qp_backend == "pallas", ctor.__name__
     with pytest.raises(TypeError):
         diff_drive_nmpc(jnp.zeros(3), not_a_config_field=1)
+
+
+def test_pallas_presets_round_samples_to_lanes():
+    """Preset fused/Pallas paths must be constructible with their own default
+    K: the kernels assert K % 128 == 0 (ops/pallas/mppi_tick.py:361), so the
+    presets round K up instead of handing the user an AssertionError
+    (round-2 review finding)."""
+    goal = jnp.zeros(3)
+    solver, _ = presets.goal_seeking_mppi(goal, fused_tick=True)  # default 1500
+    assert solver.cfg.num_samples == 1536
+
+    ref = np.zeros((30, 4), np.float32)
+    solver, _ = presets.racecar_mppi(jnp.asarray(ref), fused_tick=True)  # 100
+    assert solver.cfg.num_samples == 128
+    solver, _ = presets.racecar_mppi(jnp.asarray(ref), use_pallas=True)
+    assert solver.cfg.num_samples == 128
+
+    path = np.zeros((30, 3), np.float32)
+    solver, _ = presets.diff_drive_mppi(jnp.asarray(path), use_pallas=True)
+    assert solver.cfg.num_samples == 128
+
+    # an already-conforming K is left alone
+    solver, _ = presets.goal_seeking_mppi(goal, num_samples=1280, fused_tick=True)
+    assert solver.cfg.num_samples == 1280

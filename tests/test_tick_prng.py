@@ -178,3 +178,45 @@ def test_emit_reinject_self_consistency(make, gauss):
     np.testing.assert_array_equal(np.asarray(S), np.asarray(S2))
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
     np.testing.assert_array_equal(np.asarray(weps), np.asarray(weps2))
+
+
+def test_generic_tick_large_window_lowers_on_tpu():
+    """W > 32 takes the fori_loop window path: dynamic scalar reads from the
+    SMEM window inside the rollout loop — a Mosaic lowering pattern that
+    interpret-mode tests cannot cover (round-2 review finding). Compile and
+    run at the racecar-style W=200 and sanity-check the outputs."""
+    from dnn_mppi_mpc_tpu.models import unicycle_tile
+    from dnn_mppi_mpc_tpu.ops.pallas.generic_tick import generic_mppi_tick
+
+    rng = np.random.default_rng(4)
+    Wbig = 200
+    win = jnp.asarray(rng.normal(size=(Wbig, 3)), jnp.float32)
+    chol = jnp.array([[0.316, 0.0], [0.05, 0.1]], jnp.float32)
+    S, w, weps = generic_mppi_tick(
+        jnp.int32(7),
+        jnp.zeros((T, 2), jnp.float32),
+        jnp.zeros((T, 2), jnp.float32),
+        chol,
+        jnp.zeros(3, jnp.float32),
+        win,
+        jnp.array([5.0, 5.0, 10.0], jnp.float32),
+        jnp.array([5.0, 5.0, 10.0], jnp.float32),
+        jnp.array([-5.0, -3.14], jnp.float32),
+        jnp.array([5.0, 3.14], jnp.float32),
+        0.05,
+        0.8 * K,
+        jnp.float32(1.0),
+        step_tile=unicycle_tile(0.05),
+        nx=3,
+        nu=2,
+        n_track=3,
+        K=K,
+        T=T,
+        W=Wbig,
+        gaussian="popcount",
+    )
+    S = np.asarray(S)
+    w = np.asarray(w)
+    assert np.isfinite(S).all() and np.isfinite(np.asarray(weps)).all()
+    assert S.min() > 0.0  # quadratic tracking cost of a random path is > 0
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
