@@ -392,3 +392,76 @@ def test_nmpc_nonlinear_ls_cost():
         x = erk_step(unicycle, x, u0, dt, num_steps=3)
     err = float(jnp.linalg.norm(np.asarray(x[:2]) - goal_xy))
     assert err < 0.15, f"NONLINEAR_LS NMPC error {err:.3f}"
+
+
+def test_nmpc_racecar_avoids_obstacle():
+    """Race-car NMPC with obstacle h-constraints — the
+    mpc_racecar_obstacle_static.py configuration (#13) exercised directly:
+    kinematic bicycle + circle_obstacle_h, goal behind the obstacle."""
+    N, dt = 30, 0.05
+    cfg = SQPConfig(
+        N=N, dim_x=4, dim_u=2, dt=dt, sqp_iters=2, qp_iters=14, n_h_constraints=1
+    )
+    bp = BicycleParams(wheel_base=jnp.asarray(0.325))
+    dyn = lambda x, u: kinematic_bicycle(x, u, bp)
+    solver = NMPCSolver(cfg, dyn, h_fn=circle_obstacle_h)
+    goal = jnp.array([2.0, 1.0, 0.0, 0.0])
+    obstacle = jnp.array([[1.0, 0.5, 0.35]])  # (ox, oy, r+safe) on the path
+    params = OCPParams(
+        Q=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        R=jnp.diag(jnp.array([0.5, 0.5])),
+        Qe=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=goal,
+        lbx=jnp.array([-10.0, -10.0, -10.0, -3.0]),
+        ubx=jnp.array([10.0, 10.0, 10.0, 3.0]),
+        lbu=jnp.array([-0.4, -2.0]),
+        ubu=jnp.array([0.4, 2.0]),
+        p=obstacle,
+    )
+    x = jnp.array([0.0, 0.0, 0.0, 0.0])
+    state = solver.init(x)
+    min_clearance = np.inf
+    for _ in range(140):
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(dyn, x, u0, dt, num_steps=3)
+        d = float(jnp.linalg.norm(x[:2] - obstacle[0, :2]))
+        min_clearance = min(min_clearance, d)
+    err = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    assert err < 0.15, f"racecar did not reach goal: {err:.3f}"
+    assert min_clearance > 0.30, f"clearance {min_clearance:.3f}"
+
+
+def test_nmpc_moving_obstacle_per_tick_params():
+    """Dynamic-obstacle NMPC (#10, mpc_differential_drive_obstacle_dynamic.py):
+    the obstacle's position advances every control frame (:467-471) and is
+    passed through params.p without retracing; the controller must stay clear
+    of the *moving* disc and still reach the goal."""
+    N, dt = 25, 0.1
+    cfg = SQPConfig(
+        N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=14, n_h_constraints=1
+    )
+    solver = NMPCSolver(cfg, unicycle, h_fn=circle_obstacle_h)
+    base = _diff_drive_params(N, with_obstacles=True)
+    x = jnp.array([0.0, 0.0, 0.0])
+    state = solver.init(x)
+    # obstacle drifts across the straight-line path (crosses y≈1 around the
+    # time the robot passes) — per-frame updates, as in the reference
+    pos0 = np.array([1.5, 0.2])
+    vel = np.array([0.0, 0.25])
+    min_clearance = np.inf
+    import dataclasses
+
+    for k in range(100):
+        pos = pos0 + vel * (k * dt)
+        params = dataclasses.replace(
+            base, p=jnp.asarray([[pos[0], pos[1], 0.45]], jnp.float32)
+        )
+        u0, state, aux = solver.solve(params, state, x)
+        x = erk_step(unicycle, x, u0, dt, num_steps=3)
+        pos_next = pos0 + vel * ((k + 1) * dt)
+        d = float(jnp.linalg.norm(x[:2] - jnp.asarray(pos_next)))
+        min_clearance = min(min_clearance, d)
+    err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
+    assert err < 0.1, f"did not reach goal: {err:.3f}"
+    assert min_clearance > 0.40, f"hit moving obstacle: {min_clearance:.3f}"
