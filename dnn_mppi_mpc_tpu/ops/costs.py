@@ -59,9 +59,15 @@ def circle_robot_collision(
 
 
 # 9-point vehicle outline in body frame, unit half-extents; scaled by (l/2, w/2).
-# Point order follows controllers/mppi_race_car_obstacle.py:263-264.
-_OUTLINE_X = jnp.array([-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0])
-_OUTLINE_Y = jnp.array([0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0])
+# Point order follows controllers/mppi_race_car_obstacle.py:263-264. The plain
+# tuples are THE canonical definition — the Pallas bicycle kernels import them
+# (unrolled per-point scalar code), the XLA path uses the array forms below;
+# one source keeps the scan path and the fused kernels pinned to the same
+# polygon.
+VEHICLE_OUTLINE_X = (-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0)
+VEHICLE_OUTLINE_Y = (0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0)
+_OUTLINE_X = jnp.array(VEHICLE_OUTLINE_X)
+_OUTLINE_Y = jnp.array(VEHICLE_OUTLINE_Y)
 
 
 def vehicle_polygon_collision(

@@ -62,10 +62,14 @@ def moving_average_padded(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
     not reflected), then a 'same' convolution with the pad stripped.
     """
     w = min(window_size, x.shape[0])
+    if w <= 1:
+        # identity — and the generic slicing below breaks at w == 1:
+        # x[-(0):] is the WHOLE array, not an empty pad (round-2 review)
+        return x
     kernel = jnp.ones((w,), dtype=x.dtype) / w
     padded = jnp.concatenate([x[: w // 2], x, x[-(w // 2):]], axis=0)
     out = _convolve_same_cols(padded, kernel)
-    return out[w // 2 : -(w // 2)]
+    return out[w // 2 : -(w // 2)] if w // 2 else out
 
 
 def savgol_coefficients(window_size: int, polyorder: int) -> np.ndarray:
@@ -166,6 +170,8 @@ def _filter_matrix_cached(kind_value: str, T: int, window: int, polyorder: int):
 
     if kind == SmoothingFilter.MOVING_AVERAGE_PADDED:
         w = min(window, T)
+        if w <= 1:
+            return eye  # identity; eye[-(0):] below would double the rows
         padded = np.concatenate([eye[: w // 2], eye, eye[-(w // 2):]], axis=0)
         out = conv_same_cols(padded, np.ones(w) / w)
         return out[w // 2 : -(w // 2)] if w // 2 else out

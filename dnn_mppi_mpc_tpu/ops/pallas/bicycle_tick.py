@@ -42,10 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mppi_tick import _TWO_PI, LANES, pick_r_blk, standard_normal_pair
 
-# body-frame outline points of the vehicle polygon (unit half-extents),
-# order per mppi_race_car_obstacle.py:263-264
-_OUT_X = (-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0)
-_OUT_Y = (0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0)
+# canonical body-frame vehicle outline (order per
+# mppi_race_car_obstacle.py:263-264) — shared with the XLA cost path
+from ..costs import (  # noqa: E402
+    VEHICLE_OUTLINE_X as _OUT_X,
+    VEHICLE_OUTLINE_Y as _OUT_Y,
+)
 
 
 def _bicycle_tick_kernel(

@@ -25,12 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-
-# body-frame outline points of the vehicle polygon (unit half-extents),
-# order per mppi_race_car_obstacle.py:263-264
-_OUT_X = (-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0)
-_OUT_Y = (0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0)
+from ..costs import (
+    VEHICLE_OUTLINE_X as _OUT_X,
+    VEHICLE_OUTLINE_Y as _OUT_Y,
+)
+from .mppi_tick import LANES
 
 
 def _bicycle_kernel(

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from ..config import MPPIConfig, MPPIParams
-from .mppi import CostContext, StageCost, TerminalCost
+from ..config import MPPIParams
+from .mppi import CostContext, StageCost, TerminalCost, unify_float_dtype
 from ..ops.waypoints import nearest_waypoint
 
 
@@ -86,12 +86,7 @@ def cem_step(
     K, T = cfg.num_samples, cfg.horizon
     n_elite = max(1, int(K * cfg.elite_fraction))
     x0 = x0.astype(state.mean.dtype)
-    params = jax.tree.map(
-        lambda a: a.astype(state.mean.dtype)
-        if jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        params,
-    )
+    params = unify_float_dtype(params, state.mean.dtype)
 
     wp_idx, _ = nearest_waypoint(
         params.ref_path, x0[:2], state.waypoint_idx, cfg.waypoint_search_len

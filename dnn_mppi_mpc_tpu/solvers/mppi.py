@@ -38,8 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from ..config import CostAccumulation, MPPIConfig, MPPIParams, SmoothingFilter
-from ..models.integrators import euler_step
+from ..config import CostAccumulation, MPPIConfig, MPPIParams
 from ..ops.costs import (
     COLLISION_PENALTY,
     circle_robot_collision,
@@ -172,6 +171,23 @@ def make_tracking_costs(
     return stage, terminal
 
 
+def unify_float_dtype(tree, dtype):
+    """Cast floating *array* leaves of a params pytree to ``dtype``.
+
+    Integer/bool arrays and non-array leaves (Python scalars or arbitrary
+    objects inside ``MPPIParams.model_params``) pass through untouched —
+    weakly-typed Python floats don't promote the scan carry, and assuming
+    every leaf has ``.dtype`` crashed on them (round-2 review finding).
+    """
+
+    def cast(a):
+        if not hasattr(a, "dtype"):
+            return a
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(cast, tree)
+
+
 def mppi_step(
     cfg: MPPIConfig,
     dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -215,10 +231,7 @@ def mppi_step(
     local_K = K // n_shards
     # Keep the whole tick in one dtype (f32 on the hot path); under x64 test
     # mode, float64 params would otherwise promote the scan carry.
-    params = jax.tree.map(
-        lambda a: a.astype(u.dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        params,
-    )
+    params = unify_float_dtype(params, u.dtype)
 
     # Advance the waypoint window to the vehicle position (tick-level, pure).
     wp_idx, _ = nearest_waypoint(
@@ -915,6 +928,8 @@ class MPPISolver:
         tile_dynamics: Optional[Callable] = None,
         wrap_yaw: bool = False,
         collision: str = "circle",
+        soft_safety_distance: float = 2.0,
+        soft_weight: float = 100.0,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
@@ -935,11 +950,21 @@ class MPPISolver:
                     wrap_yaw=wrap_yaw,
                     collision=collision,
                     robot_radius=robot_radius,
+                    soft_safety_distance=soft_safety_distance,
+                    soft_weight=soft_weight,
                     gaussian=gaussian,
                 )
             else:
+                # collision/soft settings must reach the kernel — dropping
+                # them here silently changed the cost semantics (round-2
+                # review finding).
                 tick_fn = make_pallas_diffdrive_tick(
-                    cfg, robot_radius, gaussian=gaussian
+                    cfg,
+                    robot_radius,
+                    gaussian=gaussian,
+                    collision=collision,
+                    soft_safety_distance=soft_safety_distance,
+                    soft_weight=soft_weight,
                 )
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)

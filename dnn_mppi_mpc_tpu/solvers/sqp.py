@@ -349,7 +349,12 @@ def sqp_solve(
                     + 0.5 * eT @ params.Qe @ eT
                 )
             Fc = jax.vmap(dyn_step)(Xc[:-1], Uc)
-            defect = jnp.sum(jnp.abs(Fc - Xc[1:]))
+            # The initial-condition residual is a feasibility term like the
+            # shooting defects: a damped step (α<1) blends Xc[0] away from the
+            # measured x0 (the QP always returns dX[0] = x0 − X[0]), and
+            # without this term nothing pulls the choice back toward
+            # re-anchoring the plan at the plant state (round-2 review).
+            defect = jnp.sum(jnp.abs(Fc - Xc[1:])) + jnp.sum(jnp.abs(Xc[0] - x0))
             viol = (
                 jnp.sum(jnp.maximum(params.lbx - Xc, 0.0))
                 + jnp.sum(jnp.maximum(Xc - params.ubx, 0.0))
@@ -363,7 +368,7 @@ def sqp_solve(
                 m = m + pen * jnp.sum(jnp.maximum(-hvals, 0.0))
             return m
 
-        alphas = jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
+        alphas = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.1], dtype=dtype)
         merits = jax.vmap(lambda a: merit(X + a * dX, U + a * dU))(alphas)
         best = alphas[jnp.argmin(merits)]
         return (X + best * dX, U + best * dU), kkt

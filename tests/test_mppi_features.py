@@ -183,3 +183,83 @@ def test_nmpc_status_nonfinite_guard():
     u0, st3, aux = solver.solve(params, st2, jnp.array([jnp.nan, 0.0, 0.0]))
     assert int(aux.status) == 2
     assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_solver_forwards_collision_to_fused_tick(monkeypatch):
+    """MPPISolver must pass collision/soft settings through to the fused tick
+    factories — silently defaulting to hard circle penalties diverged from
+    the bound soft cost functions (round-2 review finding)."""
+    import dnn_mppi_mpc_tpu.solvers.mppi as m
+    from dnn_mppi_mpc_tpu.models import euler_step, unicycle, unicycle_tile
+
+    cfg = MPPIConfig(
+        num_samples=128, horizon=8, dim_x=3, dim_u=2, dt=0.05,
+        waypoint_search_len=4,
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, cfg.dt)
+    stage, terminal = m.make_tracking_costs(cfg, collision="soft")
+
+    captured = {}
+
+    def fake_diffdrive_factory(cfg_, robot_radius=0.5, **kw):
+        captured.update(kw)
+        return lambda *a, **k: None
+
+    monkeypatch.setattr(m, "make_pallas_diffdrive_tick", fake_diffdrive_factory)
+    m.MPPISolver(
+        cfg, step_fn, stage, terminal, fused_tick=True,
+        collision="soft", soft_safety_distance=1.5, soft_weight=50.0,
+    )
+    assert captured["collision"] == "soft"
+    assert captured["soft_safety_distance"] == 1.5
+    assert captured["soft_weight"] == 50.0
+
+    captured.clear()
+
+    def fake_generic_factory(cfg_, tile, **kw):
+        captured.update(kw)
+        return lambda *a, **k: None
+
+    monkeypatch.setattr(m, "make_generic_fused_tick", fake_generic_factory)
+    m.MPPISolver(
+        cfg, step_fn, stage, terminal, fused_tick=True,
+        tile_dynamics=unicycle_tile(cfg.dt),
+        collision="soft", soft_safety_distance=1.5, soft_weight=50.0,
+    )
+    assert captured["collision"] == "soft"
+    assert captured["soft_safety_distance"] == 1.5
+    assert captured["soft_weight"] == 50.0
+
+
+def test_mppi_step_accepts_non_array_model_params():
+    """MPPIParams.model_params is Optional[object]; a Python-scalar leaf must
+    not crash the tick's dtype unification (round-2 review finding)."""
+    from dnn_mppi_mpc_tpu.models import euler_step, unicycle
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        MPPISolver,
+        MPPIState,
+        make_tracking_costs,
+    )
+
+    cfg = MPPIConfig(
+        num_samples=64, horizon=6, dim_x=3, dim_u=2, dt=0.05,
+        waypoint_search_len=4,
+    )
+    gain = 0.9  # plain float rides in model_params
+
+    def step_fn(x, u, g=gain):
+        return euler_step(unicycle, x, u * g, cfg.dt)
+
+    stage, terminal = make_tracking_costs(cfg)
+    params = MPPIParams(
+        sigma=jnp.eye(2) * 0.1,
+        stage_weight=jnp.array([5.0, 5.0, 1.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 1.0]),
+        u_min=jnp.array([-2.0, -2.0]),
+        u_max=jnp.array([2.0, 2.0]),
+        ref_path=jnp.zeros((10, 3)),
+        model_params=0.5,  # non-array pytree leaf
+    )
+    solver = MPPISolver(cfg, step_fn, stage, terminal)
+    u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(u0)))

@@ -90,6 +90,12 @@ def test_savgol_matches_scipy(T, w, p):
         ("savgol", 60, 21, 3),
         ("savgol", 50, 51, 3),  # window clamps to T, forced odd
         ("savgol", 30, 4, 5),  # even window, polyorder clamp
+        # degenerate windows must be identity in BOTH paths — w=1 previously
+        # returned a (2T, T) matrix / an empty array (round-2 review finding)
+        ("ma_padded", 20, 1, 0),
+        ("ma_padded", 1, 8, 0),  # T=1 clamps the window to 1
+        ("ma_edge", 20, 1, 0),
+        ("savgol", 20, 1, 3),
     ],
 )
 def test_filter_matrix_equals_op_path(kind, T, w, p):
