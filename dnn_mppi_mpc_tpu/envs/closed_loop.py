@@ -217,9 +217,7 @@ def mppi_controller(solver, params) -> Controller:
     run_closed_loop expects, so whole MPPI episodes run as one on-device scan
     (zero per-tick host dispatch)."""
 
-    from ..solvers.mppi import mppi_step
-
-    step = solver._step  # jitted partial of mppi_step
+    step = solver._step  # jitted partial of solvers.mppi.mppi_step
 
     def controller(cs, x):
         u0, cs, _ = step(params, cs, x, None)

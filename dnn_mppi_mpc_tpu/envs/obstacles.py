@@ -36,9 +36,22 @@ def chase_obstacles(
 def sinusoid_obstacles(
     centers: jnp.ndarray, amplitudes: jnp.ndarray, omegas: jnp.ndarray, t: jnp.ndarray
 ) -> jnp.ndarray:
-    """Scripted oscillating obstacles (mpc_differential_dynamics.py:296-315)."""
-    offs = amplitudes * jnp.sin(omegas * t)
-    return centers.at[..., :2].add(offs[..., :2] if offs.ndim == centers.ndim else offs)
+    """Scripted oscillating obstacles (mpc_differential_dynamics.py:296-315).
+
+    ``amplitudes``/``omegas`` may be per-axis ``(n, 2)`` or per-obstacle
+    scalars ``(n,)`` (applied to both axes). A bare ``(n,)`` must broadcast
+    across obstacles, NOT across x/y — the naive trailing-axis broadcast was
+    silently wrong at n == 2 and crashed otherwise (round-2 review finding).
+    """
+    amplitudes = jnp.asarray(amplitudes)
+    omegas = jnp.asarray(omegas)
+    if amplitudes.ndim == centers.ndim - 1:
+        amplitudes = amplitudes[..., None]
+    if omegas.ndim == centers.ndim - 1:
+        omegas = omegas[..., None]
+    offs = amplitudes * jnp.sin(omegas * t)  # (n, 1|2) per-obstacle offsets
+    offs = jnp.broadcast_to(offs, centers[..., :2].shape)
+    return centers.at[..., :2].add(offs)
 
 
 __all__ = ["drift_obstacles", "chase_obstacles", "sinusoid_obstacles"]

@@ -22,13 +22,19 @@ def lidar_scan(
 ) -> jnp.ndarray:
     """Range per beam from pose (x, y, yaw) against circle obstacles (n, 3).
 
-    Beams span ``fov`` centered on the heading. A ray p + t·d intersects a
+    Beams span ``fov`` centered on the heading; a full-circle fov excludes
+    the duplicate endpoint (−π and +π are the same direction — including
+    both double-counted the rearward beam and left a ~fov/B blind gap,
+    round-2 review finding). A ray p + t·d intersects a
     circle |q + t·d|² = r² (q = p − c) at t = −q·d − sqrt((q·d)² − |q|² + r²);
     the smallest positive root within range wins, else ``max_range``
     (the miss convention of PyBullet's rayTest fraction=1).
     """
     x, y, yaw = pose[..., 0], pose[..., 1], pose[..., 2]
-    angles = yaw[..., None] + jnp.linspace(-fov / 2.0, fov / 2.0, num_beams)
+    full_circle = abs(float(fov) - 2.0 * 3.141592653589793) < 1e-6
+    angles = yaw[..., None] + jnp.linspace(
+        -fov / 2.0, fov / 2.0, num_beams, endpoint=not full_circle
+    )
     dx = jnp.cos(angles)  # (..., B)
     dy = jnp.sin(angles)
 

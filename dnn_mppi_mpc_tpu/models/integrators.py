@@ -99,9 +99,23 @@ def irk_step(
     control flow, ``jax.jacfwd``-differentiable end-to-end so the SQP engine
     linearizes through it exactly like through ERK.
 
-    Operates on a single (nx,) state; ``jax.vmap`` for batches.
+    Broadcasts over leading batch dims like the explicit integrators (the
+    batch is flattened and vmapped over the single-state Newton solver).
     """
     import numpy as np
+
+    if x.ndim > 1:
+        batch = x.shape[:-1]
+        xf = x.reshape((-1, x.shape[-1]))
+        uf = jnp.broadcast_to(u, batch + u.shape[-1:]).reshape(
+            (-1, u.shape[-1])
+        )
+        out = jax.vmap(
+            lambda xi, ui: irk_step(
+                f, xi, ui, dt, num_stages, num_steps, newton_iters
+            )
+        )(xf, uf)
+        return out.reshape(x.shape)
 
     _, A_np, b_np = _gauss_legendre_tableau(num_stages)
     A = jnp.asarray(A_np, dtype=x.dtype)
@@ -135,9 +149,17 @@ def irk_step(
 
 
 def discretize(
-    f: Dynamics, dt: float, method: str = "euler", num_steps: int = 1
+    f: Dynamics,
+    dt: float,
+    method: str = "euler",
+    num_steps: int = 1,
+    num_stages: int = 4,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Return a discrete transition ``F(x, u) -> x_next`` for the given method."""
+    """Return a discrete transition ``F(x, u) -> x_next`` for the given method.
+
+    ``num_stages`` applies to the IRK collocation order only (acados'
+    sim_method_num_stages); the explicit methods ignore it.
+    """
     if method == "euler":
         return lambda x, u: euler_step(f, x, u, dt)
     if method == "rk4":
@@ -145,7 +167,9 @@ def discretize(
     if method == "erk":
         return lambda x, u: erk_step(f, x, u, dt, num_steps=num_steps)
     if method == "irk":
-        return lambda x, u: irk_step(f, x, u, dt, num_steps=num_steps)
+        return lambda x, u: irk_step(
+            f, x, u, dt, num_stages=num_stages, num_steps=num_steps
+        )
     raise ValueError(f"unknown integrator method: {method!r}")
 
 

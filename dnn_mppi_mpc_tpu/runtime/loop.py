@@ -49,6 +49,7 @@ class RealtimeLoop:
         self.read_state = read_state
         self.apply_control = apply_control
         self.hz = hz
+        self.telemetry_capacity = telemetry_capacity
         self.pacer: Optional[RatePacer] = None
         self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
 
@@ -78,7 +79,17 @@ class RealtimeLoop:
         return stats
 
     def drain_telemetry(self) -> np.ndarray:
-        return self.telemetry.pop(1 << 14)
+        """Pop everything currently buffered (up to the configured ring
+        capacity — a hardcoded 1<<14 limit silently truncated larger rings,
+        round-2 review finding)."""
+        return self.telemetry.pop(self.telemetry_capacity)
+
+    def close(self) -> None:
+        """Release the native telemetry ring (and pacer, if still open)."""
+        if self.pacer is not None:
+            self.pacer.close()
+            self.pacer = None
+        self.telemetry.close()
 
 
 __all__ = ["RealtimeLoop", "TELEMETRY_DTYPE"]

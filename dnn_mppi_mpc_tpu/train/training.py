@@ -50,6 +50,10 @@ def prepare_residual_dataset(
     (train/train_diff_mlp.py:70-90); here features are the concatenated
     (state, control) rows — the 5-feature input of the flagship DNN-NMPC MLP
     (simulation/bullet_differential_drive_dnn.py:37-60).
+
+    Note: fits the scalers on ALL rows — fine for deployment preprocessing,
+    but for train/val evaluation use ``train_residual_model``, which fits on
+    the train split only to keep validation metrics uncontaminated.
     """
     feats = jnp.concatenate([states, controls], axis=-1)
     in_scaler = Standardizer.fit(feats)
@@ -128,15 +132,21 @@ def train_residual_model(
     sharded over the 'batch' axis (pure data parallelism — gradients reduce
     via XLA's automatic psum through the jitted step).
     """
-    x, y, in_scaler, out_scaler = prepare_residual_dataset(states, controls, errors)
-
-    n = x.shape[0]
+    # Split FIRST, then fit the scalers on the train rows only — fitting on
+    # the full dataset leaks validation statistics into the normalization and
+    # biases val_mse/val_mae optimistically (round-2 review finding).
+    feats = jnp.concatenate([states, controls], axis=-1)
+    n = feats.shape[0]
     n_val = int(n * val_fraction)
     rng = jax.random.PRNGKey(cfg.seed)
     perm = jax.random.permutation(rng, n)
-    x, y = x[perm], y[perm]
-    x_train, y_train = x[n_val:], y[n_val:]
-    x_val, y_val = x[:n_val], y[:n_val]
+    feats, errs = feats[perm], errors[perm]
+    f_train, e_train = feats[n_val:], errs[n_val:]
+    f_val, e_val = feats[:n_val], errs[:n_val]
+    in_scaler = Standardizer.fit(f_train)
+    out_scaler = Standardizer.fit(e_train)
+    x_train, y_train = in_scaler.transform(f_train), out_scaler.transform(e_train)
+    x_val, y_val = in_scaler.transform(f_val), out_scaler.transform(e_val)
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P("batch"))
@@ -178,15 +188,18 @@ def train_residual_model(
     for epoch in range(cfg.num_epochs):
         shuffle_key, sub = jax.random.split(shuffle_key)
         order = jax.random.permutation(sub, n_train)
-        ep_mse = ep_mae = 0.0
+        # keep metrics on-device during the epoch: a float() per minibatch
+        # blocks dispatch and idles the accelerator (round-2 review finding)
+        ms = []
         for i in range(steps_per_epoch):
             idx = order[i * bs : (i + 1) * bs]
             params, opt_state, m = step(params, opt_state, x_train[idx], y_train[idx])
-            ep_mse += float(m["mse"])
-            ep_mae += float(m["mae"])
+            ms.append(m)
+        ep_mse = jnp.mean(jnp.stack([m["mse"] for m in ms]))
+        ep_mae = jnp.mean(jnp.stack([m["mae"] for m in ms]))
         v_mse, v_mae = eval_metrics(params, x_val, y_val)
-        history["train_mse"].append(ep_mse / steps_per_epoch)
-        history["train_mae"].append(ep_mae / steps_per_epoch)
+        history["train_mse"].append(float(ep_mse))
+        history["train_mae"].append(float(ep_mae))
         history["val_mse"].append(float(v_mse))
         history["val_mae"].append(float(v_mae))
 

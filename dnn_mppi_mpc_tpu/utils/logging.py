@@ -31,9 +31,18 @@ class MetricsWriter:
         self._f = open(path, "a", buffering=1)
 
     def write(self, step: int, **metrics) -> None:
-        rec = {"step": step, "ts": time.time()}
+        rec = {"step": int(step), "ts": time.time()}
         for k, v in metrics.items():
-            rec[k] = float(v) if isinstance(v, (np.floating, np.integer)) else v
+            # jax.debug.callback delivers jax.Array (0-d device arrays), not
+            # numpy scalars — convert anything array-like so the documented
+            # run_closed_loop(metric_cb=writer.write) path serializes
+            # (round-2 review finding).
+            if isinstance(v, (bool, int, float, str)) or v is None:
+                rec[k] = v
+            elif np.ndim(v) == 0:
+                rec[k] = np.asarray(v).item()  # native int/float/bool
+            else:
+                rec[k] = np.asarray(v).tolist()
         self._f.write(json.dumps(rec) + "\n")
 
     def close(self) -> None:

@@ -29,13 +29,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 if not _KEEP_TPU:
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        import jax.extend.backend as _jeb
+    # one shared implementation of the config-flip + clear_backends dance
+    from dnn_mppi_mpc_tpu.utils.platform import (  # noqa: E402
+        honor_jax_platforms_env,
+    )
 
-        _jeb.clear_backends()
-    except Exception:  # pragma: no cover - older jax versions
-        pass
+    honor_jax_platforms_env()
 
     assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 

@@ -196,3 +196,23 @@ def test_irk_nmpc_stiff_tracks_where_erk_diverges():
     # the explicit engine must visibly fail: non-finite solves rejected
     # (status flag 2) or grossly off-target
     assert any(s == 2 for s in st_erk) or abs(float(x_erk[0]) - 1.0) > 0.5
+
+
+def test_irk_broadcasts_over_batch():
+    """IRK must honor the module contract that integrators broadcast over
+    leading batch dims — it previously crashed on (B, nx) states
+    (round-2 review finding)."""
+    from dnn_mppi_mpc_tpu.models.integrators import discretize, irk_step
+
+    f = lambda x, u: jnp.stack(
+        [x[..., 1], -4.0 * x[..., 0] - 0.3 * x[..., 1] + u[..., 0]], axis=-1
+    )
+    xs = jnp.asarray(np.random.default_rng(0).normal(size=(7, 2)), jnp.float32)
+    us = jnp.asarray(np.random.default_rng(1).normal(size=(7, 1)), jnp.float32)
+    batched = irk_step(f, xs, us, 0.05)
+    single = jnp.stack([irk_step(f, xs[i], us[i], 0.05) for i in range(7)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single), rtol=1e-6)
+    # shared control broadcasts too, and discretize forwards num_stages
+    step2 = discretize(f, 0.05, method="irk", num_steps=2, num_stages=3)
+    out = step2(xs, jnp.zeros((1,), jnp.float32))
+    assert out.shape == xs.shape and bool(jnp.all(jnp.isfinite(out)))
