@@ -65,23 +65,27 @@ def diff_drive_mppi(
     """
     if use_pallas:
         num_samples = _lane_rounded_samples(num_samples)
-    cfg = MPPIConfig(
+    # defaults-then-update so **overrides can replace ANY config field
+    # (passing e.g. filter_window used to raise 'multiple values for keyword
+    # argument' — round-2 review finding; same pattern in all MPPI presets)
+    kw = dict(
         num_samples=num_samples,
         horizon=horizon,
         dim_x=3,
         dim_u=2,
         dt=dt,
-        lam=overrides.pop("lam", 1.0),
-        alpha=overrides.pop("alpha", 0.2),
-        exploration=overrides.pop("exploration", 0.0001),
+        lam=1.0,
+        alpha=0.2,
+        exploration=0.0001,
         temperature=Temperature.EXPLORATION,
         accumulation=CostAccumulation.SUM,
         filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
         filter_window=min(10, horizon),
         waypoint_search_len=20,
         use_pallas=use_pallas,
-        **overrides,
     )
+    kw.update(overrides)
+    cfg = MPPIConfig(**kw)
     params = MPPIParams(
         sigma=jnp.array([[0.1, 0.0], [0.0, 0.01]]),
         stage_weight=jnp.array([5.0, 5.0, 10.0]),
@@ -120,22 +124,23 @@ def racecar_mppi(
     """
     if fused_tick or use_pallas:
         num_samples = _lane_rounded_samples(num_samples)
-    cfg = MPPIConfig(
+    kw = dict(
         num_samples=num_samples,
         horizon=horizon,
         dim_x=4,
         dim_u=2,
         dt=dt,
-        lam=overrides.pop("lam", 50.0),
-        alpha=overrides.pop("alpha", 1.0),
-        exploration=overrides.pop("exploration", 0.01),
+        lam=50.0,
+        alpha=1.0,
+        exploration=0.01,
         temperature=Temperature.LAMBDA,
         accumulation=CostAccumulation.SUM,
         filter=SmoothingFilter.MOVING_AVERAGE_PADDED,
         filter_window=min(10, horizon),
         waypoint_search_len=200,
-        **overrides,
     )
+    kw.update(overrides)
+    cfg = MPPIConfig(**kw)
     params = MPPIParams(
         sigma=jnp.array([[0.5, 0.0], [0.0, 0.1]]),
         stage_weight=jnp.array([50.0, 50.0, 1.0, 20.0]),
@@ -194,22 +199,23 @@ def goal_seeking_mppi(
     """
     if fused_tick:
         num_samples = _lane_rounded_samples(num_samples)
-    cfg = MPPIConfig(
+    kw = dict(
         num_samples=num_samples,
         horizon=horizon,
         dim_x=3,
         dim_u=2,
         dt=dt,
-        lam=overrides.pop("lam", 1.0),
-        alpha=overrides.pop("alpha", 1.0),
-        exploration=overrides.pop("exploration", 0.0),
+        lam=1.0,
+        alpha=1.0,
+        exploration=0.0,
         temperature=Temperature.LAMBDA,
         filter=SmoothingFilter.SAVGOL,
         filter_window=min(51, horizon),
         savgol_polyorder=3,
         waypoint_search_len=1,
-        **overrides,
     )
+    kw.update(overrides)
+    cfg = MPPIConfig(**kw)
     params = MPPIParams(
         sigma=jnp.array([[0.5, 0.0], [0.0, 0.3]]),  # bullet_mppi_… :316-337
         stage_weight=jnp.array([30.0, 5.0, 9.0]),  # test_mppi_diff_obs.py:47
@@ -308,9 +314,15 @@ def racecar_nmpc(
     if dynamic_model:
         dbp = DynamicBicycleParams.default()
         dyn = lambda x, u: dynamic_bicycle(x, u, dbp)
+        # dynamic_bicycle's control layout is (a, δ) — accel FIRST
+        # (mpc_racecar_class.py:34-44, models/dynamics.py:192); applying the
+        # kinematic model's (δ, a) bounds here silently constrained accel to
+        # ±0.4 and allowed ±2 rad of steering (round-2 review finding).
+        lbu, ubu = jnp.array([-2.0, -0.4]), jnp.array([2.0, 0.4])
     else:
         bp = BicycleParams(wheel_base=jnp.asarray(wheel_base))
         dyn = lambda x, u: kinematic_bicycle(x, u, bp)
+        lbu, ubu = jnp.array([-0.4, -2.0]), jnp.array([0.4, 2.0])
     solver = NMPCSolver(cfg, dyn)
     params = _ls_params(
         Q=jnp.diag(jnp.array([20.0, 20.0, 0.5, 1.0])),
@@ -320,8 +332,8 @@ def racecar_nmpc(
         N=N,
         lbx=jnp.array([-10.0, -10.0, -10.0, -3.0]),
         ubx=jnp.array([10.0, 10.0, 10.0, 3.0]),
-        lbu=jnp.array([-0.4, -2.0]),
-        ubu=jnp.array([0.4, 2.0]),
+        lbu=lbu,
+        ubu=ubu,
     )
     return solver, params
 

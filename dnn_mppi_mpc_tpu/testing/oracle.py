@@ -99,7 +99,10 @@ class OracleMPPI:
         return float(np.sum(weight * e * e))
 
     def _moving_average(self, xx):
-        w = self.filter_window
+        # clamp like the engine (ops/filters.py moving_average_edge) so
+        # short-horizon parity configs (T < filter_window) are testable —
+        # reference configs always satisfy w ≤ T so semantics are unchanged
+        w = min(self.filter_window, xx.shape[0])
         b = np.ones(w) / w
         out = np.zeros_like(xx)
         n_conv = math.ceil(w / 2)

@@ -76,7 +76,9 @@ def main():
     step_fn = lambda x, u: euler_step(four_wheel_torque, x, u, dt)
     stage, terminal = make_tracking_costs(cfg, collision="circle", robot_radius=0.4)
 
-    fused = not args.scan
+    # the generic fused tick's on-chip PRNG is TPU-only: gate on the platform
+    # like bench.py/realtime_loop.py instead of failing at first solve on CPU
+    fused = not args.scan and jax.devices()[0].platform == "tpu"
     solver = MPPISolver(
         cfg,
         step_fn,

@@ -66,9 +66,12 @@ def main():
         xs.append(np.asarray(x))
         us.append(np.asarray(u0))
         # actual plant clearance (predicted-horizon h_margin can dip negative
-        # on warm-start tails before the solver re-plans)
+        # on warm-start tails before the solver re-plans): distance to the
+        # obstacle BOUNDARY — center distance minus radius, negative inside
         clear = float(
-            jnp.min(jnp.linalg.norm(x[:2][None, :] - obs[:, :2], axis=1))
+            jnp.min(
+                jnp.linalg.norm(x[:2][None, :] - obs[:, :2], axis=1) - obs[:, 2]
+            )
         )
         margins.append(clear)
         if i % 25 == 0:

@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+
+from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu virtual mesh must not dial the TPU
 import numpy as np
 
 from __graft_entry__ import _flagship

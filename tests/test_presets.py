@@ -62,9 +62,14 @@ def test_racecar_nmpc_dynamic_model():
     solver, params = presets.racecar_nmpc(
         jnp.array([1.0, 0.5, 0.0, 0.0]), N=10, dynamic_model=True
     )
+    # dynamic_bicycle's control layout is (a, δ): accel bound ±2, steer ±0.4
+    # — the preset shipped these swapped (round-2 review finding)
+    np.testing.assert_allclose(np.asarray(params.ubu), [2.0, 0.4])
+    np.testing.assert_allclose(np.asarray(params.lbu), [-2.0, -0.4])
     x0 = jnp.array([0.0, 0.0, 0.0, 0.5])
     u0, st, aux = solver.solve(params, solver.init(x0), x0)
     assert np.all(np.isfinite(np.asarray(u0)))
+    assert abs(float(u0[1])) <= 0.4 + 1e-3  # steering stays physical
 
 
 def test_dnn_nmpc_preset():
@@ -116,3 +121,26 @@ def test_pallas_presets_round_samples_to_lanes():
     # an already-conforming K is left alone
     solver, _ = presets.goal_seeking_mppi(goal, num_samples=1280, fused_tick=True)
     assert solver.cfg.num_samples == 1280
+
+
+def test_mppi_preset_overrides_replace_any_field():
+    """**overrides must be able to replace ANY MPPIConfig field — explicitly
+    set defaults used to collide ('multiple values for keyword argument',
+    round-2 review finding)."""
+    from dnn_mppi_mpc_tpu.config import SmoothingFilter, Temperature
+
+    path = jnp.zeros((20, 3))
+    solver, _ = presets.diff_drive_mppi(
+        path, filter_window=5, waypoint_search_len=7,
+        temperature=Temperature.LAMBDA,
+    )
+    assert solver.cfg.filter_window == 5
+    assert solver.cfg.waypoint_search_len == 7
+    assert solver.cfg.temperature == Temperature.LAMBDA
+
+    ref = jnp.zeros((20, 4))
+    solver, _ = presets.racecar_mppi(ref, filter=SmoothingFilter.NONE)
+    assert solver.cfg.filter == SmoothingFilter.NONE
+
+    solver, _ = presets.goal_seeking_mppi(jnp.zeros(3), filter_window=11)
+    assert solver.cfg.filter_window == 11
