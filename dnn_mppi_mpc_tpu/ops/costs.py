@@ -16,6 +16,7 @@ Collision indicators use a large-but-float32-safe penalty (the reference adds
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Large enough to dominate any tracking cost after softmax, small enough that
 # T * penalty stays far from float32 max (reference uses 1.0e10).
@@ -66,8 +67,12 @@ def circle_robot_collision(
 # polygon.
 VEHICLE_OUTLINE_X = (-1.0, -1.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0)
 VEHICLE_OUTLINE_Y = (0.0, 1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0)
-_OUTLINE_X = jnp.array(VEHICLE_OUTLINE_X)
-_OUTLINE_Y = jnp.array(VEHICLE_OUTLINE_Y)
+# numpy (not jnp): a module-level jnp.array initializes the XLA backend as an
+# import side effect, which breaks jax.distributed.initialize for every
+# downstream user ("must be called before any JAX calls"); numpy constants
+# convert for free at trace time.
+_OUTLINE_X = np.asarray(VEHICLE_OUTLINE_X, np.float32)
+_OUTLINE_Y = np.asarray(VEHICLE_OUTLINE_Y, np.float32)
 
 
 def vehicle_polygon_collision(

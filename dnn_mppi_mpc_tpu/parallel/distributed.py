@@ -35,10 +35,15 @@ def initialize_distributed(
     """
     try:
         if coordinator_address is not None:
+            # explicit args ⇒ skip cluster auto-detection: in containerized
+            # environments the detection probes hang instead of failing fast
+            # (verified: with "deactivate" a two-process CPU job initializes
+            # and runs Gloo collectives; without it both processes hang)
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
+                cluster_detection_method="deactivate",
             )
         elif os.environ.get("COORDINATOR_ADDRESS"):
             jax.distributed.initialize()

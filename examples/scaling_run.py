@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from __graft_entry__ import _flagship
 from dnn_mppi_mpc_tpu.parallel.distributed import initialize_distributed
@@ -108,14 +108,41 @@ def main():
     if scales[-1] != len(devices):
         scales.append(len(devices))
 
+    # Multi-process: every process must own a slice of each mesh (a mesh of
+    # only process-0 devices leaves the other controllers without addressable
+    # shards), so sweep only multiples of process_count and take n/P devices
+    # from every process.
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        scales = [s for s in scales if s % n_proc == 0]
+        by_proc: dict = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+
+        def pick(n_dev):
+            per = n_dev // n_proc
+            sel = []
+            for p in sorted(by_proc):
+                sel.extend(by_proc[p][:per])
+            return sel
+    else:
+        pick = lambda n_dev: devices[:n_dev]
+
     results = []
     for n_dev in scales:
         K = args.k_per_device * n_dev
         cfg, params, step_fn, stage, terminal = _flagship(K, args.horizon)
-        mesh = Mesh(np.asarray(devices[:n_dev]), ("k",))
+        mesh = Mesh(np.asarray(pick(n_dev)), ("k",))
         step = make_sharded_mppi_step(cfg, step_fn, stage, terminal, mesh)
-        state0 = MPPIState.init(cfg)
-        x0 = jnp.zeros(3, jnp.float32)
+        # Commit the replicated inputs to the mesh: uncommitted arrays make
+        # jit resolve a *default* device via get_backend(), which on images
+        # with an accelerator plugin dials the accelerator even under
+        # JAX_PLATFORMS=cpu (observed hang in the 2-process run); committed
+        # inputs fix the device assignment up front.
+        rep = NamedSharding(mesh, PartitionSpec())
+        state0 = jax.device_put(MPPIState.init(cfg), rep)
+        x0 = jax.device_put(jnp.zeros(3, jnp.float32), rep)
+        params = jax.device_put(params, rep)
         tau = measure(step, params, state0, x0, n1, n2, reps)
         results.append({"devices": n_dev, "K": K, "per_solve_ms": round(tau * 1e3, 4),
                         "solves_per_s": round(1 / tau, 1)})
