@@ -74,3 +74,33 @@ def test_two_process_sharded_mppi(tmp_path):
     assert summary["scales"][-1]["solves_per_s"] > 0
     # every sweep point is a multiple of process_count (mesh must span both)
     assert all(s["devices"] % 2 == 0 for s in summary["scales"])
+
+
+@pytest.mark.slow
+def test_package_import_is_backend_clean():
+    """Importing the whole package must NOT initialize an XLA backend:
+    jax.distributed.initialize refuses to run after any backend init, so an
+    import side effect (e.g. a module-level jnp.array — ops/costs.py had one)
+    breaks every multi-controller user. Runs in a subprocess so this test is
+    independent of suite import order."""
+    code = """
+import jax
+import dnn_mppi_mpc_tpu
+import dnn_mppi_mpc_tpu.solvers, dnn_mppi_mpc_tpu.solvers.cem
+import dnn_mppi_mpc_tpu.presets, dnn_mppi_mpc_tpu.paths
+import dnn_mppi_mpc_tpu.envs.closed_loop, dnn_mppi_mpc_tpu.envs.sensors
+import dnn_mppi_mpc_tpu.train.training, dnn_mppi_mpc_tpu.train.rl
+import dnn_mppi_mpc_tpu.parallel.sharding, dnn_mppi_mpc_tpu.parallel.distributed
+import dnn_mppi_mpc_tpu.ops.filters, dnn_mppi_mpc_tpu.ops.costs
+import dnn_mppi_mpc_tpu.testing.oracle
+jax.distributed.initialize("localhost:%d", num_processes=1, process_id=0,
+                           cluster_detection_method="deactivate")
+print("CLEAN")
+""" % _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=180,
+    )
+    assert out.returncode == 0 and "CLEAN" in out.stdout, out.stderr[-2000:]
