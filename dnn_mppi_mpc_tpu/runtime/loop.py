@@ -71,8 +71,12 @@ class RealtimeLoop:
             rec["t_wall_ns"] = time.perf_counter_ns()
             rec["solve_ns"] = solve_ns
             rec["late_ns"] = late_ns
-            rec["state"][: min(8, x.shape[-1])] = x.ravel()[:8]
-            rec["control"][: min(4, u.shape[-1])] = u.ravel()[:4]
+            # slice by total size, not last-axis length — a (4, 2) state has
+            # x.shape[-1]=2 but 8 elements (round-2 review finding)
+            nx = min(8, x.size)
+            nu = min(4, u.size)
+            rec["state"][:nx] = x.ravel()[:nx]
+            rec["control"][:nu] = u.ravel()[:nu]
             self.telemetry.push(rec)
         stats = self.pacer.stats
         self.pacer.close()

@@ -71,10 +71,21 @@ def load_library() -> ctypes.CDLL:
     return lib
 
 
+def _handle(obj):
+    """Guarded handle access: a NULL handle through ctypes segfaults in C
+    (round-2 review finding) — raise a Python error instead."""
+    h = obj._h
+    if not h:
+        raise RuntimeError(f"{type(obj).__name__} is closed")
+    return h
+
+
 class RatePacer:
     """Absolute-deadline loop pacing (native clock_nanosleep)."""
 
     def __init__(self, hz: float) -> None:
+        if not (hz > 0):
+            raise ValueError(f"hz must be positive, got {hz}")
         self._lib = load_library()
         self._h = self._lib.pacer_create(int(1e9 / hz))
         if not self._h:
@@ -82,15 +93,16 @@ class RatePacer:
 
     def wait(self) -> int:
         """Sleep until the next deadline; returns lateness in ns."""
-        return self._lib.pacer_wait(self._h)
+        return self._lib.pacer_wait(_handle(self))
 
     @property
     def stats(self) -> dict:
+        h = _handle(self)
         return {
-            "ticks": self._lib.pacer_ticks(self._h),
-            "overruns": self._lib.pacer_overruns(self._h),
-            "worst_late_ns": self._lib.pacer_worst_late_ns(self._h),
-            "mean_late_ns": self._lib.pacer_mean_late_ns(self._h),
+            "ticks": self._lib.pacer_ticks(h),
+            "overruns": self._lib.pacer_overruns(h),
+            "worst_late_ns": self._lib.pacer_worst_late_ns(h),
+            "mean_late_ns": self._lib.pacer_mean_late_ns(h),
         }
 
     def close(self) -> None:
@@ -114,17 +126,19 @@ class TelemetryRing:
     def push(self, record: np.ndarray) -> bool:
         rec = np.ascontiguousarray(record, dtype=self.dtype)
         return bool(
-            self._lib.ring_push(self._h, rec.ctypes.data_as(ctypes.c_void_p))
+            self._lib.ring_push(_handle(self), rec.ctypes.data_as(ctypes.c_void_p))
         )
 
     def pop(self, max_records: int) -> np.ndarray:
         out = np.empty(max_records, dtype=self.dtype)
-        n = self._lib.ring_pop(self._h, out.ctypes.data_as(ctypes.c_void_p), max_records)
+        n = self._lib.ring_pop(
+            _handle(self), out.ctypes.data_as(ctypes.c_void_p), max_records
+        )
         return out[:n]
 
     @property
     def dropped(self) -> int:
-        return self._lib.ring_dropped(self._h)
+        return self._lib.ring_dropped(_handle(self))
 
     def close(self) -> None:
         if self._h:
@@ -144,11 +158,11 @@ class StateChannel:
 
     def write(self, value: np.ndarray) -> None:
         v = np.ascontiguousarray(value, dtype=self.dtype)
-        self._lib.chan_write(self._h, v.ctypes.data_as(ctypes.c_void_p))
+        self._lib.chan_write(_handle(self), v.ctypes.data_as(ctypes.c_void_p))
 
     def read(self) -> Optional[np.ndarray]:
         out = np.empty(1, dtype=self.dtype)
-        seq = self._lib.chan_read(self._h, out.ctypes.data_as(ctypes.c_void_p))
+        seq = self._lib.chan_read(_handle(self), out.ctypes.data_as(ctypes.c_void_p))
         if seq < 0:
             return None
         return out[0]

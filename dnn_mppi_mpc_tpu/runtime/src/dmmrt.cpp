@@ -23,6 +23,7 @@
 // Plain C ABI; bound from Python with ctypes (no pybind11 in the image).
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <ctime>
@@ -68,10 +69,15 @@ Pacer* pacer_create(int64_t period_ns) {
 
 // Sleep until the next absolute deadline. Returns lateness in ns (>=0; 0 when
 // the deadline was met). Deadlines advance by exactly one period per call so
-// jitter does not accumulate.
+// jitter does not accumulate. Retry ONLY on EINTR: any other nonzero return
+// (e.g. EINVAL from a corrupt timespec) is permanent and retrying would spin
+// forever at 100% CPU.
 int64_t pacer_wait(Pacer* p) {
-  while (clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &p->next, nullptr)) {
+  int rc;
+  while ((rc = clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &p->next,
+                               nullptr)) == EINTR) {
   }
+  (void)rc;  // non-EINTR failure: fall through and re-anchor below
   struct timespec now;
   clock_gettime(CLOCK_MONOTONIC, &now);
   int64_t late = ts_to_ns(now) - ts_to_ns(p->next);

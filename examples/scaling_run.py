@@ -129,6 +129,7 @@ def main():
         pick = lambda n_dev: devices[:n_dev]
 
     results = []
+    taus = []
     for n_dev in scales:
         K = args.k_per_device * n_dev
         cfg, params, step_fn, stage, terminal = _flagship(K, args.horizon)
@@ -144,13 +145,14 @@ def main():
         x0 = jax.device_put(jnp.zeros(3, jnp.float32), rep)
         params = jax.device_put(params, rep)
         tau = measure(step, params, state0, x0, n1, n2, reps)
+        taus.append(tau)
         results.append({"devices": n_dev, "K": K, "per_solve_ms": round(tau * 1e3, 4),
                         "solves_per_s": round(1 / tau, 1)})
         if jax.process_index() == 0:
             print(json.dumps(results[-1]), flush=True)
 
     if jax.process_index() == 0:
-        base = results[0]["per_solve_ms"]
+        base = taus[0]  # unrounded: per_solve_ms rounds tiny taus to 0.0
         summary = {
             "metric": "mppi_weak_scaling_efficiency",
             "k_per_device": args.k_per_device,
@@ -159,8 +161,8 @@ def main():
             "n_hosts": jax.process_count(),
             "scales": results,
             # weak scaling: constant work/device → efficiency = t(1)/t(n)
-            "efficiency": {str(r["devices"]): round(base / r["per_solve_ms"], 3)
-                           for r in results},
+            "efficiency": {str(r["devices"]): round(base / t, 3)
+                           for r, t in zip(results, taus)},
         }
         print(json.dumps(summary))
 

@@ -177,12 +177,33 @@ def test_bicycle_tick_guards():
         )
 
 
-def test_racecar_preset_fused_tick_wiring():
-    """presets.racecar_mppi(fused_tick=True) builds a tick-bound solver whose
-    injected-ε output matches the scan-path preset."""
+def test_racecar_preset_fused_tick_wiring(monkeypatch):
+    """presets.racecar_mppi(fused_tick=True) must actually bind the bicycle
+    tick factory with the preset's arguments (wiring verified via factory
+    capture — the compiled kernel itself is TPU-only; round-2 review: the
+    old test never passed fused_tick=True), and the manually-bound
+    interpret-mode tick matches the scan-path preset."""
+    import dnn_mppi_mpc_tpu.solvers.mppi as m
     from dnn_mppi_mpc_tpu.presets import racecar_mppi
 
     ref = np.asarray(lemniscate_with_speed(10.0, 100), dtype=np.float32)
+
+    captured = {}
+
+    def fake_factory(cfg_, wheel_base=2.5, **kw):
+        captured.update(kw, wheel_base=wheel_base, K=cfg_.num_samples)
+        return lambda *a, **k: None
+
+    monkeypatch.setattr(m, "make_pallas_bicycle_tick", fake_factory)
+    racecar_mppi(
+        jnp.asarray(ref), num_samples=200, horizon=T,
+        fused_tick=True, wheel_base=2.5, gaussian="box_muller",
+    )
+    monkeypatch.undo()
+    assert captured["wheel_base"] == 2.5
+    assert captured["gaussian"] == "box_muller"
+    assert captured["K"] == 256  # lane-rounded from 200
+
     sol_t, params = racecar_mppi(jnp.asarray(ref), num_samples=K, horizon=T)
     # interpret-mode tick (the preset binds the compiled kernel; rebuild with
     # interpret=True for the CPU run)

@@ -6,8 +6,8 @@ Replicates the reference's data → train → deploy chain entirely on-device:
   2. train the MLP residual with in-graph scalers (train/train_diff_mlp.py)
   3. close the loop with NMPC over analytic+MLP dynamics — the l4casadi path
      (simulation/bullet_differential_drive_dnn.py) with zero library boundaries
-and asserts the learned controller tracks the true plant better than the
-nominal one.
+and asserts the learned model explains the plant's residual >3x better than
+the nominal model while the deployed DNN-NMPC loop reaches the goal.
 """
 
 import dataclasses
@@ -21,7 +21,7 @@ from dnn_mppi_mpc_tpu.config import SQPConfig
 from dnn_mppi_mpc_tpu.envs.closed_loop import collect_residual_dataset, run_closed_loop
 from dnn_mppi_mpc_tpu.models.dynamics import residual_dynamics, unicycle
 from dnn_mppi_mpc_tpu.models.integrators import erk_step, euler_step
-from dnn_mppi_mpc_tpu.models.learned import MLP, Standardizer, make_residual_fn
+from dnn_mppi_mpc_tpu.models.learned import MLP, make_residual_fn
 from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, OCPParams
 from dnn_mppi_mpc_tpu.train.training import TrainConfig, train_residual_model
 
@@ -118,9 +118,7 @@ def test_collect_train_deploy_improves_tracking():
 
     # ---- 3. deploy: NMPC over analytic + learned residual --------------------
     feats = jnp.concatenate([ep.states, ep.controls], axis=-1)
-    in_scaler = Standardizer.fit(feats)
-    # training standardized features internally the same way; rebuild the
-    # residual fn with matched scalers
+    # rebuild the residual fn with the scalers the training run fitted
     net = make_residual_fn(
         model, tstate.params, in_scaler=tstate.in_scaler, out_scaler=tstate.out_scaler
     )

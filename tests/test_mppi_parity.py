@@ -191,8 +191,11 @@ def test_exploration_split_pure_noise_tail():
     u0, new_state, aux = mppi_step(
         cfg2, step_fn, stage, terminal, params, state, jnp.zeros(3), noise=jnp.asarray(eps)
     )
-    # pure-noise tail has v=0 → stays at origin → higher tracking cost than
-    # exploit head which moves along +x
+    # With ε=0: the exploit head applies u_prev=(0.5, 0.5) and spirals AWAY
+    # from the path start (high tracking cost), while the pure-noise tail
+    # applies v=0 and stays at the origin next to the first waypoint (low
+    # cost). Assert the DIRECTION, not mere inequality — an inverted
+    # exploration split would flip it (round-2 review).
     S = np.asarray(aux.costs)
     n_exploit = int((1.0 - 0.3) * K)
-    assert not np.allclose(S[:n_exploit].mean(), S[n_exploit:].mean())
+    assert S[:n_exploit].mean() > S[n_exploit:].mean()

@@ -61,7 +61,14 @@ def test_two_process_sharded_mppi(tmp_path):
             env=env, cwd=REPO, capture_output=True, text=True, timeout=420,
         )
     finally:
-        p1.wait(timeout=60)
+        # if p0 died early, p1 blocks forever at the coordinator barrier —
+        # kill the exact child we spawned so the failure surfaces instead of
+        # a TimeoutExpired from wait() and an orphaned spinner
+        try:
+            p1.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            p1.kill()
+            p1.wait(timeout=30)
     assert p0.returncode == 0, p0.stderr[-2000:]
     json_lines = [
         json.loads(l) for l in p0.stdout.splitlines() if l.startswith("{")

@@ -61,7 +61,7 @@ def _reference_costs(eps, u, x0, window, stage_w, term_w, u_min, u_max, gamma, s
         )
         if obstacles is not None:
             for ox, oy, orad in obstacles:
-                if (x - window[j, 0] + window[j, 0] - ox) ** 2 + (y - oy) ** 2 < (orad + 0.5) ** 2:
+                if (x - ox) ** 2 + (y - oy) ** 2 < (orad + 0.5) ** 2:
                     s += 1.0e7
                     break
         S[k] = s

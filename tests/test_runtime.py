@@ -86,8 +86,11 @@ def test_ring_threaded_spsc_integrity():
             if out.shape[0]:
                 received.extend(out["seq"].tolist())
 
-    tp = threading.Thread(target=producer)
-    tc = threading.Thread(target=consumer)
+    # daemon: if an assertion below fires while a thread is still spinning
+    # (producer retries a full ring forever), a non-daemon thread would hang
+    # interpreter shutdown and mask the failure (round-2 review finding)
+    tp = threading.Thread(target=producer, daemon=True)
+    tc = threading.Thread(target=consumer, daemon=True)
     tp.start(), tc.start()
     tp.join(timeout=30), tc.join(timeout=30)
     assert len(received) == N

