@@ -129,4 +129,31 @@ def make_batched_mppi_step(
     return step
 
 
-__all__ = ["make_mesh", "make_sharded_mppi_step", "make_batched_mppi_step"]
+def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable:
+    """Fleet of independent NMPC problems sharded over a mesh axis.
+
+    The fleet (multi-robot / multi-scenario) dimension has NO cross-problem
+    reductions — each device runs its B/n slice of the batched Riccati
+    program, zero collectives (SURVEY §2.10(c) at pod scale). Takes an
+    ``NMPCSolver``; like ``NMPCSolver.batched_solve`` this always runs the
+    XLA Riccati backend (the fused Pallas QP is per-problem — batching turns
+    the XLA path's tiny sequential matmuls into efficient (B, ·, ·) ones).
+    Fleet size must be a multiple of the axis size.
+    """
+    batched = jax.vmap(solver._fleet_core)
+    spec = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def fleet(params, states, x0s):
+        x0s = jax.lax.with_sharding_constraint(x0s, spec)
+        return batched(params, states, x0s)
+
+    return fleet
+
+
+__all__ = [
+    "make_mesh",
+    "make_sharded_mppi_step",
+    "make_batched_mppi_step",
+    "make_sharded_nmpc_fleet",
+]

@@ -172,3 +172,52 @@ def test_sharded_pallas_rollout_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(aux_s.costs), np.asarray(aux_r.costs), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_nmpc_fleet_matches_unsharded():
+    """A mesh-sharded NMPC fleet (fleet axis partitioned over devices, zero
+    collectives) must equal the single-device vmapped fleet exactly —
+    SURVEY §2.10(c) at pod scale."""
+    from dnn_mppi_mpc_tpu.config import SQPConfig
+    from dnn_mppi_mpc_tpu.models.dynamics import unicycle as uni
+    from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_nmpc_fleet
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, NMPCState, OCPParams
+
+    cfg = SQPConfig(N=8, dim_x=3, dim_u=2, dt=0.1, sqp_iters=2, qp_iters=8)
+    solver = NMPCSolver(cfg, uni)
+    B = 8
+    rng = np.random.default_rng(5)
+    goals = jnp.asarray(
+        np.concatenate([rng.uniform(-2, 2, (B, 2)), np.zeros((B, 1))], axis=1),
+        jnp.float32,
+    )
+
+    def make_params(goal):
+        return OCPParams(
+            Q=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            R=jnp.diag(jnp.array([0.5, 0.05])),
+            Qe=jnp.diag(jnp.array([10.0, 10.0, 0.1])),
+            yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(8, axis=0),
+            yref_e=goal,
+            lbx=jnp.full(3, -10.0),
+            ubx=jnp.full(3, 10.0),
+            lbu=jnp.full(2, -1.0),
+            ubu=jnp.full(2, 1.0),
+        )
+
+    bparams = jax.vmap(make_params)(goals)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)), jnp.float32)
+    bstates = jax.vmap(lambda x: NMPCState.init(cfg, x))(x0s)
+
+    mesh = make_mesh(("batch",))
+    sharded = make_sharded_nmpc_fleet(solver, mesh, axis="batch")
+    u_s, st_s, aux_s = sharded(bparams, bstates, x0s)
+    u_r, st_r, aux_r = solver.batched_solve()(bparams, bstates, x0s)
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux_s.X), np.asarray(aux_r.X), rtol=1e-5, atol=1e-6
+    )
+    # the fleet really is partitioned: each device holds B/8 problems
+    shard_devs = {s.device for s in u_s.addressable_shards}
+    assert len(shard_devs) == 8
