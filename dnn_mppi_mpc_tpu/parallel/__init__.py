@@ -7,4 +7,5 @@ from .sharding import (  # noqa: F401
     make_batched_mppi_step,
     make_mesh,
     make_sharded_mppi_step,
+    make_sharded_nmpc_fleet,
 )
