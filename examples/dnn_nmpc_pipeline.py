@@ -119,6 +119,15 @@ def main():
     # 3. deploy: nominal vs learned-residual NMPC on the true plant
     net = make_residual_fn(model, tstate.params, tstate.in_scaler, tstate.out_scaler)
     learned = residual_dynamics(unicycle, net)
+    # model quality — where the DNN genuinely wins: the one-step rate
+    # residual (closed-loop point stabilization is feedback-dominated, so
+    # both controllers reach the goal; see tests/test_e2e_dnn_pipeline.py)
+    feats = jnp.concatenate([ep.states, ep.controls], axis=-1)
+    rms = lambda a: float(np.sqrt(np.mean(np.asarray(a, np.float64) ** 2)))
+    print(
+        f"one-step model error: nominal {rms(ep.errors / DT):.5f} -> "
+        f"DNN residual {rms(ep.errors / DT - net(feats)):.5f}"
+    )
     goal = jnp.array([2.0, 1.5, 0.0])
     xs_nom = closed_loop(unicycle, goal)
     xs_dnn = closed_loop(learned, goal)
