@@ -7,21 +7,36 @@ XLA ops, each paying per-op dispatch — 3.6 ms for N=30 where the arithmetic
 is microseconds. HPIPM wins on CPU precisely by keeping the whole solve in
 one hot loop; this kernel is the TPU equivalent: every Newton iteration —
 relaxed-barrier derivative folds, the backward Riccati recursion, the forward
-rollout, fraction-to-boundary damping, the iterate update — runs on the
-scalar core against SMEM-resident problem data, with zero kernel-launch or
-op boundaries inside the solve.
+rollout, fraction-to-boundary damping, the iterate update — runs in one
+launch against on-chip problem data, with zero kernel-launch or op boundaries
+inside the solve.
+
+Two instantiations of the SAME kernel body (``_qp_kernel``):
+
+* **per-problem** (``pallas_barrier_qp_solve``): every element access is an
+  SMEM scalar; the solve runs on the scalar core. Lowest latency for a
+  single controller tick.
+* **lane-batched** (``pallas_batched_barrier_qp_solve``): a fleet of B
+  independent QPs rides the 128 VPU lanes — each "scalar" of the algorithm
+  becomes a (128,)-lane vector over fleet members, so one launch with the
+  identical sequential schedule solves up to 128 problems (grid over
+  ⌈B/128⌉ lane blocks beyond that). This is the TPU-native answer to fleet
+  NMPC serving (SURVEY §2.10(c)): where the reference would run one acados
+  process per robot, here the fleet dimension is a vector lane.
 
 Semantics are bit-for-bit those of ``barrier_qp_solve`` (same μ-schedule,
 same regularization, same damping rule, same final condensing roll);
 parity-tested against it in tests/test_riccati_qp.py, including the
-h-constraint and cross-term (S) paths. Replaces acados'
-FULL_CONDENSING_HPIPM step (mpc_differential_drive_obstacle_static.py:237)
-at the kernel level.
+h-constraint and cross-term (S) paths, in both instantiations. Replaces
+acados' FULL_CONDENSING_HPIPM step
+(mpc_differential_drive_obstacle_static.py:237) at the kernel level.
 
 All matrices are small and static (nx, nu, n_h ≤ ~8): loops over matrix
-dimensions are Python-unrolled into straight-line scalar code; loops over
-stages and Newton iterations are ``fori_loop``s with dynamic SMEM indexing.
-Stage-stacked inputs are flattened to 2-D (stage, row·col) SMEM tables.
+dimensions are Python-unrolled into straight-line code; loops over stages
+and Newton iterations are ``fori_loop``s with dynamic indexing on the
+(untiled) stage dimension. Stage-stacked inputs are flattened to
+(stage, row·col) tables — SMEM in the per-problem kernel, VMEM with a
+trailing lane dimension in the batched one.
 """
 
 from __future__ import annotations
@@ -31,38 +46,40 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 3.0e38
+_LANES = 128  # fleet members per lane block in the batched kernel
 
 
 def _qp_kernel(
-    mus_ref,  # SMEM (num_iters,) barrier μ schedule
-    misc_ref,  # SMEM (5,) δ, κ_bound, κ_h, h_slope, reg
-    A_ref,  # SMEM (N, nx·nx)
-    B_ref,  # SMEM (N, nx·nu)
-    c_ref,  # SMEM (N, nx)
-    Q_ref,  # SMEM (N+1, nx·nx)
-    qxb_ref,  # SMEM (N+1, nx)
-    R_ref,  # SMEM (N, nu·nu)
-    rub_ref,  # SMEM (N, nu)
-    lbx_ref,  # SMEM (N+1, nx) margins at δ=0
-    ubx_ref,  # SMEM (N+1, nx)
-    lbu_ref,  # SMEM (N, nu)
-    ubu_ref,  # SMEM (N, nu)
-    Jh_ref,  # SMEM (N+1, n_h·nx) (dummy (1,1) when n_h=0)
-    h0_ref,  # SMEM (N+1, n_h)
-    S_ref,  # SMEM (N, nu·nx) (dummy when has_S=False)
-    dx0_ref,  # SMEM (nx,)
-    dX_ref,  # out SMEM (N+1, nx)
-    dU_ref,  # out SMEM (N, nu)
-    kkt_ref,  # out SMEM (1,)
-    K_s,  # scratch SMEM (N, nu·nx) feedback gains
-    k_s,  # scratch SMEM (N, nu)
-    ddX_s,  # scratch SMEM (N+1, nx) Newton step
-    ddU_s,  # scratch SMEM (N, nu)
-    cres_s,  # scratch SMEM (N, nx) dynamics residual at the iterate
+    mus_ref,  # SMEM (num_iters,) barrier μ schedule (shared across lanes)
+    misc_ref,  # SMEM (5,) δ, κ_bound, κ_h, h_slope, reg (shared)
+    A_ref,  # (N, nx·nx[, B])
+    B_ref,  # (N, nx·nu[, B])
+    c_ref,  # (N, nx[, B])
+    Q_ref,  # (N+1, nx·nx[, B])
+    qxb_ref,  # (N+1, nx[, B])
+    R_ref,  # (N, nu·nu[, B])
+    rub_ref,  # (N, nu[, B])
+    lbx_ref,  # (N+1, nx[, B]) margins at δ=0
+    ubx_ref,  # (N+1, nx[, B])
+    lbu_ref,  # (N, nu[, B])
+    ubu_ref,  # (N, nu[, B])
+    Jh_ref,  # (N+1, n_h·nx[, B]) (dummy (1,1[,B]) when n_h=0)
+    h0_ref,  # (N+1, n_h[, B])
+    S_ref,  # (N, nu·nx[, B]) (dummy when has_S=False)
+    dx0_ref,  # (nx[, B])
+    dX_ref,  # out (N+1, nx[, B])
+    dU_ref,  # out (N, nu[, B])
+    kkt_ref,  # out (1[, B])
+    K_s,  # scratch (N, nu·nx[, B]) feedback gains
+    k_s,  # scratch (N, nu[, B])
+    ddX_s,  # scratch (N+1, nx[, B]) Newton step
+    ddU_s,  # scratch (N, nu[, B])
+    cres_s,  # scratch (N, nx[, B]) dynamics residual at the iterate
     *,
     N: int,
     nx: int,
@@ -70,8 +87,52 @@ def _qp_kernel(
     n_h: int,
     num_iters: int,
     has_S: bool,
+    batched: bool,
 ):
     f32 = jnp.float32
+
+    # Element access adapter: per-problem = SMEM scalars on the scalar core;
+    # lane-batched = one (LANES,) VPU vector per algorithmic "scalar", the
+    # fleet dimension riding the lanes. The algorithm below is written once
+    # against these five primitives.
+    if batched:
+
+        def ld(ref, i, j):
+            return ref[i, j, :]
+
+        def st(ref, i, j, v):
+            ref[i, j, :] = v
+
+        def ld1(ref, i):
+            return ref[i, :]
+
+        def st1(ref, i, v):
+            ref[i, :] = v
+
+        # Laneful zero derived from runtime data — a replicated constant
+        # would fold back to scalar and break fori_loop carries (PERF.md
+        # Mosaic lessons).
+        _zero = A_ref[0, 0, :] * f32(0.0)
+
+        def const(x):
+            return _zero + f32(x)
+
+    else:
+
+        def ld(ref, i, j):
+            return ref[i, j]
+
+        def st(ref, i, j, v):
+            ref[i, j] = v
+
+        def ld1(ref, i):
+            return ref[i]
+
+        def st1(ref, i, v):
+            ref[i] = v
+
+        const = f32
+
     delta = misc_ref[0]
     stiff = misc_ref[1]
     h_stiff = misc_ref[2]
@@ -89,11 +150,12 @@ def _qp_kernel(
     def lu_solve(M, rhs_cols):
         """Solve M X = rhs for unrolled M (nu×nu nested lists) via
         partial-pivot LU; rhs is a list of columns (each a list of nu
-        scalars). Returns list of columns. Pivoted LU rather than Cholesky:
+        elements). Returns list of columns. Pivoted LU rather than Cholesky:
         f32 cancellation under barrier stiffness can leave Luu indefinite,
         where Cholesky pivot clamping explodes the gain but LU returns the
         same bounded step as jnp.linalg.solve (see
-        ops/sampling.py::small_lu_solve)."""
+        ops/sampling.py::small_lu_solve). In the batched kernel the pivot
+        choice is per-lane (each fleet member pivots independently)."""
         m = len(rhs_cols)
         w = nu + m
         rows = [
@@ -125,27 +187,27 @@ def _qp_kernel(
         return out
 
     def load_mat(ref, i, rows, cols):
-        return [[ref[i, r * cols + c] for c in range(cols)] for r in range(rows)]
+        return [[ld(ref, i, r * cols + c) for c in range(cols)] for r in range(rows)]
 
     def fold_x(i, mu):
         """Folded state Hessian/gradient at stage i for the current iterate:
         Q + barrier diag + Jhᵀ·h''·Jh ;  qx_base + Q·δx + barrier + Jhᵀ·h'."""
-        dXi = [dX_ref[i, d] for d in range(nx)]
+        dXi = [ld(dX_ref, i, d) for d in range(nx)]
         Qxx = load_mat(Q_ref, i, nx, nx)
         qx = [
-            qxb_ref[i, d] + sum(Qxx[d][e] * dXi[e] for e in range(nx))
+            ld(qxb_ref, i, d) + sum(Qxx[d][e] * dXi[e] for e in range(nx))
             for d in range(nx)
         ]
         for d in range(nx):
-            wl = lbx_ref[i, d] + dXi[d]
-            wu = ubx_ref[i, d] - dXi[d]
+            wl = ld(lbx_ref, i, d) + dXi[d]
+            wu = ld(ubx_ref, i, d) - dXi[d]
             gl, hl = rb(wl, mu, stiff)
             gu, hu = rb(wu, mu, stiff)
             qx[d] = qx[d] + gl - gu
             Qxx[d][d] = Qxx[d][d] + hl + hu
         for r in range(n_h):
-            Jr = [Jh_ref[i, r * nx + d] for d in range(nx)]
-            wh = h0_ref[i, r] + sum(Jr[d] * dXi[d] for d in range(nx))
+            Jr = [ld(Jh_ref, i, r * nx + d) for d in range(nx)]
+            wh = ld(h0_ref, i, r) + sum(Jr[d] * dXi[d] for d in range(nx))
             gh, hh = rb(wh, mu, h_stiff)
             gh = gh - h_slope * jnp.where(wh < 0, f32(1.0), f32(0.0))
             for d in range(nx):
@@ -169,15 +231,15 @@ def _qp_kernel(
             pf = [carry[nx * nx + r] for r in range(nx)]
 
             Qxx, qx, dXi = fold_x(i, mu)
-            dUi = [dU_ref[i, a] for a in range(nu)]
+            dUi = [ld(dU_ref, i, a) for a in range(nu)]
             Ruu = load_mat(R_ref, i, nu, nu)
             ru = [
-                rub_ref[i, a] + sum(Ruu[a][b] * dUi[b] for b in range(nu))
+                ld(rub_ref, i, a) + sum(Ruu[a][b] * dUi[b] for b in range(nu))
                 for a in range(nu)
             ]
             for a in range(nu):
-                wl = lbu_ref[i, a] + dUi[a]
-                wu = ubu_ref[i, a] - dUi[a]
+                wl = ld(lbu_ref, i, a) + dUi[a]
+                wu = ld(ubu_ref, i, a) - dUi[a]
                 gl, hl = rb(wl, mu, stiff)
                 gu, hu = rb(wu, mu, stiff)
                 ru[a] = ru[a] + gl - gu
@@ -196,12 +258,12 @@ def _qp_kernel(
             cres = [
                 sum(Am[d][e] * dXi[e] for e in range(nx))
                 + sum(Bm[d][a] * dUi[a] for a in range(nu))
-                + c_ref[i, d]
-                - dX_ref[i + 1, d]
+                + ld(c_ref, i, d)
+                - ld(dX_ref, i + 1, d)
                 for d in range(nx)
             ]
             for d in range(nx):
-                cres_s[i, d] = cres[d]
+                st(cres_s, i, d, cres[d])
 
             PA = [
                 [sum(Pf[r][e] * Am[e][c] for e in range(nx)) for c in range(nx)]
@@ -246,9 +308,9 @@ def _qp_kernel(
             Kg = [[-sol[c][a] for c in range(nx)] for a in range(nu)]  # (nu, nx)
             kg = [-sol[nx][a] for a in range(nu)]
             for a in range(nu):
-                k_s[i, a] = kg[a]
+                st(k_s, i, a, kg[a])
                 for c in range(nx):
-                    K_s[i, a * nx + c] = Kg[a][c]
+                    st(K_s, i, a * nx + c, Kg[a][c])
 
             Pn_raw = [
                 [
@@ -281,30 +343,30 @@ def _qp_kernel(
 
         # ---- forward sweep (residual problem: ddx₀ = 0) --------------------
         for d in range(nx):
-            ddX_s[0, d] = f32(0.0)
+            st(ddX_s, 0, d, const(0.0))
 
         def forward(i, carry):
             ddx = list(carry)
             ddu = [
-                k_s[i, a]
-                + sum(K_s[i, a * nx + c] * ddx[c] for c in range(nx))
+                ld(k_s, i, a)
+                + sum(ld(K_s, i, a * nx + c) * ddx[c] for c in range(nx))
                 for a in range(nu)
             ]
             for a in range(nu):
-                ddU_s[i, a] = ddu[a]
+                st(ddU_s, i, a, ddu[a])
             Am = load_mat(A_ref, i, nx, nx)
             Bm = load_mat(B_ref, i, nx, nu)
             nxt = [
                 sum(Am[d][e] * ddx[e] for e in range(nx))
                 + sum(Bm[d][a] * ddu[a] for a in range(nu))
-                + cres_s[i, d]
+                + ld(cres_s, i, d)
                 for d in range(nx)
             ]
             for d in range(nx):
-                ddX_s[i + 1, d] = nxt[d]
+                st(ddX_s, i + 1, d, nxt[d])
             return tuple(nxt)
 
-        jax.lax.fori_loop(0, N, forward, tuple(f32(0.0) for _ in range(nx)))
+        jax.lax.fori_loop(0, N, forward, tuple(const(0.0) for _ in range(nx)))
 
         # ---- fraction-to-boundary damping ---------------------------------
         def ftb(w, dw, amin):
@@ -316,63 +378,63 @@ def _qp_kernel(
 
         def alpha_x(i, amin):
             for d in range(nx):
-                dxv = dX_ref[i, d]
-                ddv = ddX_s[i, d]
-                amin = ftb(lbx_ref[i, d] + dxv, ddv, amin)
-                amin = ftb(ubx_ref[i, d] - dxv, -ddv, amin)
+                dxv = ld(dX_ref, i, d)
+                ddv = ld(ddX_s, i, d)
+                amin = ftb(ld(lbx_ref, i, d) + dxv, ddv, amin)
+                amin = ftb(ld(ubx_ref, i, d) - dxv, -ddv, amin)
             for r in range(n_h):
-                wh = h0_ref[i, r]
-                dwh = f32(0.0)
+                wh = ld(h0_ref, i, r)
+                dwh = const(0.0)
                 for d in range(nx):
-                    wh = wh + Jh_ref[i, r * nx + d] * dX_ref[i, d]
-                    dwh = dwh + Jh_ref[i, r * nx + d] * ddX_s[i, d]
+                    wh = wh + ld(Jh_ref, i, r * nx + d) * ld(dX_ref, i, d)
+                    dwh = dwh + ld(Jh_ref, i, r * nx + d) * ld(ddX_s, i, d)
                 amin = ftb(wh, dwh, amin)
             return amin
 
         def alpha_u(i, amin):
             for a in range(nu):
-                duv = dU_ref[i, a]
-                ddv = ddU_s[i, a]
-                amin = ftb(lbu_ref[i, a] + duv, ddv, amin)
-                amin = ftb(ubu_ref[i, a] - duv, -ddv, amin)
+                duv = ld(dU_ref, i, a)
+                ddv = ld(ddU_s, i, a)
+                amin = ftb(ld(lbu_ref, i, a) + duv, ddv, amin)
+                amin = ftb(ld(ubu_ref, i, a) - duv, -ddv, amin)
             return amin
 
-        amin = jax.lax.fori_loop(0, N + 1, alpha_x, f32(_INF))
+        amin = jax.lax.fori_loop(0, N + 1, alpha_x, const(_INF))
         amin = jax.lax.fori_loop(0, N, alpha_u, amin)
         alpha = jnp.minimum(f32(1.0), amin)
 
         # ---- update + step norm -------------------------------------------
         def update(i, mx):
             for d in range(nx):
-                s = alpha * ddX_s[i, d]
-                dX_ref[i, d] = dX_ref[i, d] + s
+                s = alpha * ld(ddX_s, i, d)
+                st(dX_ref, i, d, ld(dX_ref, i, d) + s)
                 mx = jnp.maximum(mx, jnp.abs(s))
             return mx
 
         def update_u(i, mx):
             for a in range(nu):
-                s = alpha * ddU_s[i, a]
-                dU_ref[i, a] = dU_ref[i, a] + s
+                s = alpha * ld(ddU_s, i, a)
+                st(dU_ref, i, a, ld(dU_ref, i, a) + s)
                 mx = jnp.maximum(mx, jnp.abs(s))
             return mx
 
-        mx = jax.lax.fori_loop(0, N + 1, update, f32(0.0))
+        mx = jax.lax.fori_loop(0, N + 1, update, const(0.0))
         mx = jax.lax.fori_loop(0, N, update_u, mx)
-        kkt_ref[0] = mx
+        st1(kkt_ref, 0, mx)
         return 0
 
     # initial iterate: δX = 0 except δx₀ = dx0, δU = 0
     for d in range(nx):
-        dX_ref[0, d] = dx0_ref[d]
+        st(dX_ref, 0, d, ld1(dx0_ref, d))
 
     def zero_x(i, _):
         for d in range(nx):
-            dX_ref[i + 1, d] = jnp.float32(0.0)
+            st(dX_ref, i + 1, d, const(0.0))
         return 0
 
     def zero_u(i, _):
         for a in range(nu):
-            dU_ref[i, a] = jnp.float32(0.0)
+            st(dU_ref, i, a, const(0.0))
         return 0
 
     jax.lax.fori_loop(0, N, zero_x, 0)
@@ -387,16 +449,40 @@ def _qp_kernel(
         Bm = load_mat(B_ref, i, nx, nu)
         nxt = [
             sum(Am[d][e] * dx[e] for e in range(nx))
-            + sum(Bm[d][a] * dU_ref[i, a] for a in range(nu))
-            + c_ref[i, d]
+            + sum(Bm[d][a] * ld(dU_ref, i, a) for a in range(nu))
+            + ld(c_ref, i, d)
             for d in range(nx)
         ]
         for d in range(nx):
-            dX_ref[i + 1, d] = nxt[d]
+            st(dX_ref, i + 1, d, nxt[d])
         return tuple(nxt)
 
     jax.lax.fori_loop(
-        0, N, roll, tuple(dx0_ref[d] for d in range(nx))
+        0, N, roll, tuple(ld1(dx0_ref, d) for d in range(nx))
+    )
+
+
+def _mu_schedule(num_iters, mu0, kappa):
+    f = jnp.float32
+    return (f(mu0) * (f(kappa) ** jnp.arange(num_iters, dtype=jnp.float32))).astype(
+        jnp.float32
+    )
+
+
+def _misc(delta, stiffness, h_stiffness, h_slope):
+    f = jnp.float32
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+    if h_stiffness is None:
+        h_stiffness = stiffness
+    return jnp.stack(
+        [
+            jnp.asarray(delta, f),
+            jnp.asarray(stiffness, f),
+            jnp.asarray(h_stiffness, f),
+            jnp.asarray(h_slope, f),
+            jnp.asarray(1e-9, f),  # Luu regularization (barrier_qp_solve)
+        ]
     )
 
 
@@ -423,24 +509,10 @@ def pallas_barrier_qp_solve(
     nu = qp.B.shape[2]
     n_h = qp.Jh.shape[1] if qp.Jh is not None else 0
     has_S = qp.S is not None
-    if stiffness is None:
-        stiffness = 1.0 / (delta * delta)
-    if h_stiffness is None:
-        h_stiffness = stiffness
 
     f = jnp.float32
-    mus = (f(mu0) * (f(kappa) ** jnp.arange(num_iters, dtype=jnp.float32))).astype(
-        jnp.float32
-    )
-    misc = jnp.stack(
-        [
-            jnp.asarray(delta, f),
-            jnp.asarray(stiffness, f),
-            jnp.asarray(h_stiffness, f),
-            jnp.asarray(h_slope, f),
-            jnp.asarray(1e-9, f),  # Luu regularization (barrier_qp_solve)
-        ]
-    )
+    mus = _mu_schedule(num_iters, mu0, kappa)
+    misc = _misc(delta, stiffness, h_stiffness, h_slope)
 
     def flat(a, rows):
         return a.astype(f).reshape(rows, -1)
@@ -461,6 +533,7 @@ def pallas_barrier_qp_solve(
         n_h=n_h,
         num_iters=num_iters,
         has_S=has_S,
+        batched=False,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     dX, dU, kkt = pl.pallas_call(
@@ -502,4 +575,173 @@ def pallas_barrier_qp_solve(
     return dX, dU, kkt[0]
 
 
-__all__ = ["pallas_barrier_qp_solve"]
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iters", "interpret"),
+)
+def pallas_batched_barrier_qp_solve(
+    qp,  # BoxedQPData with a leading fleet dim B on every present leaf
+    dx0: jnp.ndarray,  # (B, nx)
+    num_iters: int = 12,
+    mu0: float = 1.0e-1,
+    kappa: float = 0.35,
+    delta: float = 1.0e-3,
+    stiffness: Optional[float] = None,
+    h_stiffness: Optional[float] = None,
+    h_slope: float = 0.0,
+    *,
+    interpret: bool = False,
+):
+    """Lane-batched fleet QP solve: B independent problems, the fleet
+    dimension on the 128 VPU lanes — one launch per 128 members (grid
+    beyond). Returns (δX (B,N+1,nx), δU (B,N,nu), kkt (B,)); per-member
+    results match ``pallas_barrier_qp_solve`` on that member's problem."""
+    Bf = dx0.shape[0]
+    N, nx = qp.A.shape[1], qp.A.shape[2]
+    nu = qp.B.shape[3]
+    n_h = qp.Jh.shape[2] if qp.Jh is not None else 0
+    has_S = qp.S is not None
+
+    f = jnp.float32
+    mus = _mu_schedule(num_iters, mu0, kappa)
+    misc = _misc(delta, stiffness, h_stiffness, h_slope)
+
+    grid = -(-Bf // _LANES)
+    Bp = grid * _LANES
+
+    def prep(a, rows):
+        """(B, rows, ...) → (rows, row·col, Bp): batch to the lane dim,
+        padding lanes by replicating the last member (well-conditioned
+        padding — those lanes solve a real problem and are discarded)."""
+        a = a.astype(f).reshape(Bf, rows, -1)
+        if Bp != Bf:
+            pad = jnp.broadcast_to(a[-1:], (Bp - Bf,) + a.shape[1:])
+            a = jnp.concatenate([a, pad], axis=0)
+        return jnp.transpose(a, (1, 2, 0))
+
+    Jh = prep(qp.Jh, N + 1) if qp.Jh is not None else jnp.zeros((1, 1, Bp), f)
+    h0 = prep(qp.h0, N + 1) if qp.h0 is not None else jnp.zeros((1, 1, Bp), f)
+    S = prep(qp.S, N) if has_S else jnp.zeros((1, 1, Bp), f)
+    dx0_t = prep(dx0, 1)[0]  # (nx, Bp)
+
+    kernel = functools.partial(
+        _qp_kernel,
+        N=N,
+        nx=nx,
+        nu=nu,
+        n_h=n_h,
+        num_iters=num_iters,
+        has_S=has_S,
+        batched=True,
+    )
+
+    def smem_spec(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.SMEM)
+
+    def lane_spec(shape):
+        # full stage/row dims, one 128-lane block of the fleet dim per cell
+        block = shape[:-1] + (_LANES,)
+        nlead = len(shape) - 1
+        return pl.BlockSpec(block, lambda g: (0,) * nlead + (g,))
+
+    inputs = [
+        mus,
+        misc,
+        prep(qp.A, N),
+        prep(qp.B, N),
+        prep(qp.c, N),
+        prep(qp.Q, N + 1),
+        prep(qp.qx_base, N + 1),
+        prep(qp.R, N),
+        prep(qp.ru_base, N),
+        prep(qp.lbx, N + 1),
+        prep(qp.ubx, N + 1),
+        prep(qp.lbu, N),
+        prep(qp.ubu, N),
+        Jh,
+        h0,
+        S,
+        dx0_t,
+    ]
+    in_specs = [smem_spec(mus.shape), smem_spec(misc.shape)] + [
+        lane_spec(a.shape) for a in inputs[2:]
+    ]
+    dX, dU, kkt = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(
+            lane_spec((N + 1, nx, Bp)),
+            lane_spec((N, nu, Bp)),
+            lane_spec((1, Bp)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N + 1, nx, Bp), f),
+            jax.ShapeDtypeStruct((N, nu, Bp), f),
+            jax.ShapeDtypeStruct((1, Bp), f),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, nu * nx, _LANES), f),
+            pltpu.VMEM((N, nu, _LANES), f),
+            pltpu.VMEM((N + 1, nx, _LANES), f),
+            pltpu.VMEM((N, nu, _LANES), f),
+            pltpu.VMEM((N, nx, _LANES), f),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return (
+        jnp.transpose(dX, (2, 0, 1))[:Bf],
+        jnp.transpose(dU, (2, 0, 1))[:Bf],
+        kkt[0, :Bf],
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_vmappable_pallas_qp(
+    num_iters: int,
+    mu0: float,
+    kappa: float,
+    h_stiffness: Optional[float],
+    h_slope: float,
+    interpret: bool,
+):
+    """The fused QP solve as a ``custom_vmap``-wrapped callable.
+
+    Unbatched calls run the per-problem scalar-core kernel; under ``vmap``
+    (NMPCSolver.batched_solve fleets) the batch rule dispatches the
+    lane-batched kernel instead — the fleet dimension becomes VPU lanes in
+    ONE launch rather than B sequential launches or a fall-back to the XLA
+    Riccati path. Cached per static config so repeated traces share the
+    wrapper."""
+    kw = dict(
+        num_iters=num_iters,
+        mu0=mu0,
+        kappa=kappa,
+        h_stiffness=h_stiffness,
+        h_slope=h_slope,
+    )
+
+    @custom_vmap
+    def solve(qp, dx0):
+        return pallas_barrier_qp_solve(qp, dx0, interpret=interpret, **kw)
+
+    @solve.def_vmap
+    def _batched_rule(axis_size, in_batched, qp, dx0):
+        qp_flags, dx0_flag = in_batched
+
+        def bcast(leaf, flag):
+            return leaf if flag else jnp.broadcast_to(leaf, (axis_size,) + leaf.shape)
+
+        qp_b = jax.tree.map(bcast, qp, qp_flags)
+        dx0_b = bcast(dx0, dx0_flag)
+        out = pallas_batched_barrier_qp_solve(qp_b, dx0_b, interpret=interpret, **kw)
+        return out, (True, True, True)
+
+    return solve
+
+
+__all__ = [
+    "pallas_barrier_qp_solve",
+    "pallas_batched_barrier_qp_solve",
+    "make_vmappable_pallas_qp",
+]

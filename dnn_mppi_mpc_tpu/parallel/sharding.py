@@ -135,10 +135,11 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
     The fleet (multi-robot / multi-scenario) dimension has NO cross-problem
     reductions — each device runs its B/n slice of the batched Riccati
     program, zero collectives (SURVEY §2.10(c) at pod scale). Takes an
-    ``NMPCSolver``; like ``NMPCSolver.batched_solve`` this always runs the
-    XLA Riccati backend (the fused Pallas QP is per-problem — batching turns
-    the XLA path's tiny sequential matmuls into efficient (B, ·, ·) ones).
-    Fleet size must be a multiple of the axis size.
+    ``NMPCSolver``; always runs the XLA Riccati backend (a Pallas kernel is
+    a custom call GSPMD cannot partition across devices; the B-stacked tiny
+    matmuls batch into efficient (B, ·, ·) XLA ops instead). Single-device
+    fleets should prefer ``NMPCSolver.batched_solve``, which keeps the fused
+    lane-batched QP kernel. Fleet size must be a multiple of the axis size.
     """
     batched = jax.vmap(solver._fleet_core)
     spec = NamedSharding(mesh, P(axis))

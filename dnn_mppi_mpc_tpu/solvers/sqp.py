@@ -291,18 +291,21 @@ def sqp_solve(
             S=S_cross,
         )
         if cfg.qp_backend == "pallas":
-            from ..ops.pallas.riccati_qp import pallas_barrier_qp_solve
+            from ..ops.pallas.riccati_qp import make_vmappable_pallas_qp
 
-            dX, dU, kkt = pallas_barrier_qp_solve(
-                qp,
-                dx0=x0 - X[0],
-                num_iters=cfg.qp_iters,
-                mu0=cfg.ip_mu0,
-                kappa=cfg.ip_kappa,
-                h_stiffness=cfg.slack_weight_l2 if cfg.soft_h else None,
-                h_slope=cfg.slack_weight_l1 if cfg.soft_h else 0.0,
-                interpret=jax.default_backend() == "cpu",
+            # custom_vmap wrapper: unbatched ticks run the per-problem
+            # scalar-core kernel; vmapped fleets (batched_solve) dispatch the
+            # lane-batched kernel — fleet members ride the 128 VPU lanes in
+            # one launch instead of falling back to the XLA Riccati path.
+            qp_solve = make_vmappable_pallas_qp(
+                cfg.qp_iters,
+                cfg.ip_mu0,
+                cfg.ip_kappa,
+                cfg.slack_weight_l2 if cfg.soft_h else None,
+                cfg.slack_weight_l1 if cfg.soft_h else 0.0,
+                jax.default_backend() == "cpu",
             )
+            dX, dU, kkt = qp_solve(qp, x0 - X[0])
             dX = dX.astype(dtype)
             dU = dU.astype(dtype)
         else:
@@ -447,11 +450,13 @@ class NMPCSolver:
             sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn, y_fn=y_fn, y_e_fn=y_e_fn
         )
         self._solve = jax.jit(self._core)
-        # Fleet path: the fused Pallas QP is a per-problem scalar-core program
-        # and does not auto-batch under vmap; batched fleets instead use the
-        # XLA Riccati backend, where the B-stacked tiny matmuls batch into
-        # efficient (B, nx, nx) ops (same semantics — the kernel is
-        # parity-tested against barrier_qp_solve in tests/test_riccati_qp.py).
+        # Mesh-sharded fleet path (make_sharded_nmpc_fleet): a Pallas kernel
+        # is a custom call GSPMD cannot partition across devices, so sharded
+        # fleets use the XLA Riccati backend, where the B-stacked tiny
+        # matmuls batch into efficient (B, nx, nx) ops and partition cleanly
+        # (same semantics — parity-tested in tests/test_riccati_qp.py).
+        # Single-device vmapped fleets (batched_solve) DO keep the fused
+        # kernel: the custom_vmap rule dispatches the lane-batched QP.
         if cfg.qp_backend == "pallas":
             fleet_cfg = dataclasses.replace(cfg, qp_backend="xla")
             self._fleet_core = functools.partial(
@@ -474,12 +479,16 @@ class NMPCSolver:
 
         A whole fleet of independent OCPs (multi-robot, randomized data
         collection) factors into one batched Riccati program — the
-        'batched QP' scaling axis of SURVEY §2.10(c). Shard the batch
-        dimension over a mesh axis for pod-scale fleets. Always runs the XLA
-        Riccati backend (the fused Pallas QP is per-problem; batching turns
-        the XLA path's tiny sequential matmuls into efficient batched ones).
+        'batched QP' scaling axis of SURVEY §2.10(c). With
+        ``qp_backend="pallas"`` the fleet dimension rides the 128 VPU lanes
+        of the lane-batched fused QP kernel (one launch per 128 members, via
+        the custom_vmap rule in ops/pallas/riccati_qp.py); with the XLA
+        backend the B-stacked tiny matmuls batch into (B, nx, nx) ops. For
+        pod-scale fleets shard the batch dimension over a mesh axis with
+        ``make_sharded_nmpc_fleet`` (which uses the XLA backend — GSPMD
+        cannot partition a Pallas custom call).
         """
-        return jax.jit(jax.vmap(self._fleet_core))
+        return jax.jit(jax.vmap(self._core))
 
 
 __all__ = [

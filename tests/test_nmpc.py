@@ -236,9 +236,10 @@ def test_batched_nmpc_fleet_matches_single():
 
 
 def test_batched_fleet_works_with_pallas_qp_backend():
-    """A qp_backend="pallas" solver must still serve fleets: batched_solve
-    dispatches to the (semantically identical) XLA Riccati backend — the
-    fused kernel is per-problem and does not auto-batch under vmap."""
+    """A qp_backend="pallas" solver must still serve fleets: under vmap the
+    custom_vmap rule dispatches the lane-batched fused QP kernel (fleet
+    members on the 128 VPU lanes, ops/pallas/riccati_qp.py) with identical
+    per-member results."""
     N, dt = 10, 0.1
     cfg = SQPConfig(
         N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=1, qp_iters=8,

@@ -156,3 +156,141 @@ def test_sqp_engine_pallas_backend_four_wheel():
     x_x = drive(solver_x)
     assert np.linalg.norm(x_p[:2] - np.asarray(goal[:2])) < 0.15, x_p
     np.testing.assert_allclose(x_p, x_x, rtol=0.05, atol=0.08)
+
+
+# ---------------------------------------------------------------------------
+# Lane-batched fleet kernel (fleet dim on the 128 VPU lanes)
+# ---------------------------------------------------------------------------
+
+
+def _stack_qps(qps):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+
+
+@pytest.mark.parametrize(
+    "n_h,with_S", [(0, False), (2, False), (2, True)]
+)
+def test_batched_kernel_matches_per_problem(n_h, with_S):
+    """Each lane of the batched kernel reproduces the per-problem kernel on
+    that member's QP (distinct problems per lane, incl. h-rows and S)."""
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import (
+        pallas_batched_barrier_qp_solve,
+    )
+
+    B = 5
+    qps = [
+        _random_qp(np.random.default_rng(10 + i), N=8, nx=3, nu=2,
+                   n_h=n_h, with_S=with_S)
+        for i in range(B)
+    ]
+    rng = np.random.default_rng(3)
+    dx0 = jnp.asarray(0.2 * rng.normal(size=(B, 3)), jnp.float32)
+
+    dXb, dUb, kktb = pallas_batched_barrier_qp_solve(
+        _stack_qps(qps), dx0, num_iters=8, interpret=True
+    )
+    assert dXb.shape == (B, 9, 3) and dUb.shape == (B, 8, 2)
+    for i in range(B):
+        dX, dU, kkt = pallas_barrier_qp_solve(
+            qps[i], dx0[i], num_iters=8, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(dXb[i]), np.asarray(dX), rtol=2e-5, atol=2e-5,
+            err_msg=f"member {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(dUb[i]), np.asarray(dU), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(kktb[i]), float(kkt), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_batched_kernel_grid_beyond_lane_width():
+    """B > 128 spills into a sequential grid of lane blocks; padding lanes
+    replicate the last member and are sliced off."""
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import (
+        pallas_batched_barrier_qp_solve,
+    )
+
+    B = 130  # 2 lane blocks, 126 padded lanes
+    base = _random_qp(np.random.default_rng(0), N=4, nx=2, nu=1, n_h=0)
+    rng = np.random.default_rng(1)
+    # same structure, per-member gradients: cheap way to make B distinct QPs
+    qxb = jnp.asarray(0.5 * rng.normal(size=(B,) + base.qx_base.shape), jnp.float32)
+    qp_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), base
+    )._replace(qx_base=qxb)
+    dx0 = jnp.asarray(0.1 * rng.normal(size=(B, 2)), jnp.float32)
+
+    dXb, dUb, _ = pallas_batched_barrier_qp_solve(
+        qp_b, dx0, num_iters=4, interpret=True
+    )
+    for i in (0, 63, 127, 128, 129):  # both lane blocks, incl. block edges
+        qp_i = base._replace(qx_base=qxb[i])
+        dX, dU, _ = pallas_barrier_qp_solve(
+            qp_i, dx0[i], num_iters=4, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(dUb[i]), np.asarray(dU), rtol=2e-5, atol=2e-5,
+            err_msg=f"member {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(dXb[i]), np.asarray(dX), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_vmappable_wrapper_broadcasts_unbatched_args():
+    """custom_vmap rule: leaves NOT carrying the vmapped axis (shared QP
+    data, per-member dx0) are broadcast before the lane-batched dispatch."""
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import make_vmappable_pallas_qp
+
+    qp = _random_qp(np.random.default_rng(5), N=6, nx=3, nu=2, n_h=2)
+    B = 3
+    rng = np.random.default_rng(6)
+    dx0s = jnp.asarray(0.2 * rng.normal(size=(B, 3)), jnp.float32)
+
+    solve = make_vmappable_pallas_qp(6, 1.0e-1, 0.35, None, 0.0, True)
+    # qp unbatched (in_axes=None), dx0 batched
+    dXb, dUb, kktb = jax.vmap(solve, in_axes=(None, 0))(qp, dx0s)
+    for i in range(B):
+        dX, dU, kkt = solve(qp, dx0s[i])
+        np.testing.assert_allclose(
+            np.asarray(dUb[i]), np.asarray(dU), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dXb[i]), np.asarray(dX), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(float(kktb[i]), float(kkt), rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.tpu_hw
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="compiled (non-interpret) lane-batched kernel needs a TPU",
+)
+def test_batched_kernel_on_hardware():
+    """Compiled lane-batched kernel vs compiled per-problem kernel on-chip
+    (N=30 diff-drive dims — the PERF.md fleet-serving configuration)."""
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import (
+        pallas_batched_barrier_qp_solve,
+    )
+
+    B = 16
+    qps = [
+        _random_qp(np.random.default_rng(20 + i), N=30, nx=3, nu=2,
+                   n_h=2, with_S=True)
+        for i in range(B)
+    ]
+    rng = np.random.default_rng(2)
+    dx0 = jnp.asarray(0.2 * rng.normal(size=(B, 3)), jnp.float32)
+    dXb, dUb, kktb = jax.block_until_ready(
+        pallas_batched_barrier_qp_solve(_stack_qps(qps), dx0, num_iters=12)
+    )
+    assert np.all(np.isfinite(np.asarray(dXb)))
+    for i in range(0, B, 5):
+        dX, dU, _ = pallas_barrier_qp_solve(qps[i], dx0[i], num_iters=12)
+        np.testing.assert_allclose(
+            np.asarray(dUb[i]), np.asarray(dU), rtol=1e-4, atol=1e-4,
+            err_msg=f"member {i}",
+        )
