@@ -1,0 +1,56 @@
+"""Smoke tests: every runnable example executes end-to-end at tiny scale.
+
+The examples are the user-facing deployment surface (the counterpart of the
+reference's ``if __name__ == "__main__"`` scripts, SURVEY §2.8) — this keeps
+them from bit-rotting as the engine evolves. Each runs as a subprocess on
+CPU with the smallest flag set that still exercises its full pipeline.
+``examples/scaling_run.py`` is covered separately (and more deeply) by
+tests/test_multiprocess.py.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (script, tiny-args) — args chosen so a CPU run finishes in seconds while
+# still touching every stage of the example's pipeline.
+_CASES = [
+    ("mppi_diffdrive.py", ["--ticks", "4", "--samples", "128", "--horizon", "10"]),
+    ("mppi_racecar_obstacle.py", ["--ticks", "4", "--samples", "128"]),
+    ("nmpc_obstacle_avoidance.py", ["--ticks", "4"]),
+    ("custom_model_mppi.py", ["--ticks", "3", "--samples", "128", "--horizon", "8"]),
+    (
+        "dnn_mppi.py",
+        ["--series", "2", "--epochs", "2", "--samples", "128", "--horizon", "8"],
+    ),
+    ("dnn_nmpc_pipeline.py", ["--series", "2", "--epochs", "2"]),
+    ("fleet_collection.py", ["--scenarios", "2", "--samples", "64", "--ticks", "5"]),
+    ("ppo_point_goal.py", ["--iters", "2", "--envs", "4"]),
+    ("ppo_pixel_goal.py", ["--iters", "1", "--envs", "2", "--size", "16"]),
+    ("realtime_loop.py", ["--hz", "100", "--ticks", "5", "--samples", "128"]),
+    ("sharded_mppi.py", ["--ticks", "2", "--samples", "64", "--horizon", "6"]),
+]
+
+
+@pytest.mark.parametrize("script,args", _CASES, ids=[c[0] for c in _CASES])
+def test_example_runs(script, args, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["MPLBACKEND"] = "Agg"
+    cmd = [sys.executable, os.path.join(REPO, "examples", script)] + args
+    if "--out" in open(os.path.join(REPO, "examples", script)).read():
+        cmd += ["--out", str(tmp_path / "out")]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
