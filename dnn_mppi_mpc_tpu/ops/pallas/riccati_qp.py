@@ -606,8 +606,14 @@ def pallas_batched_barrier_qp_solve(
     mus = _mu_schedule(num_iters, mu0, kappa)
     misc = _misc(delta, stiffness, h_stiffness, h_slope)
 
-    grid = -(-Bf // _LANES)
-    Bp = grid * _LANES
+    # On hardware the lane block is the 128-wide VPU lane dim; the
+    # interpreter has no lane constraint, so size the block to the actual
+    # fleet and skip the up-to-43× padded arithmetic a 128-lane block would
+    # cost a small CPU fleet (review finding). min() keeps >128 fleets on
+    # the same grid-spill path the hardware kernel takes.
+    lanes = _LANES if not interpret else min(Bf, _LANES)
+    grid = -(-Bf // lanes)
+    Bp = grid * lanes
 
     def prep(a, rows):
         """(B, rows, ...) → (rows, row·col, Bp): batch to the lane dim,
@@ -639,8 +645,8 @@ def pallas_batched_barrier_qp_solve(
         return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.SMEM)
 
     def lane_spec(shape):
-        # full stage/row dims, one 128-lane block of the fleet dim per cell
-        block = shape[:-1] + (_LANES,)
+        # full stage/row dims, one lane block of the fleet dim per cell
+        block = shape[:-1] + (lanes,)
         nlead = len(shape) - 1
         return pl.BlockSpec(block, lambda g: (0,) * nlead + (g,))
 
@@ -681,11 +687,11 @@ def pallas_batched_barrier_qp_solve(
             jax.ShapeDtypeStruct((1, Bp), f),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, nu * nx, _LANES), f),
-            pltpu.VMEM((N, nu, _LANES), f),
-            pltpu.VMEM((N + 1, nx, _LANES), f),
-            pltpu.VMEM((N, nu, _LANES), f),
-            pltpu.VMEM((N, nx, _LANES), f),
+            pltpu.VMEM((N, nu * nx, lanes), f),
+            pltpu.VMEM((N, nu, lanes), f),
+            pltpu.VMEM((N + 1, nx, lanes), f),
+            pltpu.VMEM((N, nu, lanes), f),
+            pltpu.VMEM((N, nx, lanes), f),
         ],
         interpret=interpret,
     )(*inputs)

@@ -411,9 +411,14 @@ def barrier_qp_solve(
         # currently in the log region must not be driven below ~δ in one step,
         # otherwise Newton ping-pongs between the wall and the interior.
         def ftb(w, dw):
-            # max α with w + α·dw ≥ δ/2, for decreasing log-region margins
+            # max α with w + α·dw ≥ δ/2, for decreasing log-region margins.
+            # Double-where keeps grads finite: with a single where, the
+            # untaken branch's 1/1e-30 denominator turns reverse-mode
+            # cotangents into 0·inf = NaN for every non-shrinking margin,
+            # poisoning jax.grad through the whole solve (same values).
             shrink = (dw < 0) & (w > delta)
-            a = jnp.where(shrink, (w - 0.5 * delta) / jnp.maximum(-dw, 1e-30), jnp.inf)
+            denom = jnp.where(shrink, jnp.maximum(-dw, 1e-30), 1.0)
+            a = jnp.where(shrink, (w - 0.5 * delta) / denom, jnp.inf)
             return jnp.min(a)
 
         alpha = jnp.minimum(1.0, jnp.minimum(

@@ -474,7 +474,7 @@ class NMPCSolver:
     ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
         return self._solve(params, state, x0)
 
-    def batched_solve(self):
+    def batched_solve(self, differentiable: bool = False):
         """vmapped fleet solve: (batched params, states, x0s) → batched results.
 
         A whole fleet of independent OCPs (multi-robot, randomized data
@@ -487,8 +487,15 @@ class NMPCSolver:
         pod-scale fleets shard the batch dimension over a mesh axis with
         ``make_sharded_nmpc_fleet`` (which uses the XLA backend — GSPMD
         cannot partition a Pallas custom call).
+
+        ``differentiable=True`` forces the XLA Riccati backend (identical
+        semantics, parity-tested): the fused kernels — per-problem and
+        lane-batched alike — have no autodiff rule, so ``jax.grad`` through
+        a pallas-backend fleet (sensitivity analysis, learning through the
+        controller) needs this escape hatch.
         """
-        return jax.jit(jax.vmap(self._core))
+        core = self._fleet_core if differentiable else self._core
+        return jax.jit(jax.vmap(core))
 
 
 __all__ = [

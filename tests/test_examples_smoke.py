@@ -49,7 +49,9 @@ def test_example_runs(script, args, tmp_path):
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     env["MPLBACKEND"] = "Agg"
     cmd = [sys.executable, os.path.join(REPO, "examples", script)] + args
-    if "--out" in open(os.path.join(REPO, "examples", script)).read():
+    with open(os.path.join(REPO, "examples", script)) as fh:
+        defines_out = 'add_argument("--out"' in fh.read()
+    if defines_out:
         cmd += ["--out", str(tmp_path / "out")]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env

@@ -294,3 +294,44 @@ def test_batched_kernel_on_hardware():
             np.asarray(dUb[i]), np.asarray(dU), rtol=1e-4, atol=1e-4,
             err_msg=f"member {i}",
         )
+
+
+def test_batched_solve_differentiable_escape_hatch():
+    """jax.grad through a pallas-backend fleet: the fused kernels have no
+    autodiff rule, so batched_solve(differentiable=True) must route to the
+    (semantically identical) XLA Riccati backend and differentiate."""
+    from dnn_mppi_mpc_tpu.config import SQPConfig
+    from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+    from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, NMPCState, OCPParams
+
+    cfg = SQPConfig(
+        N=5, dim_x=3, dim_u=2, dt=0.1, sqp_iters=1, qp_iters=4,
+        qp_backend="pallas",
+    )
+    solver = NMPCSolver(cfg, unicycle)
+    goal = jnp.array([1.0, 0.5, 0.0], jnp.float32)
+    op = OCPParams(
+        Q=jnp.eye(3), R=jnp.eye(2) * 0.1, Qe=jnp.eye(3),
+        yref=jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(5, axis=0),
+        yref_e=goal,
+        lbx=jnp.full(3, -10.0), ubx=jnp.full(3, 10.0),
+        # loose bounds: a saturated u0 has ~zero sensitivity to x0, which
+        # would make the nonzero-gradient assertion vacuous
+        lbu=jnp.full(2, -5.0), ubu=jnp.full(2, 5.0),
+    )
+    B = 2
+    bop = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape) if a is not None else None,
+        op,
+    )
+    fleet = solver.batched_solve(differentiable=True)
+
+    def loss(x0s):
+        bst = jax.vmap(lambda x: NMPCState.init(cfg, x))(x0s)
+        u0s, _, _ = fleet(bop, bst, x0s)
+        return jnp.sum(u0s**2)
+
+    g = jax.grad(loss)(jnp.asarray([[0.2, -0.1, 0.0], [-0.3, 0.2, 0.1]], jnp.float32))
+    assert g.shape == (B, 3)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
