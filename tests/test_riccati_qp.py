@@ -335,3 +335,41 @@ def test_batched_solve_differentiable_escape_hatch():
     assert g.shape == (B, 3)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_batched_kernel_fuzz_dims():
+    """Randomized dims fuzz for the lane-batched kernel: per-member parity
+    with the per-problem kernel across (nx, nu, n_h, S, N, B) combinations."""
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import (
+        pallas_batched_barrier_qp_solve,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(200 + seed)
+        N = int(rng.integers(3, 9))
+        nx = int(rng.integers(2, 5))
+        nu = int(rng.integers(1, min(nx, 3) + 1))
+        n_h = int(rng.integers(0, 3))
+        with_S = bool(rng.integers(0, 2))
+        B = int(rng.integers(2, 7))
+        qps = [
+            _random_qp(np.random.default_rng(1000 * seed + i), N=N, nx=nx,
+                       nu=nu, n_h=n_h, with_S=with_S)
+            for i in range(B)
+        ]
+        dx0 = jnp.asarray(0.15 * rng.normal(size=(B, nx)), jnp.float32)
+        dXb, dUb, _ = pallas_batched_barrier_qp_solve(
+            _stack_qps(qps), dx0, num_iters=5, interpret=True
+        )
+        for i in range(B):
+            dX, dU, _ = pallas_barrier_qp_solve(
+                qps[i], dx0[i], num_iters=5, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(dUb[i]), np.asarray(dU), rtol=3e-5, atol=3e-5,
+                err_msg=f"seed {seed} member {i} dims N={N} nx={nx} nu={nu} "
+                        f"n_h={n_h} S={with_S}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(dXb[i]), np.asarray(dX), rtol=3e-5, atol=3e-5
+            )
