@@ -1,0 +1,127 @@
+"""Differentiable NMPC: exact gradients through the whole controller.
+
+The XLA-backend SQP solve (linearization → barrier-Riccati QP → merit line
+search) plus plant rollout is one differentiable graph — a capability the
+reference architecture cannot express (its tick crosses Python→acados-C→
+libtorch boundaries, SURVEY §3.3). These tests pin that down:
+
+* reverse-mode gradients of a closed-loop objective w.r.t. cost weights and
+  the initial state match central finite differences (the fraction-to-
+  boundary rule uses a double-where specifically to keep these finite —
+  solvers/qp.py);
+* a few Adam steps on the weights strictly decrease the closed-loop loss
+  (the examples/nmpc_autotune.py loop at smoke scale).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_mppi_mpc_tpu.config import SQPConfig
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, NMPCState, OCPParams
+
+_GOAL = jnp.array([1.5, 1.0, 0.5], jnp.float32)
+
+
+def _solver(N=8, sqp_iters=1):
+    cfg = SQPConfig(
+        N=N, dim_x=3, dim_u=2, dt=0.1,
+        sqp_iters=sqp_iters, qp_iters=6, qp_backend="xla",
+    )
+    return NMPCSolver(cfg, unicycle), cfg
+
+
+def _params(qdiag, rdiag, N):
+    return OCPParams(
+        Q=jnp.diag(qdiag), R=jnp.diag(rdiag), Qe=jnp.diag(qdiag),
+        yref=jnp.concatenate([_GOAL, jnp.zeros(2)])[None, :].repeat(N, axis=0),
+        yref_e=_GOAL,
+        lbx=jnp.full(3, -10.0), ubx=jnp.full(3, 10.0),
+        # loose bounds: interior solution, so the objective is locally smooth
+        # and finite differences are meaningful
+        lbu=jnp.full(2, -5.0), ubu=jnp.full(2, 5.0),
+    )
+
+
+def _closed_loop_loss(solver, cfg, theta, x0, ticks=10):
+    qdiag, rdiag = jnp.exp(theta[:3]), jnp.exp(theta[3:])
+    op = _params(qdiag, rdiag, cfg.N)
+
+    def body(carry, _):
+        st, x = carry
+        u0, st, _ = solver._core(op, st, x)
+        x = solver.dyn_step(x, u0)
+        return (st, x), (jnp.sum((x[:2] - _GOAL[:2]) ** 2), jnp.sum(u0**2))
+
+    (_, xf), (track, effort) = jax.lax.scan(
+        body, (NMPCState.init(cfg, x0), x0), None, length=ticks
+    )
+    return jnp.sum(track) + 0.01 * jnp.sum(effort)
+
+
+def test_weight_gradients_match_finite_differences():
+    solver, cfg = _solver()
+    x0 = jnp.array([0.2, -0.1, 0.0], jnp.float32)
+    theta = jnp.log(jnp.array([10.0, 10.0, 0.1, 0.5, 0.05], jnp.float32))
+
+    loss = jax.jit(lambda th: _closed_loop_loss(solver, cfg, th, x0))
+    g = jax.jit(jax.grad(lambda th: _closed_loop_loss(solver, cfg, th, x0)))(theta)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    e = 1e-2
+    for i in range(theta.shape[0]):
+        ei = jnp.zeros_like(theta).at[i].set(e)
+        fd = (float(loss(theta + ei)) - float(loss(theta - ei))) / (2 * e)
+        np.testing.assert_allclose(
+            float(g[i]), fd, rtol=5e-2, atol=5e-3,
+            err_msg=f"theta[{i}]",
+        )
+
+
+def test_x0_gradient_matches_finite_differences():
+    solver, cfg = _solver(sqp_iters=2)
+    theta = jnp.log(jnp.array([10.0, 10.0, 0.1, 0.5, 0.05], jnp.float32))
+
+    def loss(x0):
+        return _closed_loop_loss(solver, cfg, theta, x0, ticks=6)
+
+    x0 = jnp.array([0.3, -0.2, 0.1], jnp.float32)
+    g = jax.jit(jax.grad(loss))(x0)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    jl = jax.jit(loss)
+    e = 1e-2
+    for i in range(3):
+        ei = jnp.zeros(3).at[i].set(e)
+        fd = (float(jl(x0 + ei)) - float(jl(x0 - ei))) / (2 * e)
+        np.testing.assert_allclose(
+            float(g[i]), fd, rtol=5e-2, atol=5e-3, err_msg=f"x0[{i}]"
+        )
+
+
+def test_autotune_improves_closed_loop_loss():
+    """Five Adam steps on deliberately poor weights cut the loss (the
+    examples/nmpc_autotune.py loop at smoke scale)."""
+    import optax
+
+    solver, cfg = _solver()
+    x0 = jnp.array([0.2, -0.1, 0.0], jnp.float32)
+    theta = jnp.log(jnp.array([0.5, 0.5, 5.0, 3.0, 3.0], jnp.float32))
+    opt = optax.adam(0.2)
+    os_ = opt.init(theta)
+
+    @jax.jit
+    def step(th, os_):
+        v, g = jax.value_and_grad(
+            lambda t: _closed_loop_loss(solver, cfg, t, x0)
+        )(th)
+        up, os2 = opt.update(g, os_, th)
+        return v, optax.apply_updates(th, up), os2
+
+    v0 = None
+    for _ in range(12):
+        v, theta, os_ = step(theta, os_)
+        v0 = float(v) if v0 is None else v0
+    assert float(v) < 0.6 * v0, (v0, float(v))

@@ -35,6 +35,7 @@ _CASES = [
     ),
     ("dnn_nmpc_pipeline.py", ["--series", "2", "--epochs", "2"]),
     ("fleet_collection.py", ["--scenarios", "2", "--samples", "64", "--ticks", "5"]),
+    ("nmpc_autotune.py", ["--iters", "3", "--ticks", "6", "--horizon", "5"]),
     ("ppo_point_goal.py", ["--iters", "2", "--envs", "4"]),
     ("ppo_pixel_goal.py", ["--iters", "1", "--envs", "2", "--size", "16"]),
     ("realtime_loop.py", ["--hz", "100", "--ticks", "5", "--samples", "128"]),
