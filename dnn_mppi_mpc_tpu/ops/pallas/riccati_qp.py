@@ -711,14 +711,22 @@ def make_vmappable_pallas_qp(
     h_slope: float,
     interpret: bool,
 ):
-    """The fused QP solve as a ``custom_vmap``-wrapped callable.
+    """The fused QP solve as a ``custom_vmap``- and ``custom_vjp``-wrapped
+    callable.
 
     Unbatched calls run the per-problem scalar-core kernel; under ``vmap``
     (NMPCSolver.batched_solve fleets) the batch rule dispatches the
     lane-batched kernel instead — the fleet dimension becomes VPU lanes in
     ONE launch rather than B sequential launches or a fall-back to the XLA
-    Riccati path. Cached per static config so repeated traces share the
-    wrapper."""
+    Riccati path.
+
+    Differentiation: a Pallas kernel has no autodiff rule, so the backward
+    pass recomputes the solve with the XLA ``barrier_qp_solve`` — the same
+    algorithm, parity-tested against the kernel in tests/test_riccati_qp.py
+    — and pulls the cotangent through that graph. Forward stays at kernel
+    speed; ``jax.grad`` through a pallas-backend NMPC tick is the XLA
+    path's (unrolled, exact-to-its-compute) gradient evaluated at the same
+    inputs. Cached per static config so repeated traces share the wrapper."""
     kw = dict(
         num_iters=num_iters,
         mu0=mu0,
@@ -728,10 +736,10 @@ def make_vmappable_pallas_qp(
     )
 
     @custom_vmap
-    def solve(qp, dx0):
+    def _primal(qp, dx0):
         return pallas_barrier_qp_solve(qp, dx0, interpret=interpret, **kw)
 
-    @solve.def_vmap
+    @_primal.def_vmap
     def _batched_rule(axis_size, in_batched, qp, dx0):
         qp_flags, dx0_flag = in_batched
 
@@ -743,6 +751,25 @@ def make_vmappable_pallas_qp(
         out = pallas_batched_barrier_qp_solve(qp_b, dx0_b, interpret=interpret, **kw)
         return out, (True, True, True)
 
+    @jax.custom_vjp
+    def solve(qp, dx0):
+        return _primal(qp, dx0)
+
+    def _fwd(qp, dx0):
+        # residuals = the inputs; backward recomputes via the XLA solver
+        return _primal(qp, dx0), (qp, dx0)
+
+    def _bwd(res, ct):
+        qp, dx0 = res
+        from ...solvers.qp import barrier_qp_solve  # local: avoid import cycle
+
+        def xla_solve(qp_, dx0_):
+            return barrier_qp_solve(qp_, dx0_, return_kkt=True, **kw)
+
+        _, vjp = jax.vjp(xla_solve, qp, dx0)
+        return vjp(ct)
+
+    solve.defvjp(_fwd, _bwd)
     return solve
 
 

@@ -474,6 +474,22 @@ class NMPCSolver:
     ) -> Tuple[jnp.ndarray, NMPCState, NMPCAux]:
         return self._solve(params, state, x0)
 
+    def solve_fn(self, differentiable: bool = False):
+        """The tick as a pure function ``(params, state, x0) → (u0, state, aux)``
+        — for composing under jax transforms (``lax.scan`` closed loops,
+        ``jax.grad`` through the controller, custom ``vmap`` axes).
+
+        Both backends differentiate: the pallas QP carries a ``custom_vjp``
+        whose backward pass recomputes through the XLA Riccati graph
+        (gradient parity pinned in tests/test_diff_nmpc.py).
+        ``differentiable=True`` selects the all-XLA solve, whose gradient is
+        the exact derivative of its own forward compute — the right choice
+        when validating against finite differences (examples/nmpc_autotune.py,
+        tests/test_diff_nmpc.py). Not jitted — jit the composition you build
+        from it.
+        """
+        return self._fleet_core if differentiable else self._core
+
     def batched_solve(self, differentiable: bool = False):
         """vmapped fleet solve: (batched params, states, x0s) → batched results.
 
@@ -488,11 +504,13 @@ class NMPCSolver:
         ``make_sharded_nmpc_fleet`` (which uses the XLA backend — GSPMD
         cannot partition a Pallas custom call).
 
-        ``differentiable=True`` forces the XLA Riccati backend (identical
-        semantics, parity-tested): the fused kernels — per-problem and
-        lane-batched alike — have no autodiff rule, so ``jax.grad`` through
-        a pallas-backend fleet (sensitivity analysis, learning through the
-        controller) needs this escape hatch.
+        The pallas backend is differentiable: its ``custom_vjp`` recomputes
+        the backward pass through the XLA Riccati graph (parity-tested
+        against the kernel), so ``jax.grad`` through a pallas-backend fleet
+        works directly. ``differentiable=True`` instead builds the solve
+        itself on the XLA backend — gradients are then the exact derivative
+        of the forward compute (what finite differences of *this* function
+        measure), at the cost of the slower forward.
         """
         core = self._fleet_core if differentiable else self._core
         return jax.jit(jax.vmap(core))

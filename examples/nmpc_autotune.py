@@ -10,8 +10,10 @@ through. Here: θ = log-diagonal Q/R weights → 20-tick closed-loop tracking
 + effort + terminal loss → Adam. Gradients are validated against central
 finite differences in tests/test_diff_nmpc.py.
 
-Uses the XLA Riccati backend — the autodiff-safe path (the fused Pallas QP
-kernels have no autodiff rule; see NMPCSolver.batched_solve(differentiable=True)).
+Uses the XLA Riccati backend so the gradient is the exact derivative of the
+forward compute (the pallas QP backend also differentiates — its custom_vjp
+recomputes the backward through the XLA graph; tests/test_diff_nmpc.py pins
+the parity).
 
     python examples/nmpc_autotune.py --iters 40
 """
@@ -48,6 +50,7 @@ def main():
         sqp_iters=1, qp_iters=6, qp_backend="xla",
     )
     solver = NMPCSolver(cfg, unicycle)
+    tick = solver.solve_fn(differentiable=True)
     goal = jnp.array([1.5, 1.0, 0.5], jnp.float32)
     x0s = jnp.array(
         [[0.2, -0.1, 0.0], [-0.3, 0.3, 0.4], [0.0, 0.0, -0.5]], jnp.float32
@@ -69,7 +72,7 @@ def main():
 
         def body(carry, _):
             st, x = carry
-            u0, st, _ = solver._core(op, st, x)
+            u0, st, _ = tick(op, st, x)
             x = solver.dyn_step(x, u0)
             return (st, x), (jnp.sum((x[:2] - goal[:2]) ** 2), jnp.sum(u0**2))
 

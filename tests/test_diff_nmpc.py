@@ -52,7 +52,7 @@ def _closed_loop_loss(solver, cfg, theta, x0, ticks=10):
 
     def body(carry, _):
         st, x = carry
-        u0, st, _ = solver._core(op, st, x)
+        u0, st, _ = solver.solve_fn(differentiable=True)(op, st, x)
         x = solver.dyn_step(x, u0)
         return (st, x), (jnp.sum((x[:2] - _GOAL[:2]) ** 2), jnp.sum(u0**2))
 
@@ -99,6 +99,60 @@ def test_x0_gradient_matches_finite_differences():
         np.testing.assert_allclose(
             float(g[i]), fd, rtol=5e-2, atol=5e-3, err_msg=f"x0[{i}]"
         )
+
+
+def test_pallas_backend_gradients_match_xla():
+    """jax.grad through a qp_backend="pallas" tick (the custom_vjp recompute
+    rule in ops/pallas/riccati_qp.py) matches the all-XLA graph's gradient —
+    single tick and vmapped fleet (lane-batched kernel) alike."""
+    import dataclasses
+
+    cfgp = SQPConfig(
+        N=6, dim_x=3, dim_u=2, dt=0.1,
+        sqp_iters=1, qp_iters=6, qp_backend="pallas",
+    )
+    cfgx = dataclasses.replace(cfgp, qp_backend="xla")
+    sp, sx = NMPCSolver(cfgp, unicycle), NMPCSolver(cfgx, unicycle)
+    theta = jnp.log(jnp.array([10.0, 10.0, 0.1, 0.5, 0.05], jnp.float32))
+    x0 = jnp.array([0.2, -0.1, 0.0], jnp.float32)
+
+    def loss(core, th):
+        op = _params(jnp.exp(th[:3]), jnp.exp(th[3:]), cfgp.N)
+
+        def body(carry, _):
+            st, x = carry
+            u0, st, _ = core(op, st, x)
+            x = sx.dyn_step(x, u0)
+            return (st, x), jnp.sum((x[:2] - _GOAL[:2]) ** 2)
+
+        (_, _), track = jax.lax.scan(
+            body, (NMPCState.init(cfgp, x0), x0), None, length=6
+        )
+        return jnp.sum(track)
+
+    lp = jax.jit(lambda th: loss(sp.solve_fn(), th))
+    gp = jax.jit(jax.grad(lambda th: loss(sp.solve_fn(), th)))(theta)
+    gx = jax.jit(jax.grad(lambda th: loss(sx.solve_fn(), th)))(theta)
+    np.testing.assert_allclose(
+        float(lp(theta)),
+        float(jax.jit(lambda th: loss(sx.solve_fn(), th))(theta)),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-3, atol=1e-4)
+
+    # vmapped fleet: grad flows through the lane-batched kernel's custom_vjp
+    op = _params(jnp.exp(theta[:3]), jnp.exp(theta[3:]), cfgp.N)
+    x0s = jnp.stack([x0, x0 + 0.1, x0 - 0.2])
+    ops = jax.tree.map(lambda a: jnp.broadcast_to(a, (3,) + a.shape), op)
+
+    def fleet_loss(solver, cfg, xs):
+        sts = jax.vmap(lambda x: NMPCState.init(cfg, x))(xs)
+        u0, _, _ = jax.vmap(solver.solve_fn())(ops, sts, xs)
+        return jnp.sum(u0**2)
+
+    gfp = jax.jit(jax.grad(lambda xs: fleet_loss(sp, cfgp, xs)))(x0s)
+    gfx = jax.jit(jax.grad(lambda xs: fleet_loss(sx, cfgx, xs)))(x0s)
+    np.testing.assert_allclose(np.asarray(gfp), np.asarray(gfx), rtol=2e-3, atol=1e-4)
 
 
 def test_autotune_improves_closed_loop_loss():
