@@ -201,17 +201,24 @@ def make_fused_residual_step(
     block_rows: int = 512,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    residual_scale: Optional[float] = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Batched discrete step x⁺ = euler(analytic) + dt·residual_MLP(x, u).
+    """Batched discrete step x⁺ = euler(analytic) + s·residual_MLP(x, u).
 
     Drop-in ``dynamics_step`` for the MPPI scan engine — numerically the
     Euler discretization of models/dynamics.py::residual_dynamics with
     models/learned.py::make_residual_fn, but the whole MLP runs as one fused
     Pallas launch per rollout step (module docstring). Euler-only by
-    construction: dt is folded into the head weights. Accepts any leading
-    batch shape (…, nx)/(…, nu), like the scan path's dynamics_step contract.
+    construction: the residual scale s is folded into the head weights.
+    ``residual_scale`` defaults to ``dt`` (the net predicts a continuous-time
+    rate, models/dynamics.py::residual_dynamics); pass ``1.0`` when the net
+    was trained on discrete one-step errors (the convention of
+    train/train_diff_mlp.py's dataset — next-state error, not a rate).
+    Accepts any leading batch shape (…, nx)/(…, nu), like the scan path's
+    dynamics_step contract.
     """
-    ws, bs = fold_residual_mlp(params, in_scaler, out_scaler, dt)
+    scale = dt if residual_scale is None else residual_scale
+    ws, bs = fold_residual_mlp(params, in_scaler, out_scaler, scale)
 
     def step(x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         feats = jnp.concatenate(

@@ -134,22 +134,26 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
 
     The fleet (multi-robot / multi-scenario) dimension has NO cross-problem
     reductions — each device runs its B/n slice of the batched Riccati
-    program, zero collectives (SURVEY §2.10(c) at pod scale). Takes an
-    ``NMPCSolver``; always runs the XLA Riccati backend (a Pallas kernel is
-    a custom call GSPMD cannot partition across devices; the B-stacked tiny
-    matmuls batch into efficient (B, ·, ·) XLA ops instead). Single-device
-    fleets should prefer ``NMPCSolver.batched_solve``, which keeps the fused
-    lane-batched QP kernel. Fleet size must be a multiple of the axis size.
+    program, zero collectives (SURVEY §2.10(c) at pod scale). Built on
+    ``shard_map`` (per-device program, not GSPMD auto-partitioning), so a
+    solver with ``qp_backend="pallas"`` keeps the **lane-batched fused QP
+    kernel** on every device: each shard's fleet slice rides the 128 VPU
+    lanes of one barrier-Riccati launch per tick (the custom_vmap rule of
+    ops/pallas/riccati_qp.py dispatches inside the per-device trace —
+    measured 0.218 ms per 128-member tick vs 347 ms for the vmapped XLA
+    backend, docs/PERF.md). The XLA backend shards the same way. Fleet size
+    must be a multiple of the axis size.
     """
-    batched = jax.vmap(solver._fleet_core)
-    spec = NamedSharding(mesh, P(axis))
-
-    @jax.jit
-    def fleet(params, states, x0s):
-        x0s = jax.lax.with_sharding_constraint(x0s, spec)
-        return batched(params, states, x0s)
-
-    return fleet
+    batched = jax.vmap(solver._core)
+    spec = P(axis)
+    sharded = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 __all__ = [

@@ -450,13 +450,14 @@ class NMPCSolver:
             sqp_solve, cfg, step, h_fn, y_x_fn=y_x_fn, y_fn=y_fn, y_e_fn=y_e_fn
         )
         self._solve = jax.jit(self._core)
-        # Mesh-sharded fleet path (make_sharded_nmpc_fleet): a Pallas kernel
-        # is a custom call GSPMD cannot partition across devices, so sharded
-        # fleets use the XLA Riccati backend, where the B-stacked tiny
-        # matmuls batch into efficient (B, nx, nx) ops and partition cleanly
-        # (same semantics — parity-tested in tests/test_riccati_qp.py).
-        # Single-device vmapped fleets (batched_solve) DO keep the fused
-        # kernel: the custom_vmap rule dispatches the lane-batched QP.
+        # All-XLA twin of the core for the differentiable escape hatch
+        # (solve_fn/batched_solve with differentiable=True): same semantics
+        # as the pallas backend (parity-tested in tests/test_riccati_qp.py),
+        # but the gradient is the exact derivative of its own forward
+        # compute. Fleet scaling does NOT need this twin: batched_solve
+        # keeps the fused lane-batched QP kernel via the custom_vmap rule,
+        # and make_sharded_nmpc_fleet (shard_map, per-device program) keeps
+        # it on every shard.
         if cfg.qp_backend == "pallas":
             fleet_cfg = dataclasses.replace(cfg, qp_backend="xla")
             self._fleet_core = functools.partial(
@@ -501,8 +502,8 @@ class NMPCSolver:
         the custom_vmap rule in ops/pallas/riccati_qp.py); with the XLA
         backend the B-stacked tiny matmuls batch into (B, nx, nx) ops. For
         pod-scale fleets shard the batch dimension over a mesh axis with
-        ``make_sharded_nmpc_fleet`` (which uses the XLA backend — GSPMD
-        cannot partition a Pallas custom call).
+        ``make_sharded_nmpc_fleet`` (shard_map — each device runs the
+        lane-batched kernel on its own fleet slice).
 
         The pallas backend is differentiable: its ``custom_vjp`` recomputes
         the backward pass through the XLA Riccati graph (parity-tested

@@ -88,6 +88,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--samples", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=25)
+    ap.add_argument(
+        "--hidden", type=int, default=128,
+        help="residual MLP width (the reference deploys 512: "
+        "simulation/bullet_differential_drive_dnn.py:37-60)",
+    )
+    ap.add_argument(
+        "--fused-interpret", action="store_true", dest="fused_interpret",
+        help="validate the fused Pallas MLP step in interpret mode off-TPU",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     ref_path = line(jnp.zeros(2), jnp.array([6.0, 3.0]), num_points=160)
@@ -111,7 +120,7 @@ def main():
     print(f"collected {data.states.shape[0]} MPPI-driven samples")
 
     # 2. residual regression (train/train_diff_mlp.py loop, in-graph scalers)
-    model = MLP(out_dim=3, hidden=128, depth=2)
+    model = MLP(out_dim=3, hidden=args.hidden, depth=2)
     tstate, hist = train_residual_model(
         model, data.states, data.controls, data.errors,
         TrainConfig(num_epochs=args.epochs, batch_size=256, learning_rate=2e-3),
@@ -146,33 +155,61 @@ def main():
         ref_path=np.asarray(ref_path), title=f"DNN-MPPI (rmse {rmse_dnn:.2f} m)",
     )
 
-    # 4. throughput of the learned-dynamics MPPI tick (the K-batched MLP
-    #    rollout is (K, feat) matmuls — MXU work under plain XLA scan)
-    solver, params = make_solver(corrected_step, args.samples, args.horizon, ref_path)
-    core, dyn = solver._step, solver.dynamics_step
+    # 4. throughput of the learned-dynamics MPPI tick, A/B:
+    #    (a) plain XLA scan — each Dense layer a separate HLO, (K, hidden)
+    #        activations round-trip HBM between layers every rollout step;
+    #    (b) fused Pallas MLP step (ops/pallas/mlp_step.py) — scalers + dt
+    #        folded into the weights, whole layer chain resident in VMEM.
+    def bench_tick(dynamics_step, label):
+        solver, params = make_solver(
+            dynamics_step, args.samples, args.horizon, ref_path
+        )
+        core, dyn = solver._step, solver.dynamics_step
+        c0 = (solver.init(), jnp.zeros(3, jnp.float32))
 
-    c0 = (solver.init(), jnp.zeros(3, jnp.float32))
+        def make_runner(n):
+            @jax.jit
+            def run_chain(carry):
+                def body(c, _):
+                    st, x = c
+                    u0, st, aux = core(params, st, x, None)
+                    return (st, dyn(x, u0)), aux.costs[0]
+                c, ys = jax.lax.scan(body, carry, None, length=n)
+                return ys
 
-    def make_runner(n):
-        @jax.jit
-        def run_chain(carry):
-            def body(c, _):
-                st, x = c
-                u0, st, aux = core(params, st, x, None)
-                return (st, dyn(x, u0)), aux.costs[0]
-            c, ys = jax.lax.scan(body, carry, None, length=n)
-            return ys
+            def run():
+                float(jnp.sum(run_chain(c0)))  # device reduce + host fetch
 
-        def run():
-            float(jnp.sum(run_chain(c0)))  # device reduce + host fetch
+            return run
 
-        return run
+        tau = slope_timing(make_runner, 20, 100, reps=8).tau
+        print(
+            f"DNN-MPPI (K={args.samples}, T={args.horizon}, MLP 5-{args.hidden}-{args.hidden}-3, "
+            f"{label}): {tau*1e3:.3f} ms/solve ({1/tau:.0f} solves/s) "
+            f"on {jax.devices()[0].platform}"
+        )
+        return tau
 
-    tau = slope_timing(make_runner, 20, 100, reps=8).tau
-    print(
-        f"DNN-MPPI (K={args.samples}, T={args.horizon}, MLP 5-128-128-3): "
-        f"{tau*1e3:.3f} ms/solve ({1/tau:.0f} solves/s) on {jax.devices()[0].platform}"
-    )
+    bench_tick(corrected_step, "XLA scan")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu or args.fused_interpret:
+        from dnn_mppi_mpc_tpu.ops.pallas.mlp_step import make_fused_residual_step
+
+        # residual_scale=1: the net was fit to discrete one-step errors
+        # (data.errors = plant_step − nominal_step), not a rate
+        fused_step = make_fused_residual_step(
+            unicycle, tstate.params, DT, tstate.in_scaler, tstate.out_scaler,
+            interpret=not on_tpu, residual_scale=1.0,
+        )
+        xs = jax.random.normal(jax.random.PRNGKey(3), (64, 3), jnp.float32)
+        us = jax.random.normal(jax.random.PRNGKey(4), (64, 2), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(fused_step(xs, us)),
+            np.asarray(corrected_step(xs, us)),
+            rtol=2e-4, atol=2e-5,
+        )
+        if on_tpu:
+            bench_tick(fused_step, "fused Pallas MLP step")
     print(f"artifacts -> {args.out}")
 
 

@@ -84,6 +84,26 @@ def test_fused_step_broadcasts_leading_batch_dims():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-6)
 
 
+def test_fused_step_discrete_residual_scale():
+    """residual_scale=1: the one-step-error convention of the reference's
+    dataset (train/train_diff_mlp.py — errors are next-state deltas, not
+    rates), used by examples/dnn_mppi.py's deployment."""
+    model, params, in_s, out_s = _setup(32, 2, seed=5)
+    net = make_residual_fn(model, params, in_s, out_s)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(40, 2)), jnp.float32)
+
+    want = euler_step(unicycle, x, u, DT) + net(jnp.concatenate([x, u], -1))
+    step = make_fused_residual_step(
+        unicycle, params, DT, in_s, out_s,
+        interpret=True, block_rows=64, residual_scale=1.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(step(x, u)), np.asarray(want), rtol=3e-5, atol=3e-6
+    )
+
+
 def test_fold_residual_mlp_matches_unfused_net():
     """Scaler/dt folding alone (no Pallas): affine-exact up to reassociation."""
     model, params, in_s, out_s = _setup(32, 2, seed=3)

@@ -175,16 +175,22 @@ def test_sharded_pallas_rollout_matches_unsharded():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
-def test_sharded_nmpc_fleet_matches_unsharded():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_nmpc_fleet_matches_unsharded(backend):
     """A mesh-sharded NMPC fleet (fleet axis partitioned over devices, zero
     collectives) must equal the single-device vmapped fleet exactly —
-    SURVEY §2.10(c) at pod scale."""
+    SURVEY §2.10(c) at pod scale. shard_map (per-device program, not GSPMD)
+    means the pallas backend keeps the lane-batched fused QP kernel on each
+    shard — the fleet-serving production path."""
     from dnn_mppi_mpc_tpu.config import SQPConfig
     from dnn_mppi_mpc_tpu.models.dynamics import unicycle as uni
     from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_nmpc_fleet
     from dnn_mppi_mpc_tpu.solvers.sqp import NMPCSolver, NMPCState, OCPParams
 
-    cfg = SQPConfig(N=8, dim_x=3, dim_u=2, dt=0.1, sqp_iters=2, qp_iters=8)
+    cfg = SQPConfig(
+        N=8, dim_x=3, dim_u=2, dt=0.1, sqp_iters=2, qp_iters=8,
+        qp_backend=backend,
+    )
     solver = NMPCSolver(cfg, uni)
     B = 8
     rng = np.random.default_rng(5)
