@@ -76,6 +76,11 @@ def make_sharded_mppi_step(
         waypoint_idx=P(),
         status=P(),
     )
+    # check_vma=False: inputs mix replicated pytrees (params/state/x0) with
+    # the K-sharded noise; mppi_step's outputs become replicated only through
+    # pmin/psum, which the varying-axis checker cannot always prove through
+    # the filter/shift epilogue. Divisibility is validated above, and parity
+    # vs the single-device step is asserted in tests/test_sharding.py.
     sharded = jax.shard_map(
         inner,
         mesh=mesh,
@@ -144,8 +149,15 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
     backend, docs/PERF.md). The XLA backend shards the same way. Fleet size
     must be a multiple of the axis size.
     """
+    n = mesh.shape[axis]
     batched = jax.vmap(solver._core)
     spec = P(axis)
+    # check_vma=False: OCPParams/NMPCAux pytrees carry every leaf with a
+    # leading fleet dim here, but blanket P(axis) specs over whole pytrees
+    # trip shard_map's varying-axis validation on jax 0.9 for the aux pytree
+    # (solver status scalars); divisibility is validated explicitly below
+    # instead, so a mis-sized fleet fails with a clear error rather than a
+    # cryptic shard_map trace (round-2 advisor findings).
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
@@ -153,7 +165,18 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(params, states, x0s):
+        B = jax.tree.leaves(x0s)[0].shape[0]
+        if B % n != 0:
+            raise ValueError(
+                f"fleet size {B} must be divisible by mesh axis {axis!r}={n} "
+                "(shard_map partitions the fleet dimension evenly)"
+            )
+        return jitted(params, states, x0s)
+
+    return step
 
 
 __all__ = [

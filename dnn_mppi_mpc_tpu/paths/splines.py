@@ -36,7 +36,7 @@ class CubicSpline1D:
         y = np.asarray(y, dtype=np.float64)
         h = np.diff(x)
         if np.any(h < 0):
-            raise ValueError("x coordinates must be sorted in ascending order")
+            raise ValueError("spline knots x must be strictly increasing")
         n = len(x)
         A = np.zeros((n, n))
         B = np.zeros(n)
