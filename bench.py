@@ -56,14 +56,25 @@ def _make_chain(solver, params, n):
 
 
 def main() -> None:
+    import argparse
+
     from __graft_entry__ import _flagship
     from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
     from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
 
-    K, T = 10240, 50
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--k", type=int, default=10240,
+        help="rollout count (pod-scale K≥~25k routes to the K-blocked fused "
+        "tick with per-block on-chip ε, e.g. --k 102400)",
+    )
+    ap.add_argument("--t", type=int, default=50, help="horizon")
+    args = ap.parse_args()
+
+    K, T = args.k, args.t
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu:
-        K = 1024  # CPU smoke: same code path, tractable size
+        K = min(K, 1024)  # CPU smoke: same code path, tractable size
 
     cfg, params, step_fn, stage, terminal = _flagship(K, T)
     solver = MPPISolver(
@@ -80,19 +91,22 @@ def main() -> None:
 
         return run
 
-    n1, n2 = (40, 200) if on_tpu else (4, 12)
-    timing = slope_timing(make_runner, n1, n2, reps=30 if on_tpu else 5)
+    # Chain lengths sized so the n2−n1 device-time delta (≈50 ms at the
+    # flagship rate) clearly dominates the ~25–30 ms tunnel fetch jitter —
+    # at (40, 200) the 10 ms delta made the slope estimate noisy (round 3).
+    n1, n2 = (200, 1000) if on_tpu else (4, 12)
+    timing = slope_timing(make_runner, n1, n2, reps=20 if on_tpu else 5)
     tau, p50, p99 = timing.tau, timing.p50, timing.p99
     solves_per_s = timing.ticks_per_s
 
     budget_hz = 50.0
-    # The flagship metric id names the TPU configuration (K=10240, fused
-    # tick); the CPU smoke path measures a 10× smaller scan-path problem and
-    # must not report under the flagship name (round-2 review finding).
+    # The metric id names the measured configuration; the CPU smoke path
+    # measures a smaller scan-path problem and must not report under a TPU
+    # name (round-2 review finding).
     metric = (
-        "mppi_solves_per_s_per_chip_K10240_T50_diffdrive"
+        f"mppi_solves_per_s_per_chip_K{K}_T{T}_diffdrive"
         if on_tpu
-        else "mppi_solves_per_s_cpu_smoke_K1024_T50_diffdrive"
+        else f"mppi_solves_per_s_cpu_smoke_K{K}_T{T}_diffdrive"
     )
     result = {
         "metric": metric,

@@ -91,9 +91,12 @@ class MPPIConfig:
     rollout_var_cost: float = 0.0
     rollout_var_discount: float = 0.95
     use_pallas: bool = False  # fused Pallas rollout kernel for the hot path
-    compute_optimal_traj: bool = True  # (T, nx) planned-trajectory diagnostic;
-    # disable on the latency-critical path — it is a K=1 sequential scan whose
-    # T dependent steps cost as much latency as the whole K-wide rollout
+    compute_optimal_traj: bool = False  # (T, nx) planned-trajectory diagnostic;
+    # off by default: it is a K=1 *sequential* scan of T dependent steps whose
+    # latency rivals the whole K-wide rollout (~40% of a fused tick at the
+    # flagship scale, docs/PERF.md) and serves visualization only — enable for
+    # plotting/animation (the reference's viz re-rollout,
+    # mppi_differential_drive.py:144-149)
 
     @property
     def gamma(self) -> float:

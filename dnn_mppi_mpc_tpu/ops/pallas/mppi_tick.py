@@ -147,7 +147,7 @@ def _tick_kernel(
     a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
     win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)
     obs_ref,  # VMEM (n_obs, 5) obstacles (x, y, r, vx, vy) — may be zero rows
-    *rest,  # [eps0_in, eps1_in] | outputs | [eps scratch ×2]
+    *rest,  # [ft, u_rows] | [eps0_in, eps1_in] | outputs | [eps scratch ×2]
     T: int,
     W: int,
     R: int,
@@ -159,11 +159,18 @@ def _tick_kernel(
     gaussian: str,
     obs_mode: str,  # "circle" (hard ×1e7) | "soft" (exp penalty)
     moving_obs: bool,  # obstacles drift at (vx, vy) during the rollout
+    fuse_epilogue: bool,  # smoothing matmul + update + finite-hold + shift
 ):
     rest = list(rest)
+    if fuse_epilogue:
+        ft_ref = rest.pop(0)  # VMEM (T, T) transposed filter matrix Fᵀ
+        urows_ref = rest.pop(0)  # VMEM (2, T) nominal controls, row layout
     if not gen_noise:
         eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) inputs
     S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if fuse_epilogue:
+        unew_ref, ushift_ref = rest.pop(0), rest.pop(0)  # (2, T) each
+        ok_ref = rest.pop(0)  # SMEM (1,) f32: 1.0 = finite update applied
     if emit_eps:
         eps0_out, eps1_out = rest.pop(0), rest.pop(0)
     if gen_noise:
@@ -317,6 +324,33 @@ def _tick_kernel(
     weps_ref[0, :] = jnp.sum(jnp.sum(eps0[:, :, :] * wb, axis=2), axis=1)
     weps_ref[1, :] = jnp.sum(jnp.sum(eps1[:, :, :] * wb, axis=2), axis=1)
 
+    if fuse_epilogue:
+        # The whole XLA tick tail in-kernel (round-2 verdict #4): smoothing
+        # filter as one (2,T)@(T,T) matmul against Fᵀ (filters.filter_matrix),
+        # nominal update u+F·wε (mppi_differential_drive.py:136-141),
+        # non-finite rejection with hold-previous (SURVEY §5.3), and the
+        # receding-horizon shift (…:162-163) — removing the chain of tiny
+        # sequential XLA ops that cost ~30% of a flagship tick (docs/PERF.md).
+        wr = weps_ref[:, :]  # (2, T)
+        un = jax.lax.dot_general(
+            wr,
+            ft_ref[:, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # match apply_filter's f32
+            # matmul — the TPU default would drop to bf16 passes
+        )
+        un = urows_ref[:, :] + un
+        # isfinite without relying on an isfinite lowering: NaN fails x==x,
+        # ±inf fails |x| < 3.4e38
+        finite_mask = (un == un) & (jnp.abs(un) < jnp.float32(3.4e38))
+        finite = jnp.min(finite_mask.astype(jnp.float32))
+        un = jnp.where(finite > 0.5, un, urows_ref[:, :])
+        unew_ref[:, :] = un
+        ushift_ref[:, 0 : T - 1] = un[:, 1:T]
+        ushift_ref[:, T - 1 : T] = un[:, T - 1 : T]
+        ok_ref[0] = finite
+
 
 @functools.partial(
     jax.jit,
@@ -329,6 +363,7 @@ def _tick_kernel(
         "interpret",
         "gaussian",
         "collision",
+        "fuse_epilogue",
     ),
 )
 def diffdrive_mppi_tick(
@@ -351,6 +386,7 @@ def diffdrive_mppi_tick(
     obstacle_velocities: Optional[jnp.ndarray] = None,  # (n_obs, 2) drift
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
+    filter_t: Optional[jnp.ndarray] = None,  # (T, T) Fᵀ — fused-epilogue mode
     *,
     K: int,
     T: int,
@@ -360,6 +396,7 @@ def diffdrive_mppi_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     collision: str = "circle",
+    fuse_epilogue: bool = False,
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -407,6 +444,9 @@ def diffdrive_mppi_tick(
     )
     obs, n_obs = pack_obstacles(obstacles, obstacle_velocities)
 
+    if fuse_epilogue and filter_t is None:
+        raise ValueError("fuse_epilogue=True requires the (T, T) filter_t matrix")
+
     kernel = functools.partial(
         _tick_kernel,
         T=T,
@@ -420,6 +460,7 @@ def diffdrive_mppi_tick(
         gaussian=gaussian,
         obs_mode=collision,
         moving_obs=obstacle_velocities is not None,
+        fuse_epilogue=fuse_epilogue,
     )
 
     out_shape = [
@@ -427,14 +468,28 @@ def diffdrive_mppi_tick(
         jax.ShapeDtypeStruct((R, LANES), jnp.float32),  # w
         jax.ShapeDtypeStruct((2, T), jnp.float32),  # w_eps (rows)
     ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape]
+    if fuse_epilogue:
+        out_shape += [
+            jax.ShapeDtypeStruct((2, T), jnp.float32),  # u_new rows
+            jax.ShapeDtypeStruct((2, T), jnp.float32),  # u_shift rows
+            jax.ShapeDtypeStruct((1,), jnp.float32),  # finite flag
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     if emit:
         out_shape += [
             jax.ShapeDtypeStruct((T, R, LANES), jnp.float32),
             jax.ShapeDtypeStruct((T, R, LANES), jnp.float32),
         ]
-    out_specs = tuple(
-        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
-    )
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+    out_specs = tuple(out_specs)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
@@ -452,6 +507,12 @@ def diffdrive_mppi_tick(
         window.astype(jnp.float32),
         obs,
     ]
+    if fuse_epilogue:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Fᵀ
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u rows
+        ]
+        args += [filter_t.astype(jnp.float32), u.astype(jnp.float32).T]
     scratch_shapes = []
     if gen_noise:
         scratch_shapes += [
@@ -478,13 +539,24 @@ def diffdrive_mppi_tick(
         interpret=interpret,
     )(*args)
 
-    S = result[0].reshape(K)
-    w = result[1].reshape(K)
-    w_eps = result[2].T  # (T, 2)
+    result = list(result)
+    S = result.pop(0).reshape(K)
+    w = result.pop(0).reshape(K)
+    w_eps = result.pop(0).T  # (T, 2)
+    epi = None
+    if fuse_epilogue:
+        u_new = result.pop(0).T  # (T, 2)
+        u_shift = result.pop(0).T  # (T, 2)
+        finite = result.pop(0)[0]
+        epi = (u_new, u_shift, finite)
     if emit:
-        eps_out = jnp.stack([result[3], result[4]], axis=1)  # (T, 2, R, L)
+        eps_out = jnp.stack([result.pop(0), result.pop(0)], axis=1)  # (T, 2, R, L)
         eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, 2)
+        if fuse_epilogue:
+            return S, w, w_eps, epi, eps_out
         return S, w, w_eps, eps_out
+    if fuse_epilogue:
+        return S, w, w_eps, epi
     return S, w, w_eps
 
 

@@ -239,24 +239,43 @@ def mppi_step(
     )
     ctx = CostContext(params=params, waypoint_start=wp_idx)
 
-    key, sub = jax.random.split(state.key)
     if tick_fn is not None:
         if axis_name is not None:
             raise ValueError(
                 "tick_fn (fully-fused tick kernel) is single-device only — "
                 "use rollout_fn for sample-sharded execution"
             )
-        # int32 seed for the in-kernel PRNG, derived from the carried key
-        # (ignored by the kernel when ε is injected). Noise never touches
-        # HBM or the host in this mode.
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(sub, (), jnp.uint32), jnp.int32
+        # int32 seed for the in-kernel PRNG (ignored when ε is injected).
+        # Derived from the carried key WITHOUT threefry: a split+bits pair
+        # costs ~7 µs/tick on TPU — 15% of a flagship tick (docs/PERF.md) —
+        # while the Mosaic PRNG re-hashes whatever seed it gets, so a Weyl
+        # advance of the raw key words is statistically adequate here and
+        # nearly free. The scan path below keeps real threefry sampling.
+        typed = jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+        kd = jax.random.key_data(state.key) if typed else state.key
+        seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
+        kd_next = kd + jnp.asarray([0x9E3779B9, 0x85EBCA6B], jnp.uint32)
+        key = (
+            jax.random.wrap_key_data(kd_next, impl="threefry2x32")
+            if typed
+            else kd_next
         )
+        if getattr(tick_fn, "fused_epilogue", False):
+            # Kernel already applied filter + update + finite-hold + shift;
+            # only diagnostics and the waypoint/status carry remain in XLA.
+            S, w, _, (u_new, u_shift, finite) = tick_fn(
+                params, ctx, u, x0, seed, noise
+            )
+            return _mppi_tail_fused(
+                cfg, dynamics_step, params, state, x0, key, wp_idx,
+                S, w, u_new, u_shift, finite,
+            )
         S, w, w_eps = tick_fn(params, ctx, u, x0, seed, noise)
         return _mppi_tail(
             cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
         )
 
+    key, sub = jax.random.split(state.key)
     if noise is None:
         if axis_name is not None:
             sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
@@ -385,6 +404,36 @@ def _mppi_tail(
     return u_new[0], new_state, aux
 
 
+def _mppi_tail_fused(
+    cfg, dynamics_step, params, state, x0, key, wp_idx, S, w, u_new, u_shift, finite
+):
+    """Tick tail when the kernel already fused filter/update/hold/shift."""
+    T = cfg.horizon
+    if cfg.compute_optimal_traj:
+        def opt_body(x, u_t):
+            x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
+            return x, x
+
+        _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+    else:
+        optimal_traj = jnp.zeros((T,) + x0.shape, dtype=u_new.dtype)
+
+    end_of_path = wp_idx >= params.ref_path.shape[0] - 1
+    status = (
+        end_of_path.astype(jnp.int32)
+        + 2 * (finite < 0.5).astype(jnp.int32)
+    )
+    new_state = MPPIState(u_prev=u_shift, waypoint_idx=wp_idx, key=key)
+    aux = MPPIAux(
+        costs=S,
+        weights=w,
+        optimal_traj=optimal_traj,
+        waypoint_idx=wp_idx,
+        status=status,
+    )
+    return u_new[0], new_state, aux
+
+
 def sampled_trajectories(
     cfg: MPPIConfig,
     dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -498,6 +547,7 @@ def make_pallas_diffdrive_tick(
     collision: str = "circle",
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
+    fuse_epilogue: bool = False,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -512,6 +562,7 @@ def make_pallas_diffdrive_tick(
     test_mppi_diff_obs.py — the goal-seeking preset with W=1). In-rollout
     moving obstacles (params.obstacle_velocities) are supported in both.
     """
+    from ..ops.filters import filter_matrix
     from ..ops.pallas.mppi_tick import diffdrive_mppi_tick
     from ..ops.sampling import small_cholesky
 
@@ -520,6 +571,22 @@ def make_pallas_diffdrive_tick(
             "the fused tick kernel does not implement num_rollout_repeats>1 "
             "(M-repeat variance cost) — use the scan path"
         )
+
+    import numpy as _np
+
+    from ..config import SmoothingFilter
+
+    filter_t = None
+    if fuse_epilogue:
+        # Fᵀ for the in-kernel smoothing matmul (identity for NONE) — the
+        # epilogue fusion of round-2 verdict #4.
+        if cfg.filter == SmoothingFilter.NONE:
+            F = _np.eye(cfg.horizon)
+        else:
+            F = filter_matrix(
+                cfg.filter.value, cfg.horizon, cfg.filter_window, cfg.savgol_polyorder
+            )
+        filter_t = jnp.asarray(F.T, jnp.float32)
 
     def tick(
         params: MPPIParams,
@@ -554,6 +621,7 @@ def make_pallas_diffdrive_tick(
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
+            filter_t=filter_t,
             K=cfg.num_samples,
             T=cfg.horizon,
             W=Wlen,
@@ -561,7 +629,95 @@ def make_pallas_diffdrive_tick(
             interpret=interpret,
             gaussian=gaussian,
             collision=collision,
+            fuse_epilogue=fuse_epilogue,
         )
+
+    tick.fused_epilogue = fuse_epilogue
+    return tick
+
+
+def make_pallas_diffdrive_tick_blocked(
+    cfg: MPPIConfig,
+    robot_radius: float = 0.5,
+    k_block: int = 10240,
+    collision: str = "circle",
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+):
+    """Bind the K-blocked fused tick (ops/pallas/mppi_tick_blocked.py) as
+    tick_fn — pod-scale sample counts (K ≥ ~40k at T=50) on one chip.
+
+    A sequential Pallas grid over K/k_block sample blocks with an online
+    softmax (running-ρ rescale) regenerates ε per block on-chip, so VMEM
+    holds one block's noise instead of all of K. PRNG-mode only (injected ε
+    would defeat the purpose — the engine raises if parity noise is passed);
+    TPU-only like the other PRNG kernels. Semantics identical to the
+    single-block tick / scan engine (exact-parity via regenerated ε:
+    tests/test_mppi_tick_blocked.py).
+    """
+    from ..ops.pallas.mppi_tick_blocked import diffdrive_mppi_tick_blocked
+    from ..ops.sampling import small_cholesky
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the blocked fused tick does not implement num_rollout_repeats>1 "
+            "— use the scan path"
+        )
+    if cfg.num_samples % k_block != 0:
+        raise ValueError(
+            f"num_samples={cfg.num_samples} must be a multiple of "
+            f"k_block={k_block}"
+        )
+
+    def tick(
+        params: MPPIParams,
+        ctx: CostContext,
+        u: jnp.ndarray,
+        x0: jnp.ndarray,
+        seed: jnp.ndarray,
+        noise: Optional[jnp.ndarray],
+    ):
+        if noise is not None:
+            raise ValueError(
+                "the blocked fused tick is PRNG-mode only (per-block on-chip "
+                "ε) — use the single-block tick or scan path for injected "
+                "noise"
+            )
+        P = params.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        S, rho, eta, w_eps = diffdrive_mppi_tick_blocked(
+            seed,
+            u,
+            a,
+            small_cholesky(params.sigma),
+            x0,
+            window[:, :3],
+            params.stage_weight,
+            params.terminal_weight,
+            params.u_min,
+            params.u_max,
+            cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            cfg.inv_temperature,
+            obstacles=params.obstacles,
+            robot_radius=robot_radius,
+            obstacle_velocities=params.obstacle_velocities,
+            soft_safety_distance=soft_safety_distance,
+            soft_weight=soft_weight,
+            K=cfg.num_samples,
+            T=cfg.horizon,
+            W=Wlen,
+            K_BLK=k_block,
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+            collision=collision,
+        )
+        # per-sample weights: one cheap elementwise pass over S in XLA
+        inv_t = jnp.asarray(cfg.inv_temperature, S.dtype)
+        w = jnp.exp(-inv_t * (S - rho)) / eta
+        return S, w, w_eps
 
     return tick
 
@@ -905,6 +1061,30 @@ def make_pallas_bicycle_rollout(
     return rollout
 
 
+_SINGLE_BLOCK_VMEM_BUDGET = 10 * 2**20
+# peak live bytes of the PRNG+ε stage: two (T, K/128, 128) f32 ε planes PLUS
+# the two standard-normal temporaries they are colored from — 16·T·K bytes
+# (the 2-plane estimate OOMed the 16 MB scoped-vmem limit at K=25 600, T=50)
+_EPS_BYTES_PER_SAMPLE_STEP = 16
+
+
+def _pick_k_block(K: int, T: int) -> int:
+    """Largest multiple-of-1024 divisor of K whose ε stage fits the budget."""
+    best = 0
+    for blk in range(1024, K + 1, 1024):
+        if (
+            K % blk == 0
+            and _EPS_BYTES_PER_SAMPLE_STEP * T * blk <= _SINGLE_BLOCK_VMEM_BUDGET
+        ):
+            best = blk
+    if not best:
+        raise ValueError(
+            f"no multiple-of-1024 block divides K={K} within the VMEM budget "
+            f"at T={T} — pick K a multiple of 1024 (e.g. 102 400)"
+        )
+    return best
+
+
 class MPPISolver:
     """Convenience wrapper: binds config + dynamics + costs, jits the step.
 
@@ -930,6 +1110,7 @@ class MPPISolver:
         collision: str = "circle",
         soft_safety_distance: float = 2.0,
         soft_weight: float = 100.0,
+        fuse_epilogue: bool = True,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
@@ -954,6 +1135,21 @@ class MPPISolver:
                     soft_weight=soft_weight,
                     gaussian=gaussian,
                 )
+            elif (
+                _EPS_BYTES_PER_SAMPLE_STEP * cfg.horizon * cfg.num_samples
+                > _SINGLE_BLOCK_VMEM_BUDGET
+            ):
+                # Past ~K=25k at T=50 the single-block kernel's two (T, K/128,
+                # 128) ε scratch planes overflow VMEM — switch to the
+                # K-blocked grid kernel with per-block ε regeneration.
+                tick_fn = make_pallas_diffdrive_tick_blocked(
+                    cfg,
+                    robot_radius,
+                    k_block=_pick_k_block(cfg.num_samples, cfg.horizon),
+                    collision=collision,
+                    soft_safety_distance=soft_safety_distance,
+                    soft_weight=soft_weight,
+                )
             else:
                 # collision/soft settings must reach the kernel — dropping
                 # them here silently changed the cost semantics (round-2
@@ -965,6 +1161,7 @@ class MPPISolver:
                     collision=collision,
                     soft_safety_distance=soft_safety_distance,
                     soft_weight=soft_weight,
+                    fuse_epilogue=fuse_epilogue,
                 )
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
@@ -1007,6 +1204,7 @@ __all__ = [
     "make_tracking_costs",
     "make_pallas_diffdrive_rollout",
     "make_pallas_diffdrive_tick",
+    "make_pallas_diffdrive_tick_blocked",
     "make_pallas_bicycle_rollout",
     "make_pallas_bicycle_tick",
     "make_generic_fused_tick",

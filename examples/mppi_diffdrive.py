@@ -58,6 +58,7 @@ def main():
         filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
         filter_window=min(10, args.horizon),
         use_pallas=args.pallas,
+    compute_optimal_traj=True,  # this example plots the planned trajectory
     )
     ref = line(jnp.zeros(2), jnp.array([10.0, -5.0]), 100)
     params = MPPIParams(

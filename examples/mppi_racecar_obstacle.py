@@ -66,6 +66,7 @@ def main():
         filter=SmoothingFilter.MOVING_AVERAGE_PADDED,
         filter_window=10,
         waypoint_search_len=200,
+    compute_optimal_traj=True,  # this example plots the planned trajectory
     )
     ref = lemniscate_with_speed(10.0, 200, speed=5.0)
     params = MPPIParams(

@@ -51,6 +51,7 @@ def _setup(obstacles=False, exploration=0.2, last=False):
         filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
         filter_window=5,
         waypoint_search_len=8,
+        compute_optimal_traj=True,  # compared tick-vs-scan below
     )
     n = 40
     path = np.stack(
@@ -273,3 +274,44 @@ def test_tick_kernel_goal_seeking_soft_matches_scan(moving):
         soft_weight=100.0,
     )
     _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)
+
+
+@pytest.mark.parametrize("filt", ["ma_edge", "savgol", "none"])
+def test_tick_fused_epilogue_matches_scan(filt):
+    """fuse_epilogue=True: the in-kernel filter matmul + nominal update +
+    finite-hold + horizon shift must reproduce the XLA tail exactly (the
+    round-2 verdict #4 epilogue fusion)."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
+    cfg = dataclasses.replace(
+        cfg,
+        filter=SmoothingFilter(filt),
+        filter_window=5 if filt != "none" else 1,
+        compute_optimal_traj=True,
+    )
+    tick = make_pallas_diffdrive_tick(cfg, interpret=True, fuse_epilogue=True)
+    assert tick.fused_epilogue
+    _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)
+
+
+def test_tick_fused_epilogue_nonfinite_holds_previous():
+    """A non-finite update (NaN nominal sequence → NaN u_new) must hold the
+    previous sequence and set status bit 2 — the warn-and-continue failure
+    semantics of SURVEY §5.3, now applied inside the kernel."""
+    cfg, params, step_fn, stage, terminal = _setup()
+    tick = make_pallas_diffdrive_tick(cfg, interpret=True, fuse_epilogue=True)
+    eps = _noise(cfg, params, seed=9)
+    bad = eps.at[0, 0, 0].set(jnp.nan)
+    state = MPPIState.init(cfg)
+    x0 = jnp.array([0.1, -0.05, 0.2], jnp.float32)
+    u0, st, aux = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )(params, state, x0, bad)
+    assert int(aux.status) & 2
+    np.testing.assert_allclose(
+        np.asarray(st.u_prev),
+        np.concatenate(
+            [np.asarray(state.u_prev)[1:], np.asarray(state.u_prev)[-1:]]
+        ),
+    )
