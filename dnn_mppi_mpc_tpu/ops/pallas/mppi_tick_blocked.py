@@ -1,0 +1,508 @@
+"""K-blocked fused MPPI tick — pod-scale sample counts on one chip.
+
+The single-block fused tick (ops/pallas/mppi_tick.py) holds the full ε tensor
+in VMEM scratch: 2 × (T, K/128, 128) f32 = 2·T·K·4 bytes, which crosses the
+~16 MB VMEM budget near K ≈ 40 000 at T = 50. This kernel removes that ceiling
+with a sequential Pallas grid over K blocks and an **online softmax**
+(running-ρ rescaling — the flash-attention normalizer trick applied to the
+MPPI weight reduction):
+
+  per grid step b (one K_BLK = RB·128 sample block):
+    1. ε_b ~ N(0, Σ) regenerated on-chip from (seed, b) — per-block scratch
+       only, never materialized for the full K;
+    2. rollout + cost (identical semantics to mppi_tick.py: exploration split
+       over *global* sample indices, in-rollout clamp, γ·uᵀΣ⁻¹v energy,
+       nearest-waypoint window, circle/soft obstacles incl. drift, LAST quirk
+       — mppi_differential_drive.py:111-126);
+    3. online update of (ρ, η, Σₖ m·ε) with rescale exp(-λ·(ρ_old − ρ_new))
+       when a new block lowers ρ — exact up to FP reassociation vs the
+       single-block kernel (parity: tests/test_mppi_tick_blocked.py);
+    4. last block divides the ε-accumulator by η.
+
+Outputs (S, ρ, η, w_eps); the per-sample weights w = exp(-λ(S−ρ))/η are one
+cheap XLA elementwise pass over S (K floats — negligible next to the rollout).
+
+The same machinery provides the **two-phase sharded tick** (SURVEY §2.10(a),
+round-2 verdict #3): phase 1 = this kernel in ``s_only`` mode per shard
+(on-chip ε from (seed, global block offset)); the global softmax reductions
+ρ = pmin, η = psum ride XLA collectives; phase 2 = :func:`weighted_noise_reduce`
+regenerates the *same* ε from the same seeds and reduces Σ w·ε in-kernel —
+the (K, T, nu) HBM noise tensor of the round-1/2 sharded path never exists.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mppi_tick import LANES, pack_obstacles, pick_r_blk, standard_normal_pair
+
+_NEG_BIG = -3.0e38  # sentinel for "no rho yet" (−inf-free: inf−inf traps)
+
+
+def _read_scalars(scal_ref):
+    """Unpack the 24-float SMEM scalar block (layout of mppi_tick.py)."""
+    return dict(
+        dt=scal_ref[0],
+        umin0=scal_ref[1], umax0=scal_ref[2],
+        umin1=scal_ref[3], umax1=scal_ref[4],
+        n_exploit=scal_ref[5],
+        sw=(scal_ref[6], scal_ref[7], scal_ref[8]),
+        tw=(scal_ref[9], scal_ref[10], scal_ref[11]),
+        x0=(scal_ref[12], scal_ref[13], scal_ref[14]),
+        obs_radius=scal_ref[15],
+        k_offset=scal_ref[16],
+        inv_temp=scal_ref[17],
+        chol=(scal_ref[18], scal_ref[19], scal_ref[20]),
+        soft=(scal_ref[21], scal_ref[22]),
+    )
+
+
+def _gen_eps_block(seed, block_id, T, RB, chol, gaussian, eps0, eps1):
+    """Seed the per-block PRNG stream and fill the two ε scratch planes.
+
+    Seeding with (seed, block_id) gives each K block an independent,
+    *reproducible* stream — phase 2 of the sharded tick regenerates identical
+    ε by reusing the same pair.
+    """
+    l00, l10, l11 = chol
+    pltpu.prng_seed(seed, block_id)
+    z0, z1 = standard_normal_pair((T, RB, LANES), gaussian)
+    eps0[:, :, :] = l00 * z0
+    eps1[:, :, :] = l10 * z0 + l11 * z1
+
+
+def _rollout_block(
+    sc, u_ref, a_ref, win, obs, eps0, eps1, k_base,
+    *, T, RB, R_BLK, n_obs, last_only, obs_mode, moving_obs,
+):
+    """Roll out one (RB, 128) sample block, returning its cost surface S.
+
+    Same loop as mppi_tick.py's kernel body (provenance there); factored here
+    for the grid-blocked and fleet kernels. ``k_base`` is the global index of
+    the block's first sample (exploration split over global K)."""
+    shape = (R_BLK, LANES)
+    soft_dist, soft_w = sc["soft"]
+
+    def window_refs(xc, yc):
+        wx0, wy0, wyaw0 = win[0]
+        dmin = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
+        rx = jnp.full(shape, wx0, dtype=jnp.float32)
+        ry = jnp.full(shape, wy0, dtype=jnp.float32)
+        ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
+        for w in range(1, len(win)):
+            wx, wy, wyaw = win[w]
+            d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
+            better = d < dmin
+            dmin = jnp.where(better, d, dmin)
+            rx = jnp.where(better, wx, rx)
+            ry = jnp.where(better, wy, ry)
+            ryaw = jnp.where(better, wyaw, ryaw)
+        return rx, ry, ryaw
+
+    def obstacle_penalty(xc, yc, t_f=None):
+        pen = jnp.zeros(shape, dtype=jnp.float32)
+        for ox, oy, orad, ovx, ovy in obs:
+            if moving_obs and t_f is not None:
+                ox = ox + ovx * t_f
+                oy = oy + ovy * t_f
+            dxo = xc - ox
+            dyo = yc - oy
+            d2 = dxo * dxo + dyo * dyo
+            if obs_mode == "circle":
+                rr = orad + sc["obs_radius"]
+                pen = jnp.where(d2 < rr * rr, jnp.float32(1.0), pen)
+            else:
+                d = jnp.sqrt(d2 + jnp.float32(1e-12))
+                pen = pen + jnp.where(
+                    d < soft_dist, jnp.exp(soft_dist - d), jnp.float32(0.0)
+                )
+        return pen * (jnp.float32(1.0e7) if obs_mode == "circle" else soft_w)
+
+    sw0, sw1, sw2 = sc["sw"]
+    tw0, tw1, tw2 = sc["tw"]
+    S_parts = []
+    assert RB % R_BLK == 0
+    for blk in range(RB // R_BLK):
+        r0 = blk * R_BLK
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        k_idx = ((r0 + rows) * LANES + cols).astype(jnp.float32) + k_base
+        exploit = k_idx < sc["n_exploit"]
+
+        def body(t, carry, exploit=exploit, r0=r0):
+            x, y, yaw, S = carry
+            e0 = eps0[t, r0 : r0 + R_BLK]
+            e1 = eps1[t, r0 : r0 + R_BLK]
+            v0 = jnp.where(exploit, u_ref[t, 0] + e0, e0)
+            v1 = jnp.where(exploit, u_ref[t, 1] + e1, e1)
+            v0 = jnp.clip(v0, sc["umin0"], sc["umax0"])
+            v1 = jnp.clip(v1, sc["umin1"], sc["umax1"])
+            x = x + v0 * jnp.cos(yaw) * sc["dt"]
+            y = y + v0 * jnp.sin(yaw) * sc["dt"]
+            yaw = yaw + v1 * sc["dt"]
+            rx, ry, ryaw = window_refs(x, y)
+            c = (
+                sw0 * (x - rx) * (x - rx)
+                + sw1 * (y - ry) * (y - ry)
+                + sw2 * (yaw - ryaw) * (yaw - ryaw)
+            )
+            c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
+            if n_obs > 0:
+                c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * sc["dt"])
+            S = c if last_only else S + c
+            return x, y, yaw, S
+
+        x0c, y0c, yaw0c = sc["x0"]
+        x = jnp.full(shape, x0c, dtype=jnp.float32)
+        y = jnp.full(shape, y0c, dtype=jnp.float32)
+        yaw = jnp.full(shape, yaw0c, dtype=jnp.float32)
+        S = jnp.zeros(shape, dtype=jnp.float32)
+        x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
+        rx, ry, ryaw = window_refs(x, y)
+        S = S + (
+            tw0 * (x - rx) * (x - rx)
+            + tw1 * (y - ry) * (y - ry)
+            + tw2 * (yaw - ryaw) * (yaw - ryaw)
+        )
+        if n_obs > 0:
+            S = S + obstacle_penalty(x, y)
+        S_parts.append(S)
+    return S_parts
+
+
+def _blocked_kernel(
+    seed_ref, scal_ref, u_ref, a_ref, win_ref, obs_ref,
+    S_ref, stat_ref, weps_ref,
+    eps0, eps1, acc_ref, neg_rho_ref, eta_ref,
+    *, T, W, RB, R_BLK, NB, n_obs, last_only, gaussian, obs_mode, moving_obs,
+    s_only, block_id_offset,
+):
+    b = pl.program_id(0)
+    sc = _read_scalars(scal_ref)
+    win = [(win_ref[w, 0], win_ref[w, 1], win_ref[w, 2]) for w in range(W)]
+    obs = [
+        (obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2], obs_ref[o, 3], obs_ref[o, 4])
+        for o in range(n_obs)
+    ]
+
+    _gen_eps_block(
+        seed_ref[0], b + block_id_offset, T, RB, sc["chol"], gaussian, eps0, eps1
+    )
+    k_base = sc["k_offset"] + b.astype(jnp.float32) * jnp.float32(RB * LANES)
+    S_parts = _rollout_block(
+        sc, u_ref, a_ref, win, obs, eps0, eps1, k_base,
+        T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
+        obs_mode=obs_mode, moving_obs=moving_obs,
+    )
+    for i, S in enumerate(S_parts):
+        S_ref[i * R_BLK : (i + 1) * R_BLK, :] = S
+
+    if s_only:
+        return
+
+    # --- online softmax update (running ρ with rescale) -------------------
+    @pl.when(b == 0)
+    def _init():
+        # track −ρ as a *max* so the empty-state sentinel is a large negative
+        # finite float (inf − inf ⇒ NaN under the rescale otherwise)
+        neg_rho_ref[0] = jnp.float32(_NEG_BIG)
+        eta_ref[0] = jnp.float32(0.0)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    S_all = S_ref[:, :]  # this block's (RB, 128) costs, just written
+    inv_temp = sc["inv_temp"]
+    neg_rho_old = neg_rho_ref[0]
+    neg_rho_new = jnp.maximum(neg_rho_old, -jnp.min(S_all))
+    # old accumulators were relative to ρ_old; re-reference them to ρ_new:
+    # exp(-λ(S−ρ_new)) = exp(-λ(S−ρ_old))·exp(λ(ρ_new−ρ_old)), and with
+    # n = −ρ the factor is exp(λ(n_old − n_new)) ≤ 1.
+    scale = jnp.exp(inv_temp * (neg_rho_old - neg_rho_new))
+    m = jnp.exp(-inv_temp * (S_all + neg_rho_new))  # = exp(-λ(S − ρ_new))
+    eta_new = eta_ref[0] * scale + jnp.sum(m)
+    mb = m[None, :, :]
+    w0 = jnp.sum(jnp.sum(eps0[:, :, :] * mb, axis=2), axis=1)  # (T,)
+    w1 = jnp.sum(jnp.sum(eps1[:, :, :] * mb, axis=2), axis=1)
+    acc_ref[0, :] = acc_ref[0, :] * scale + w0
+    acc_ref[1, :] = acc_ref[1, :] * scale + w1
+    neg_rho_ref[0] = neg_rho_new
+    eta_ref[0] = eta_new
+
+    @pl.when(b == NB - 1)
+    def _finalize():
+        stat_ref[0] = -neg_rho_ref[0]  # ρ
+        stat_ref[1] = eta_ref[0]  # η
+        weps_ref[:, :] = acc_ref[:, :] / eta_ref[0]
+
+
+def _pack_scalars(
+    u_min, u_max, n_exploit, stage_w, term_w, x0, robot_radius, obstacles,
+    k_offset, inv_temperature, chol_sigma, soft_safety_distance, soft_weight, dt,
+):
+    return jnp.concatenate(
+        [
+            jnp.asarray([dt], jnp.float32),
+            jnp.asarray([u_min[0], u_max[0], u_min[1], u_max[1]], jnp.float32),
+            jnp.asarray([n_exploit], jnp.float32),
+            stage_w.astype(jnp.float32),
+            term_w.astype(jnp.float32),
+            x0.astype(jnp.float32),
+            jnp.asarray(
+                [robot_radius if obstacles is not None else -1.0], jnp.float32
+            ),
+            jnp.reshape(jnp.asarray(k_offset, jnp.float32), (1,)),
+            jnp.reshape(jnp.asarray(inv_temperature, jnp.float32), (1,)),
+            jnp.reshape(chol_sigma.astype(jnp.float32), (4,))[jnp.asarray([0, 2, 3])],
+            jnp.asarray([soft_safety_distance, soft_weight], jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "T", "W", "K_BLK", "last_only", "s_only", "interpret", "gaussian",
+        "collision", "block_id_offset_static",
+    ),
+)
+def diffdrive_mppi_tick_blocked(
+    seed: jnp.ndarray,
+    u: jnp.ndarray,
+    a: jnp.ndarray,
+    chol_sigma: jnp.ndarray,
+    x0: jnp.ndarray,
+    window: jnp.ndarray,
+    stage_w: jnp.ndarray,
+    term_w: jnp.ndarray,
+    u_min: jnp.ndarray,
+    u_max: jnp.ndarray,
+    dt: float,
+    n_exploit: float,
+    inv_temperature,
+    obstacles: Optional[jnp.ndarray] = None,
+    robot_radius: float = 0.5,
+    obstacle_velocities: Optional[jnp.ndarray] = None,
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    k_offset: float = 0.0,
+    *,
+    K: int,
+    T: int,
+    W: int,
+    K_BLK: int = 10240,
+    last_only: bool = False,
+    s_only: bool = False,
+    interpret: bool = False,
+    gaussian: str = "popcount",
+    collision: str = "circle",
+    block_id_offset_static: int = 0,
+):
+    """Fused MPPI tick for K beyond the single-block VMEM budget.
+
+    Returns ``(S (K,), rho (), eta (), w_eps (T, 2))`` — or just ``S`` when
+    ``s_only`` (phase 1 of the sharded tick). ε is regenerated per (seed,
+    block) on-chip; ``block_id_offset_static`` offsets the per-block PRNG
+    stream ids so different shards draw disjoint streams.
+
+    PRNG-mode only (no injected-ε path — parity with the single-block kernel
+    is established by emitting its ε at equal seeds is impossible across
+    different stream layouts; instead the *blocked vs single-block* parity is
+    tested by comparing against the scan engine fed this kernel's own
+    regenerated noise via ``weighted_noise_reduce``'s emit mode, and by
+    distributional closed-loop checks; see tests/test_mppi_tick_blocked.py).
+    """
+    assert gaussian in ("popcount", "box_muller"), gaussian
+    assert collision in ("circle", "soft"), collision
+    assert K % K_BLK == 0, f"K={K} must be a multiple of K_BLK={K_BLK}"
+    assert K_BLK % LANES == 0
+    RB = K_BLK // LANES
+    NB = K // K_BLK
+    R_BLK = pick_r_blk(RB)
+
+    scal = _pack_scalars(
+        u_min, u_max, n_exploit, stage_w, term_w, x0, robot_radius, obstacles,
+        k_offset, inv_temperature, chol_sigma, soft_safety_distance,
+        soft_weight, dt,
+    )
+    obs, n_obs = pack_obstacles(obstacles, obstacle_velocities)
+
+    kernel = functools.partial(
+        _blocked_kernel,
+        T=T, W=W, RB=RB, R_BLK=R_BLK, NB=NB, n_obs=n_obs,
+        last_only=last_only, gaussian=gaussian, obs_mode=collision,
+        moving_obs=obstacle_velocities is not None, s_only=s_only,
+        block_id_offset=block_id_offset_static,
+    )
+
+    grid = (NB,)
+    out_shape = [
+        jax.ShapeDtypeStruct((K // LANES, LANES), jnp.float32),  # S
+        jax.ShapeDtypeStruct((2,), jnp.float32),  # (rho, eta)
+        jax.ShapeDtypeStruct((2, T), jnp.float32),  # w_eps rows
+    ]
+    out_specs = [
+        pl.BlockSpec((RB, LANES), lambda b: (b, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((T, RB, LANES), jnp.float32),  # eps0
+        pltpu.VMEM((T, RB, LANES), jnp.float32),  # eps1
+        pltpu.VMEM((2, T), jnp.float32),  # weps accumulator
+        pltpu.SMEM((1,), jnp.float32),  # −ρ running
+        pltpu.SMEM((1,), jnp.float32),  # η running
+    ]
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        jnp.reshape(seed.astype(jnp.int32), (1,)),
+        scal,
+        u.astype(jnp.float32),
+        a.astype(jnp.float32),
+        window.astype(jnp.float32),
+        obs,
+    )
+    S = result[0].reshape(K)
+    if s_only:
+        return S
+    rho, eta = result[1][0], result[1][1]
+    return S, rho, eta, result[2].T  # w_eps (T, 2)
+
+
+def _weighted_reduce_kernel(
+    seed_ref, scal_ref, w_ref, weps_ref, eps0, eps1, acc_ref,
+    *, T, RB, NB, gaussian, block_id_offset, eps_outs=None,
+):
+    b = pl.program_id(0)
+    chol = (scal_ref[0], scal_ref[1], scal_ref[2])
+    _gen_eps_block(seed_ref[0], b + block_id_offset, T, RB, chol, gaussian, eps0, eps1)
+
+    @pl.when(b == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    wb = w_ref[:, :][None, :, :]  # this block's (RB, 128) weights
+    acc_ref[0, :] = acc_ref[0, :] + jnp.sum(jnp.sum(eps0[:, :, :] * wb, axis=2), axis=1)
+    acc_ref[1, :] = acc_ref[1, :] + jnp.sum(jnp.sum(eps1[:, :, :] * wb, axis=2), axis=1)
+    if eps_outs is not None:
+        eps_outs[0][0, :, :, :] = eps0[:, :, :]
+        eps_outs[1][0, :, :, :] = eps1[:, :, :]
+
+    @pl.when(b == NB - 1)
+    def _finalize():
+        weps_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "T", "K_BLK", "interpret", "gaussian", "block_id_offset_static",
+        "emit_eps",
+    ),
+)
+def weighted_noise_reduce(
+    seed: jnp.ndarray,
+    w: jnp.ndarray,  # (K,) weights (already normalized, or m/η partials)
+    chol_sigma: jnp.ndarray,
+    *,
+    K: int,
+    T: int,
+    K_BLK: int = 10240,
+    interpret: bool = False,
+    gaussian: str = "popcount",
+    block_id_offset_static: int = 0,
+    emit_eps: bool = False,
+):
+    """Σₖ wₖ·εₖ with ε regenerated on-chip — phase 2 of the sharded tick.
+
+    Regenerates the exact per-(seed, block) streams of
+    :func:`diffdrive_mppi_tick_blocked` (same ``block_id_offset_static``) and
+    reduces against the supplied weights; returns ``w_eps (T, nu=2)``.
+    ``emit_eps`` additionally returns ε as (K, T, 2) — used only by the
+    parity tests to cross-check the regenerated streams against the scan
+    engine (never on the hot path: it materializes the tensor this kernel
+    exists to avoid).
+    """
+    assert K % K_BLK == 0 and K_BLK % LANES == 0
+    RB = K_BLK // LANES
+    NB = K // K_BLK
+    chol3 = jnp.reshape(chol_sigma.astype(jnp.float32), (4,))[jnp.asarray([0, 2, 3])]
+
+    out_shape = [jax.ShapeDtypeStruct((2, T), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if emit_eps:
+        out_shape += [
+            jax.ShapeDtypeStruct((NB, T, RB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((NB, T, RB, LANES), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, T, RB, LANES), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, T, RB, LANES), lambda b: (b, 0, 0, 0)),
+        ]
+
+    def kernel(seed_ref, scal_ref, w_ref, *rest):
+        if emit_eps:
+            weps_ref, e0o, e1o = rest[0], rest[1], rest[2]
+            eps0, eps1, acc_ref = rest[3], rest[4], rest[5]
+            eps_outs = (e0o, e1o)  # (1, T, RB, L) blocks, one per grid step
+        else:
+            weps_ref, eps0, eps1, acc_ref = rest[0], rest[1], rest[2], rest[3]
+            eps_outs = None
+        _weighted_reduce_kernel(
+            seed_ref, scal_ref, w_ref, weps_ref, eps0, eps1, acc_ref,
+            T=T, RB=RB, NB=NB, gaussian=gaussian,
+            block_id_offset=block_id_offset_static,
+            eps_outs=eps_outs,
+        )
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, LANES), lambda b: (b, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((T, RB, LANES), jnp.float32),
+            pltpu.VMEM((T, RB, LANES), jnp.float32),
+            pltpu.VMEM((2, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.reshape(seed.astype(jnp.int32), (1,)),
+        chol3,
+        w.astype(jnp.float32).reshape(K // LANES, LANES),
+    )
+    w_eps = result[0].T
+    if emit_eps:
+        # (NB, T, RB, L) → (K, T, 2) with k = (b·RB + r)·128 + lane
+        e0 = jnp.transpose(result[1], (0, 2, 3, 1)).reshape(K, T)
+        e1 = jnp.transpose(result[2], (0, 2, 3, 1)).reshape(K, T)
+        return w_eps, jnp.stack([e0, e1], axis=-1)
+    return w_eps
+
+
+__all__ = ["diffdrive_mppi_tick_blocked", "weighted_noise_reduce"]
