@@ -181,7 +181,7 @@ def _blocked_kernel(
     S_ref, stat_ref, weps_ref,
     eps0, eps1, acc_ref, neg_rho_ref, eta_ref,
     *, T, W, RB, R_BLK, NB, n_obs, last_only, gaussian, obs_mode, moving_obs,
-    s_only, block_id_offset,
+    s_only,
 ):
     b = pl.program_id(0)
     sc = _read_scalars(scal_ref)
@@ -191,8 +191,11 @@ def _blocked_kernel(
         for o in range(n_obs)
     ]
 
+    # seed_ref = (seed, block_offset): the offset shifts this program's PRNG
+    # stream ids so different shards draw disjoint blocks (traced, not
+    # static — shard_map runs ONE program with a dynamic axis_index)
     _gen_eps_block(
-        seed_ref[0], b + block_id_offset, T, RB, sc["chol"], gaussian, eps0, eps1
+        seed_ref[0], b + seed_ref[1], T, RB, sc["chol"], gaussian, eps0, eps1
     )
     k_base = sc["k_offset"] + b.astype(jnp.float32) * jnp.float32(RB * LANES)
     S_parts = _rollout_block(
@@ -268,7 +271,7 @@ def _pack_scalars(
     jax.jit,
     static_argnames=(
         "K", "T", "W", "K_BLK", "last_only", "s_only", "interpret", "gaussian",
-        "collision", "block_id_offset_static",
+        "collision",
     ),
 )
 def diffdrive_mppi_tick_blocked(
@@ -291,6 +294,7 @@ def diffdrive_mppi_tick_blocked(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     k_offset: float = 0.0,
+    block_offset=0,
     *,
     K: int,
     T: int,
@@ -301,14 +305,14 @@ def diffdrive_mppi_tick_blocked(
     interpret: bool = False,
     gaussian: str = "popcount",
     collision: str = "circle",
-    block_id_offset_static: int = 0,
 ):
     """Fused MPPI tick for K beyond the single-block VMEM budget.
 
     Returns ``(S (K,), rho (), eta (), w_eps (T, 2))`` — or just ``S`` when
     ``s_only`` (phase 1 of the sharded tick). ε is regenerated per (seed,
-    block) on-chip; ``block_id_offset_static`` offsets the per-block PRNG
-    stream ids so different shards draw disjoint streams.
+    block) on-chip; the traced ``block_offset`` operand offsets the per-block
+    PRNG stream ids so different shards draw disjoint streams inside one
+    shard_map program.
 
     PRNG-mode only (no injected-ε path — parity with the single-block kernel
     is established by emitting its ε at equal seeds is impossible across
@@ -337,7 +341,6 @@ def diffdrive_mppi_tick_blocked(
         T=T, W=W, RB=RB, R_BLK=R_BLK, NB=NB, n_obs=n_obs,
         last_only=last_only, gaussian=gaussian, obs_mode=collision,
         moving_obs=obstacle_velocities is not None, s_only=s_only,
-        block_id_offset=block_id_offset_static,
     )
 
     grid = (NB,)
@@ -375,7 +378,12 @@ def diffdrive_mppi_tick_blocked(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
-        jnp.reshape(seed.astype(jnp.int32), (1,)),
+        jnp.stack(
+            [
+                jnp.reshape(seed, ()).astype(jnp.int32),
+                jnp.reshape(jnp.asarray(block_offset), ()).astype(jnp.int32),
+            ]
+        ),
         scal,
         u.astype(jnp.float32),
         a.astype(jnp.float32),
@@ -391,11 +399,11 @@ def diffdrive_mppi_tick_blocked(
 
 def _weighted_reduce_kernel(
     seed_ref, scal_ref, w_ref, weps_ref, eps0, eps1, acc_ref,
-    *, T, RB, NB, gaussian, block_id_offset, eps_outs=None,
+    *, T, RB, NB, gaussian, eps_outs=None,
 ):
     b = pl.program_id(0)
     chol = (scal_ref[0], scal_ref[1], scal_ref[2])
-    _gen_eps_block(seed_ref[0], b + block_id_offset, T, RB, chol, gaussian, eps0, eps1)
+    _gen_eps_block(seed_ref[0], b + seed_ref[1], T, RB, chol, gaussian, eps0, eps1)
 
     @pl.when(b == 0)
     def _init():
@@ -416,27 +424,26 @@ def _weighted_reduce_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "T", "K_BLK", "interpret", "gaussian", "block_id_offset_static",
-        "emit_eps",
+        "K", "T", "K_BLK", "interpret", "gaussian", "emit_eps",
     ),
 )
 def weighted_noise_reduce(
     seed: jnp.ndarray,
     w: jnp.ndarray,  # (K,) weights (already normalized, or m/η partials)
     chol_sigma: jnp.ndarray,
+    block_offset=0,
     *,
     K: int,
     T: int,
     K_BLK: int = 10240,
     interpret: bool = False,
     gaussian: str = "popcount",
-    block_id_offset_static: int = 0,
     emit_eps: bool = False,
 ):
     """Σₖ wₖ·εₖ with ε regenerated on-chip — phase 2 of the sharded tick.
 
     Regenerates the exact per-(seed, block) streams of
-    :func:`diffdrive_mppi_tick_blocked` (same ``block_id_offset_static``) and
+    :func:`diffdrive_mppi_tick_blocked` (same ``block_offset``) and
     reduces against the supplied weights; returns ``w_eps (T, nu=2)``.
     ``emit_eps`` additionally returns ε as (K, T, 2) — used only by the
     parity tests to cross-check the regenerated streams against the scan
@@ -471,7 +478,6 @@ def weighted_noise_reduce(
         _weighted_reduce_kernel(
             seed_ref, scal_ref, w_ref, weps_ref, eps0, eps1, acc_ref,
             T=T, RB=RB, NB=NB, gaussian=gaussian,
-            block_id_offset=block_id_offset_static,
             eps_outs=eps_outs,
         )
 
@@ -492,7 +498,12 @@ def weighted_noise_reduce(
         ],
         interpret=interpret,
     )(
-        jnp.reshape(seed.astype(jnp.int32), (1,)),
+        jnp.stack(
+            [
+                jnp.reshape(seed, ()).astype(jnp.int32),
+                jnp.reshape(jnp.asarray(block_offset), ()).astype(jnp.int32),
+            ]
+        ),
         chol3,
         w.astype(jnp.float32).reshape(K // LANES, LANES),
     )

@@ -134,6 +134,163 @@ def make_batched_mppi_step(
     return step
 
 
+def make_sharded_fused_mppi_step(
+    cfg: MPPIConfig,
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "k",
+    robot_radius: float = 0.5,
+    collision: str = "circle",
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    phase1: Optional[Callable] = None,
+    phase2: Optional[Callable] = None,
+) -> Callable:
+    """Sample-sharded MPPI tick with per-shard ON-CHIP noise (two-phase).
+
+    The round-1/2 sharded path materialized ε as a (K, T, nu) HBM tensor per
+    tick (solvers/mppi.py ``sample_noise`` + split rollout kernel) — measured
+    ~8–10× the per-sample cost of the fused single-chip tick (docs/PERF.md).
+    This path never creates that tensor (round-2 verdict #3, SURVEY §2.10(a)):
+
+      phase 1  each shard runs the K-blocked fused kernel in ``s_only`` mode —
+               ε regenerated on-chip per (seed, global block id) — yielding its
+               local cost surface S;
+      between  the ONLY cross-chip traffic: ρ = pmin(min S), η = psum(Σ exp),
+               and the psum of the (T, nu) weighted-noise partials — a few
+               hundred bytes on ICI;
+      phase 2  each shard regenerates the SAME ε streams
+               (ops/pallas/mppi_tick_blocked.weighted_noise_reduce) and
+               reduces Σ w·ε in-kernel.
+
+    Shards share one seed (derived from the replicated carried key); stream
+    disjointness comes from the traced global block offset
+    ``axis_index · blocks_per_shard``. Diff-drive tracking semantics (the
+    kernels embed the cost); TPU-only — the Mosaic PRNG has no CPU lowering,
+    so the virtual-mesh structural test injects pure-JAX ``phase1``/``phase2``
+    stand-ins with the same contract (tests/test_sharded_fused.py).
+
+    ``phase1(seed, block_offset, u, a, chol, x0, window, params, k_offset)``
+    → local ``S (K/n,)``; ``phase2(seed, block_offset, w_local, chol)`` →
+    local unreduced ``w_eps (T, nu)`` partial.
+    """
+    import dataclasses as _dc
+
+    from ..ops.sampling import sigma_inverse, small_cholesky
+    from ..ops.waypoints import nearest_waypoint
+    from ..solvers.mppi import (
+        CostContext,
+        MPPIAux,
+        _mppi_tail,
+        _pick_k_block,
+        unify_float_dtype,
+    )
+
+    n = mesh.shape[axis]
+    K, T = cfg.num_samples, cfg.horizon
+    if K % n != 0:
+        raise ValueError(f"num_samples={K} must be divisible by mesh axis {axis}={n}")
+    local_K = K // n
+
+    if phase1 is None or phase2 is None:
+        from ..ops.pallas.mppi_tick_blocked import (
+            diffdrive_mppi_tick_blocked,
+            weighted_noise_reduce,
+        )
+
+        k_blk = _pick_k_block(local_K, T)
+        blocks_per_shard = local_K // k_blk
+
+        def phase1(seed, block_offset, u, a, chol, x0, window, params, k_offset):
+            return diffdrive_mppi_tick_blocked(
+                seed, u, a, chol, x0, window,
+                params.stage_weight, params.terminal_weight,
+                params.u_min, params.u_max, cfg.dt,
+                (1.0 - cfg.exploration) * K, cfg.inv_temperature,
+                obstacles=params.obstacles,
+                robot_radius=robot_radius,
+                obstacle_velocities=params.obstacle_velocities,
+                soft_safety_distance=soft_safety_distance,
+                soft_weight=soft_weight,
+                k_offset=k_offset,
+                block_offset=block_offset,
+                K=local_K, T=T, W=window.shape[0], K_BLK=k_blk,
+                last_only=False, s_only=True, collision=collision,
+            )
+
+        def phase2(seed, block_offset, w_local, chol):
+            return weighted_noise_reduce(
+                seed, w_local, chol, block_offset,
+                K=local_K, T=T, K_BLK=k_blk,
+            )
+    else:
+        blocks_per_shard = 1  # injected stand-ins define their own layout
+
+    def inner(params: MPPIParams, state: MPPIState, x0: jnp.ndarray):
+        u = state.u_prev
+        x0f = x0.astype(u.dtype)
+        params_f = unify_float_dtype(params, u.dtype)
+        wp_idx, _ = nearest_waypoint(
+            params_f.ref_path, x0f[:2], state.waypoint_idx, cfg.waypoint_search_len
+        )
+        P = params_f.ref_path.shape[0]
+        Wlen = min(cfg.waypoint_search_len, P)
+        start = jnp.clip(wp_idx, 0, max(P - Wlen, 0))
+        window = jax.lax.dynamic_slice_in_dim(params_f.ref_path, start, Wlen, axis=0)
+
+        # replicated cheap seed advance (same Weyl rule as the single-device
+        # tick path in solvers/mppi.py — shards share the seed, streams
+        # diverge via the block offset)
+        typed = jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+        kd = jax.random.key_data(state.key) if typed else state.key
+        seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
+        kd_next = kd + jnp.asarray([0x9E3779B9, 0x85EBCA6B], jnp.uint32)
+        key = (
+            jax.random.wrap_key_data(kd_next, impl="threefry2x32")
+            if typed
+            else kd_next
+        )
+
+        i = jax.lax.axis_index(axis)
+        block_offset = (i * blocks_per_shard).astype(jnp.int32)
+        k_offset = (i * local_K).astype(jnp.float32)
+        a = cfg.gamma * (u @ sigma_inverse(params_f.sigma))
+        chol = small_cholesky(params_f.sigma)
+
+        S_local = phase1(
+            seed, block_offset, u, a, chol, x0f, window[:, :3], params_f, k_offset
+        )
+        inv_t = jnp.asarray(cfg.inv_temperature, u.dtype)
+        rho = jax.lax.pmin(jnp.min(S_local), axis)
+        m = jnp.exp(-inv_t * (S_local - rho))
+        eta = jax.lax.psum(jnp.sum(m), axis)
+        w_local = m / eta
+        w_eps = jax.lax.psum(phase2(seed, block_offset, w_local, chol), axis)
+
+        ctx = CostContext(params=params_f, waypoint_start=wp_idx)
+        return _mppi_tail(
+            cfg, dynamics_step, params_f, state, ctx, x0f, u, key, wp_idx,
+            S_local, w_local, w_eps,
+        )
+
+    aux_specs = MPPIAux(
+        costs=P(axis),
+        weights=P(axis),
+        optimal_traj=P(),
+        waypoint_idx=P(),
+        status=P(),
+    )
+    # check_vma=False for the same reason as make_sharded_mppi_step above.
+    sharded = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), aux_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable:
     """Fleet of independent NMPC problems sharded over a mesh axis.
 
@@ -182,6 +339,7 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
 __all__ = [
     "make_mesh",
     "make_sharded_mppi_step",
+    "make_sharded_fused_mppi_step",
     "make_batched_mppi_step",
     "make_sharded_nmpc_fleet",
 ]
