@@ -162,3 +162,18 @@ def test_realtime_loop_with_fake_plant():
     assert tel.shape[0] == 50
     assert np.all(np.diff(tel["tick"]) == 1)
     assert state["x"][0] > 0.4  # controls applied
+
+
+def test_pacer_jitter_p99_within_50hz_period():
+    """Host-side half of the realtime 50 Hz claim (verdict #8): deadline
+    lateness p99 must stay within the period on this host. Loose bound — the
+    shared CI host shows ~80 µs p50 with multi-ms tail spikes
+    (examples/pacer_characterization.py records the full percentiles in
+    docs/PERF.md)."""
+    pacer = RatePacer(hz=50.0)
+    n = 100
+    late = np.array([pacer.wait() for _ in range(n)], dtype=np.int64)
+    pacer.close()
+    p99 = np.percentile(late, 99)
+    assert p99 < 20e6, f"p99 lateness {p99/1e6:.2f} ms exceeds the 20 ms period"
+    assert np.median(late) < 2e6, f"median lateness {np.median(late)/1e6:.2f} ms"
