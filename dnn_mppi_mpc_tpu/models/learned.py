@@ -201,6 +201,25 @@ def make_residual_fn(
     return f
 
 
+def residual_from_train_state(model: nn.Module, tstate) -> Callable:
+    """Bind a trained model + its scalers into a feature→residual function.
+
+    One call covers both model families: conv ResNets (``model.variant`` set)
+    get the L=1 length axis inserted automatically — the detail the reference
+    handles by tiling the state into fake images (train/train_diff_resnet18.py
+    :30-35). ``tstate`` is a :class:`~..train.training.TrainState` (its
+    ``params`` already carry BatchNorm running stats for ResNets; inference
+    uses them frozen, which is what jacfwd linearizes through in NMPC).
+    """
+    return make_residual_fn(
+        model,
+        tstate.params,
+        tstate.in_scaler,
+        tstate.out_scaler,
+        needs_length_axis=getattr(model, "variant", None) is not None,
+    )
+
+
 __all__ = [
     "MLP",
     "BasicBlock1D",
@@ -208,4 +227,5 @@ __all__ = [
     "ResNet1D",
     "Standardizer",
     "make_residual_fn",
+    "residual_from_train_state",
 ]

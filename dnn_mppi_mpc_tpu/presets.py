@@ -359,6 +359,77 @@ def four_wheel_nmpc(
     return solver, params
 
 
+def dnn_mppi(
+    ref_path: jnp.ndarray,
+    learned_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    num_samples: int = 1024,
+    horizon: int = 25,
+    dt: float = 0.05,
+    residual_level: str = "step",
+    **overrides,
+) -> Tuple[MPPISolver, MPPIParams]:
+    """DNN-MPPI: sampling MPPI over unicycle + learned residual — BASELINE
+    config 5's MPPI half. ``learned_fn`` maps concat(x, u) features to a
+    residual (models.learned.residual_from_train_state binds MLP *or*
+    conv-ResNet18/50 train states — the reference's resnet regressors,
+    dnn/resnet18.py:68-69, dnn/resnet50.py:104-105, as controller dynamics).
+
+    ``residual_level``:
+      * 'step' — residual corrects the DISCRETE transition,
+        x⁺ = euler(x,u) + NN(x,u): the quantity the data-collection pipeline
+        actually regresses (errors = plant_step − nominal_step,
+        envs/closed_loop.collect_residual_dataset; reference producer
+        train/bullet_mpc_differential_drive.py:96).
+      * 'rate' — residual corrects ẋ like the reference's NMPC models
+        (f_expl = unicycle + residual,
+        simulation/bullet_differential_drive_dnn.py:88-92), then Euler.
+
+    The K-batched net evaluation is (K, feat) matmuls/convs XLA keeps on the
+    MXU — no custom kernel needed (docs/PERF.md DNN-MPPI rows).
+    """
+    def _learned(feats):
+        # pin the residual to the rollout dtype: under x64 test mode a net
+        # (or stand-in) returning float64 would promote the scan carry
+        return learned_fn(feats).astype(feats.dtype)
+
+    if residual_level == "rate":
+        dyn = residual_dynamics(unicycle, _learned)
+        step = lambda x, u: euler_step(dyn, x, u, dt)
+    elif residual_level == "step":
+        def step(x, u):
+            feats = jnp.concatenate([x, u], axis=-1)
+            return euler_step(unicycle, x, u, dt) + _learned(feats)
+    else:
+        raise ValueError(f"residual_level must be 'step' or 'rate': {residual_level!r}")
+
+    kw = dict(
+        num_samples=num_samples,
+        horizon=horizon,
+        dim_x=3,
+        dim_u=2,
+        dt=dt,
+        lam=1.0,
+        alpha=0.2,
+        exploration=0.0001,
+        temperature=Temperature.EXPLORATION,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE,
+        filter_window=min(10, horizon),
+        waypoint_search_len=20,
+    )
+    kw.update(overrides)
+    cfg = MPPIConfig(**kw)
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.0], [0.0, 0.1]]),
+        stage_weight=jnp.array([8.0, 8.0, 2.0]),
+        terminal_weight=jnp.array([8.0, 8.0, 2.0]),
+        u_min=jnp.array([-3.0, -3.14]),
+        u_max=jnp.array([3.0, 3.14]),
+        ref_path=jnp.asarray(ref_path),
+    )
+    stage, terminal = make_tracking_costs(cfg)
+    return MPPISolver(cfg, step, stage, terminal), params
+
+
 def dnn_nmpc(
     goal: jnp.ndarray,
     learned_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -404,5 +475,6 @@ __all__ = [
     "diff_drive_nmpc",
     "racecar_nmpc",
     "four_wheel_nmpc",
+    "dnn_mppi",
     "dnn_nmpc",
 ]
