@@ -78,14 +78,18 @@ def _gen_eps_block(seed, block_id, T, RB, chol, gaussian, eps0, eps1):
 
 
 def _rollout_block(
-    sc, u_ref, a_ref, win, obs, eps0, eps1, k_base,
+    sc, u_at, a_at, win, obs, eps0, eps1, k_base,
     *, T, RB, R_BLK, n_obs, last_only, obs_mode, moving_obs,
 ):
     """Roll out one (RB, 128) sample block, returning its cost surface S.
 
     Same loop as mppi_tick.py's kernel body (provenance there); factored here
-    for the grid-blocked and fleet kernels. ``k_base`` is the global index of
-    the block's first sample (exploration split over global K)."""
+    for the grid-blocked and fleet kernels. ``u_at(t, j)``/``a_at(t, j)`` are
+    scalar accessors for the nominal controls / energy rows (the fleet kernel
+    reads them through a leading member index — Mosaic cannot slice the
+    member dim off a (1, T, 2) block as a sub-ref view). ``k_base`` is the
+    global index of the block's first sample (exploration split over global
+    K)."""
     shape = (R_BLK, LANES)
     soft_dist, soft_w = sc["soft"]
 
@@ -139,8 +143,8 @@ def _rollout_block(
             x, y, yaw, S = carry
             e0 = eps0[t, r0 : r0 + R_BLK]
             e1 = eps1[t, r0 : r0 + R_BLK]
-            v0 = jnp.where(exploit, u_ref[t, 0] + e0, e0)
-            v1 = jnp.where(exploit, u_ref[t, 1] + e1, e1)
+            v0 = jnp.where(exploit, u_at(t, 0) + e0, e0)
+            v1 = jnp.where(exploit, u_at(t, 1) + e1, e1)
             v0 = jnp.clip(v0, sc["umin0"], sc["umax0"])
             v1 = jnp.clip(v1, sc["umin1"], sc["umax1"])
             x = x + v0 * jnp.cos(yaw) * sc["dt"]
@@ -152,7 +156,7 @@ def _rollout_block(
                 + sw1 * (y - ry) * (y - ry)
                 + sw2 * (yaw - ryaw) * (yaw - ryaw)
             )
-            c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
+            c = c + a_at(t, 0) * v0 + a_at(t, 1) * v1
             if n_obs > 0:
                 c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * sc["dt"])
             S = c if last_only else S + c
@@ -199,7 +203,8 @@ def _blocked_kernel(
     )
     k_base = sc["k_offset"] + b.astype(jnp.float32) * jnp.float32(RB * LANES)
     S_parts = _rollout_block(
-        sc, u_ref, a_ref, win, obs, eps0, eps1, k_base,
+        sc, lambda t, j: u_ref[t, j], lambda t, j: a_ref[t, j],
+        win, obs, eps0, eps1, k_base,
         T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
         obs_mode=obs_mode, moving_obs=moving_obs,
     )
@@ -516,4 +521,177 @@ def weighted_noise_reduce(
     return w_eps
 
 
-__all__ = ["diffdrive_mppi_tick_blocked", "weighted_noise_reduce"]
+def _fleet_kernel(
+    seed_ref, scal_ref, x0_ref, u_ref, a_ref, win_ref, obs_ref,
+    S_ref, w_ref, weps_ref,
+    eps0, eps1,
+    *, T, W, RB, R_BLK, n_obs, last_only, gaussian, obs_mode, moving_obs,
+):
+    """One fleet member per grid step: complete tick (gen ε → rollout →
+    softmax → weighted reduce) on member b's own u/x0/window/obstacles.
+
+    seeds/x0 live whole in SMEM (dynamic scalar reads by member id); the
+    vector operands (u, a, window, obstacles) are grid-blocked VMEM."""
+    b = pl.program_id(0)
+    sc = _read_scalars(scal_ref)
+    sc["x0"] = (x0_ref[b, 0], x0_ref[b, 1], x0_ref[b, 2])  # per-member x0
+    win = [(win_ref[0, w, 0], win_ref[0, w, 1], win_ref[0, w, 2]) for w in range(W)]
+    obs = [
+        (
+            obs_ref[0, o, 0], obs_ref[0, o, 1], obs_ref[0, o, 2],
+            obs_ref[0, o, 3], obs_ref[0, o, 4],
+        )
+        for o in range(n_obs)
+    ]
+    _gen_eps_block(
+        seed_ref[b], jnp.int32(0), T, RB, sc["chol"], gaussian, eps0, eps1
+    )
+    S_parts = _rollout_block(
+        sc, lambda t, j: u_ref[0, t, j], lambda t, j: a_ref[0, t, j],
+        win, obs, eps0, eps1, jnp.float32(0.0),
+        T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
+        obs_mode=obs_mode, moving_obs=moving_obs,
+    )
+    for i, S in enumerate(S_parts):
+        S_ref[0, i * R_BLK : (i + 1) * R_BLK, :] = S
+
+    S_all = S_ref[0, :, :]
+    rho = jnp.min(S_all)
+    m = jnp.exp(-sc["inv_temp"] * (S_all - rho))
+    eta = jnp.sum(m)
+    w = m / eta
+    w_ref[0, :, :] = w
+    wb = w[None, :, :]
+    weps_ref[0, 0, :] = jnp.sum(jnp.sum(eps0[:, :, :] * wb, axis=2), axis=1)
+    weps_ref[0, 1, :] = jnp.sum(jnp.sum(eps1[:, :, :] * wb, axis=2), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B", "K", "T", "W", "last_only", "interpret", "gaussian", "collision",
+    ),
+)
+def fleet_mppi_tick(
+    seeds: jnp.ndarray,  # (B,) int32 per-member PRNG seeds
+    u: jnp.ndarray,  # (B, T, 2) per-member nominal sequences
+    a: jnp.ndarray,  # (B, T, 2) per-member γ·uᵀΣ⁻¹
+    chol_sigma: jnp.ndarray,  # (2, 2) shared Cholesky factor of Σ
+    x0: jnp.ndarray,  # (B, 3) per-member states
+    windows: jnp.ndarray,  # (B, W, 3) per-member waypoint windows
+    stage_w: jnp.ndarray,  # (3,) shared
+    term_w: jnp.ndarray,
+    u_min: jnp.ndarray,
+    u_max: jnp.ndarray,
+    dt: float,
+    n_exploit: float,  # per-member exploration split over K
+    inv_temperature,
+    obstacles: Optional[jnp.ndarray] = None,  # (B, n_obs, 3) per-member
+    robot_radius: float = 0.5,
+    obstacle_velocities: Optional[jnp.ndarray] = None,  # (B, n_obs, 2)
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+    *,
+    B: int,
+    K: int,  # samples PER MEMBER (one VMEM block: K ≤ ~15k at T=50)
+    T: int,
+    W: int,
+    last_only: bool = False,
+    interpret: bool = False,
+    gaussian: str = "popcount",
+    collision: str = "circle",
+):
+    """Lane-batched MPPI fleet tick: B independent controllers, one Pallas
+    launch — the MPPI analog of the lane-batched NMPC QP fleet (round-2
+    verdict #6; reference multi-robot collection,
+    train/bullet_mpc_differential_drive.py:119-157).
+
+    Grid over members; each grid step runs member b's complete tick (on-chip
+    ε from seeds[b], rollout over its own u/x0/window/obstacles, softmax,
+    weighted reduce) with only that member's ε in VMEM. Member b's streams
+    equal ``diffdrive_mppi_tick_blocked(seed=seeds[b], K_BLK=K)`` — the
+    per-member parity oracle (tests/test_fleet_tick.py). Returns
+    ``(S (B, K), w (B, K), w_eps (B, T, 2))``.
+    """
+    assert gaussian in ("popcount", "box_muller"), gaussian
+    assert collision in ("circle", "soft"), collision
+    assert K % LANES == 0
+    RB = K // LANES
+    R_BLK = pick_r_blk(RB)
+
+    scal = _pack_scalars(
+        u_min, u_max, n_exploit, stage_w, term_w,
+        jnp.zeros((3,), jnp.float32),  # x0 slot unused (per-member input)
+        robot_radius, obstacles, 0.0, inv_temperature, chol_sigma,
+        soft_safety_distance, soft_weight, dt,
+    )
+    if obstacles is None:
+        obs = jnp.zeros((B, 1, 5), jnp.float32)
+        n_obs = 0
+    else:
+        ob = obstacles.astype(jnp.float32)
+        if ob.shape[-1] == 2:
+            ob = jnp.concatenate(
+                [ob, jnp.zeros(ob.shape[:-1] + (1,), jnp.float32)], axis=-1
+            )
+        vel = (
+            obstacle_velocities[..., :2].astype(jnp.float32)
+            if obstacle_velocities is not None
+            else jnp.zeros(ob.shape[:-1] + (2,), jnp.float32)
+        )
+        obs = jnp.concatenate([ob[..., :3], vel], axis=-1)
+        n_obs = obstacles.shape[-2]
+
+    kernel = functools.partial(
+        _fleet_kernel,
+        T=T, W=W, RB=RB, R_BLK=R_BLK, n_obs=n_obs,
+        last_only=last_only, gaussian=gaussian, obs_mode=collision,
+        moving_obs=obstacle_velocities is not None,
+    )
+    result = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shared scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (B, 3)
+            pl.BlockSpec((1, T, 2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, 2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, W, 3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, max(n_obs, 1), 5), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RB, LANES), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, RB, LANES), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 2, T), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, RB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, RB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, RB, LANES), jnp.float32),
+            pltpu.VMEM((T, RB, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        seeds.astype(jnp.int32),
+        scal,
+        x0.astype(jnp.float32),
+        u.astype(jnp.float32),
+        a.astype(jnp.float32),
+        windows.astype(jnp.float32),
+        obs,
+    )
+    S = result[0].reshape(B, K)
+    w = result[1].reshape(B, K)
+    w_eps = jnp.swapaxes(result[2], 1, 2)  # (B, T, 2)
+    return S, w, w_eps
+
+
+__all__ = [
+    "diffdrive_mppi_tick_blocked",
+    "weighted_noise_reduce",
+    "fleet_mppi_tick",
+]

@@ -1061,6 +1061,132 @@ def make_pallas_bicycle_rollout(
     return rollout
 
 
+def make_fleet_fused_mppi_step(
+    cfg: MPPIConfig,
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    robot_radius: float = 0.5,
+    collision: str = "circle",
+    soft_safety_distance: float = 2.0,
+    soft_weight: float = 100.0,
+):
+    """Lane-batched MPPI fleet: B independent controllers per Pallas launch.
+
+    The MPPI analog of the lane-batched NMPC QP fleet (584k-solves/s row,
+    docs/PERF.md): ``tick_fn`` kernels are un-vmappable, so a fleet of B
+    controllers previously fell back to the vmapped scan path. This binds
+    ops/pallas/mppi_tick_blocked.fleet_mppi_tick — a grid over members, each
+    grid step running one member's complete tick (on-chip ε, rollout,
+    softmax, weighted reduce) — and vmaps only the tiny XLA tail.
+
+    Returns ``step(params, states, x0s) -> (u0s, states, auxs)``:
+    ``params`` is one shared :class:`MPPIParams` whose ``ref_path`` (and
+    optional ``obstacles``/``obstacle_velocities``) may carry a leading
+    member axis for per-member references; ``states`` is a batched
+    :class:`MPPIState` (leading B); ``x0s`` is (B, dim_x). PRNG-mode only
+    and TPU-only, like the other fused ticks; per-member parity vs the
+    blocked tick is pinned in tests/test_fleet_tick.py. Reference analog:
+    the multi-robot data-collection fleets of
+    train/bullet_mpc_differential_drive.py:119-157.
+    """
+    from ..ops.pallas.mppi_tick_blocked import fleet_mppi_tick
+    from ..ops.sampling import small_cholesky
+
+    if cfg.num_rollout_repeats > 1:
+        raise ValueError(
+            "the fleet fused tick does not implement num_rollout_repeats>1 "
+            "— use the vmapped scan path"
+        )
+    T = cfg.horizon
+
+    @jax.jit
+    def step(params: MPPIParams, states: MPPIState, x0s: jnp.ndarray):
+        B = x0s.shape[0]
+        u = states.u_prev  # (B, T, nu)
+        x0s_f = x0s.astype(u.dtype)
+        params_f = unify_float_dtype(params, u.dtype)
+        per_member_path = params_f.ref_path.ndim == 3
+
+        def advance(ref_path, x0, wp):
+            idx, _ = nearest_waypoint(ref_path, x0[:2], wp, cfg.waypoint_search_len)
+            P = ref_path.shape[0]
+            Wlen = min(cfg.waypoint_search_len, P)
+            start = jnp.clip(idx, 0, max(P - Wlen, 0))
+            win = jax.lax.dynamic_slice_in_dim(ref_path, start, Wlen, axis=0)
+            return idx, win
+
+        if per_member_path:
+            wp_idx, windows = jax.vmap(advance)(
+                params_f.ref_path, x0s_f, states.waypoint_idx
+            )
+        else:
+            wp_idx, windows = jax.vmap(lambda x, w: advance(params_f.ref_path, x, w))(
+                x0s_f, states.waypoint_idx
+            )
+
+        # per-member Weyl seed advance (same rule as the single-device tick)
+        typed = jnp.issubdtype(states.key.dtype, jax.dtypes.prng_key)
+        kd = jax.random.key_data(states.key) if typed else states.key  # (B, 2)
+        seeds = jax.lax.bitcast_convert_type(kd[:, 0] ^ kd[:, 1], jnp.int32)
+        kd_next = kd + jnp.asarray([[0x9E3779B9, 0x85EBCA6B]], jnp.uint32)
+        keys = (
+            jax.random.wrap_key_data(kd_next, impl="threefry2x32")
+            if typed
+            else kd_next
+        )
+
+        a = cfg.gamma * jnp.einsum(
+            "btu,uv->btv", u, sigma_inverse(params_f.sigma)
+        )
+        obstacles = params_f.obstacles
+        obstacle_velocities = params_f.obstacle_velocities
+        if obstacles is not None and obstacles.ndim == 2:
+            obstacles = jnp.broadcast_to(
+                obstacles, (B,) + obstacles.shape
+            )
+        if obstacle_velocities is not None and obstacle_velocities.ndim == 2:
+            obstacle_velocities = jnp.broadcast_to(
+                obstacle_velocities, (B,) + obstacle_velocities.shape
+            )
+        S, w, w_eps = fleet_mppi_tick(
+            seeds, u, a, small_cholesky(params_f.sigma), x0s_f,
+            windows[..., :3],
+            params_f.stage_weight, params_f.terminal_weight,
+            params_f.u_min, params_f.u_max, cfg.dt,
+            (1.0 - cfg.exploration) * cfg.num_samples,
+            cfg.inv_temperature,
+            obstacles=obstacles,
+            robot_radius=robot_radius,
+            obstacle_velocities=obstacle_velocities,
+            soft_safety_distance=soft_safety_distance,
+            soft_weight=soft_weight,
+            B=B, K=cfg.num_samples, T=T,
+            W=windows.shape[1],
+            last_only=(cfg.accumulation == CostAccumulation.LAST),
+            collision=collision,
+        )
+
+        # _mppi_tail only uses ref_path for its LENGTH (end-of-path bit) and
+        # u_min/u_max for the optional optimal-traj clip — hand it a 2-D path
+        # so the per-member (B, P, d) stack doesn't read B as the length.
+        tail_params = params_f
+        if per_member_path:
+            tail_params = dataclasses.replace(
+                params_f, ref_path=params_f.ref_path[0]
+            )
+
+        def tail(u_b, w_eps_b, x0_b, key_b, wp_b, S_b, w_b):
+            state_b = MPPIState(u_prev=u_b, waypoint_idx=wp_b, key=key_b)
+            ctx = CostContext(params=tail_params, waypoint_start=wp_b)
+            return _mppi_tail(
+                cfg, dynamics_step, tail_params, state_b, ctx, x0_b, u_b,
+                key_b, wp_b, S_b, w_b, w_eps_b,
+            )
+
+        return jax.vmap(tail)(u, w_eps, x0s_f, keys, wp_idx, S, w)
+
+    return step
+
+
 _SINGLE_BLOCK_VMEM_BUDGET = 10 * 2**20
 # peak live bytes of the PRNG+ε stage: two (T, K/128, 128) f32 ε planes PLUS
 # the two standard-normal temporaries they are colored from — 16·T·K bytes
@@ -1205,6 +1331,7 @@ __all__ = [
     "make_pallas_diffdrive_rollout",
     "make_pallas_diffdrive_tick",
     "make_pallas_diffdrive_tick_blocked",
+    "make_fleet_fused_mppi_step",
     "make_pallas_bicycle_rollout",
     "make_pallas_bicycle_tick",
     "make_generic_fused_tick",
