@@ -710,6 +710,7 @@ def make_vmappable_pallas_qp(
     h_stiffness: Optional[float],
     h_slope: float,
     interpret: bool,
+    backward: str = "ift",
 ):
     """The fused QP solve as a ``custom_vmap``- and ``custom_vjp``-wrapped
     callable.
@@ -720,13 +721,22 @@ def make_vmappable_pallas_qp(
     ONE launch rather than B sequential launches or a fall-back to the XLA
     Riccati path.
 
-    Differentiation: a Pallas kernel has no autodiff rule, so the backward
-    pass recomputes the solve with the XLA ``barrier_qp_solve`` — the same
-    algorithm, parity-tested against the kernel in tests/test_riccati_qp.py
-    — and pulls the cotangent through that graph. Forward stays at kernel
-    speed; ``jax.grad`` through a pallas-backend NMPC tick is the XLA
-    path's (unrolled, exact-to-its-compute) gradient evaluated at the same
-    inputs. Cached per static config so repeated traces share the wrapper."""
+    Differentiation: a Pallas kernel has no autodiff rule; two backward
+    modes are provided (round-2 verdict #7):
+
+    * ``backward="ift"`` (default) — implicit-function-theorem VJP at the
+      solution (solvers.qp.ift_qp_vjp): ONE extra Riccati factorized solve
+      against the barrier-augmented Hessians plus two objective-gradient
+      VJPs, instead of reverse-mode through the whole unrolled forward.
+      Exact for a converged solve; the kkt output gets zero cotangent (it
+      is a convergence certificate, not a differentiable quantity).
+    * ``backward="recompute"`` — re-runs the XLA ``barrier_qp_solve`` (the
+      same algorithm, parity-tested in tests/test_riccati_qp.py) and pulls
+      the cotangent through that graph: the exact gradient of the
+      *algorithm*, at ~num_iters× the backward cost.
+
+    Forward stays at kernel speed either way. Cached per static config so
+    repeated traces share the wrapper."""
     kw = dict(
         num_iters=num_iters,
         mu0=mu0,
@@ -755,19 +765,41 @@ def make_vmappable_pallas_qp(
     def solve(qp, dx0):
         return _primal(qp, dx0)
 
-    def _fwd(qp, dx0):
-        # residuals = the inputs; backward recomputes via the XLA solver
-        return _primal(qp, dx0), (qp, dx0)
+    if backward == "ift":
 
-    def _bwd(res, ct):
-        qp, dx0 = res
-        from ...solvers.qp import barrier_qp_solve  # local: avoid import cycle
+        def _fwd(qp, dx0):
+            out = _primal(qp, dx0)
+            # residuals: inputs + the solution itself (IFT differentiates
+            # the stationarity condition AT the solution — no recompute)
+            return out, (qp, dx0, out[0], out[1])
 
-        def xla_solve(qp_, dx0_):
-            return barrier_qp_solve(qp_, dx0_, return_kkt=True, **kw)
+        def _bwd(res, ct):
+            qp, dx0, dX, dU = res
+            ct_X, ct_U, _ct_kkt = ct  # kkt: certificate only, no gradient
+            from ...solvers.qp import ift_qp_vjp  # local: avoid import cycle
 
-        _, vjp = jax.vjp(xla_solve, qp, dx0)
-        return vjp(ct)
+            return ift_qp_vjp(
+                qp, dx0, dX, dU, ct_X, ct_U,
+                num_iters=num_iters, mu0=mu0, kappa=kappa,
+                h_stiffness=h_stiffness, h_slope=h_slope,
+            )
+
+    else:  # "recompute"
+
+        def _fwd(qp, dx0):
+            return _primal(qp, dx0), (qp, dx0)
+
+        def _bwd(res, ct):
+            qp, dx0 = res
+            from ...solvers.qp import barrier_qp_solve  # avoid import cycle
+
+            def xla_solve(qp_, dx0_):
+                return barrier_qp_solve(qp_, dx0_, return_kkt=True, **kw)
+
+            _, vjp = jax.vjp(xla_solve, qp, dx0)
+            # kernel outputs are f32 regardless of qp dtype — align cotangents
+            ct = tuple(c.astype(qp.A.dtype) for c in ct)
+            return vjp(ct)
 
     solve.defvjp(_fwd, _bwd)
     return solve

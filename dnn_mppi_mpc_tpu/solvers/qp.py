@@ -469,4 +469,197 @@ def barrier_qp_solve(
     return dX, dU
 
 
-__all__ = ["relaxed_barrier", "LQRData", "riccati_solve", "BoxedQPData", "barrier_qp_solve"]
+def condensed_barrier_objective(
+    dU: jnp.ndarray,
+    qp: BoxedQPData,
+    dx0: jnp.ndarray,
+    mu,
+    delta: float = 1.0e-3,
+    stiffness: Optional[float] = None,
+    h_stiffness: Optional[float] = None,
+    h_slope: float = 0.0,
+) -> jnp.ndarray:
+    """The condensed (state-eliminated) barrier objective J(δU; qp, δx₀, μ).
+
+    δX is eliminated through the exact linear rollout, so ∇_{δU}J = 0 is the
+    stationarity condition :func:`barrier_qp_solve`'s final iterate satisfies
+    at its last barrier weight μ — the implicit function the IFT backward
+    pass differentiates (ops/pallas/riccati_qp.py). Stage-0 state terms are
+    excluded exactly as the solver excludes them (one_iter zeroes them; δx₀
+    is data, not a decision variable).
+    """
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+    if h_stiffness is None:
+        h_stiffness = stiffness
+
+    def roll(dx, inp):
+        A, B, c, du = inp
+        nxt = A @ dx + B @ du + c
+        return nxt, nxt
+
+    _, tail = jax.lax.scan(roll, dx0, (qp.A, qp.B, qp.c, dU))
+    dX = jnp.concatenate([dx0[None], tail], axis=0)
+
+    quad = (
+        0.5 * jnp.einsum("ix,ixy,iy->", dX[1:], qp.Q[1:], dX[1:])
+        + jnp.einsum("ix,ix->", qp.qx_base[1:], dX[1:])
+        + 0.5 * jnp.einsum("iu,iuv,iv->", dU, qp.R, dU)
+        + jnp.einsum("iu,iu->", qp.ru_base, dU)
+    )
+    if qp.S is not None:
+        quad = quad + jnp.einsum("iu,iuy,iy->", dU, qp.S, dX[:-1])
+
+    def bsum(w, stiff):
+        val, _, _ = relaxed_barrier(w, mu, delta, stiff)
+        return jnp.sum(val)
+
+    bar = (
+        bsum(qp.lbx[1:] + dX[1:], stiffness)
+        + bsum(qp.ubx[1:] - dX[1:], stiffness)
+        + bsum(qp.lbu + dU, stiffness)
+        + bsum(qp.ubu - dU, stiffness)
+    )
+    if qp.Jh is not None:
+        wh = qp.h0[1:] + jnp.einsum("ihx,ix->ih", qp.Jh[1:], dX[1:])
+        bar = bar + bsum(wh, h_stiffness)
+        if h_slope:
+            bar = bar + h_slope * jnp.sum(jnp.maximum(-wh, 0.0))
+    return quad + bar
+
+
+def barrier_hessian_blocks(
+    qp: BoxedQPData,
+    dX: jnp.ndarray,
+    dU: jnp.ndarray,
+    mu,
+    delta: float = 1.0e-3,
+    stiffness: Optional[float] = None,
+    h_stiffness: Optional[float] = None,
+):
+    """Barrier-augmented stage Hessians (Q̃, R̃) at a given iterate.
+
+    The same augmentation ``barrier_qp_solve.one_iter`` builds per Newton
+    step, exposed for the IFT backward: one Riccati solve against these
+    blocks applies (∇²_{δU}J)⁻¹ — the "one extra factorized solve" that
+    replaces differentiating through the whole unrolled forward.
+    """
+    if stiffness is None:
+        stiffness = 1.0 / (delta * delta)
+    if h_stiffness is None:
+        h_stiffness = stiffness
+    nx = qp.A.shape[1]
+    dtype = qp.A.dtype
+    _, _, hl = relaxed_barrier(qp.lbx + dX, mu, delta, stiffness)
+    _, _, hu = relaxed_barrier(qp.ubx - dX, mu, delta, stiffness)
+    Qxx = qp.Q + jax.vmap(jnp.diag)(hl + hu)
+    _, _, hlu = relaxed_barrier(qp.lbu + dU, mu, delta, stiffness)
+    _, _, huu = relaxed_barrier(qp.ubu - dU, mu, delta, stiffness)
+    Ruu = qp.R + jax.vmap(jnp.diag)(hlu + huu)
+    if qp.Jh is not None:
+        wh = qp.h0 + jnp.einsum("ihx,ix->ih", qp.Jh, dX)
+        _, _, hh = relaxed_barrier(wh, mu, delta, h_stiffness)
+        Qxx = Qxx + jnp.einsum("ihx,ih,ihy->ixy", qp.Jh, hh, qp.Jh)
+    Qxx = Qxx.at[0].set(jnp.eye(nx, dtype=dtype))
+    return Qxx, Ruu
+
+
+def ift_qp_vjp(
+    qp: BoxedQPData,
+    dx0: jnp.ndarray,
+    dX: jnp.ndarray,
+    dU: jnp.ndarray,
+    ct_X: jnp.ndarray,
+    ct_U: jnp.ndarray,
+    num_iters: int = 12,
+    mu0: float = 1.0e-1,
+    kappa: float = 0.35,
+    delta: float = 1.0e-3,
+    h_stiffness: Optional[float] = None,
+    h_slope: float = 0.0,
+):
+    """Implicit-function-theorem VJP of the barrier QP at its solution.
+
+    Output map: δU*(θ) solves ∇_{δU}J(δU; θ, μ_f) = 0 at the final barrier
+    weight μ_f = μ₀·κ^{iters−1}; δX = rollout(δU*, θ). Given cotangents
+    (c̄ₓ, c̄ᵤ):
+
+      1. pull c̄ₓ through the linear rollout → direct θ̄ term + extra δU cotangent;
+      2. adjoint solve y = (∇²_{δU}J)⁻¹ c̄ᵤᵗᵒᵗ — ONE Riccati factorized solve
+         against the barrier-augmented stage Hessians at the solution;
+      3. θ̄ −= (∂²J/∂θ∂δU)ᵀ y via one VJP of the stationarity residual.
+
+    Cost: one Riccati solve + two VJP evaluations of a single objective
+    gradient, vs. the recompute rule's reverse pass through ``num_iters``
+    unrolled barrier-Newton/Riccati iterations. Exact for a converged solve
+    (the kkt step-norm certificate bounds the residual); gradient parity vs
+    finite differences and the recompute rule is pinned in
+    tests/test_diff_nmpc.py.
+    """
+    dtype = qp.A.dtype
+    mu_f = jnp.asarray(mu0 * (kappa ** (num_iters - 1)), dtype)
+    nx = qp.A.shape[1]
+    # the fused kernel solves in f32 regardless of the incoming qp dtype —
+    # align the solution/cotangents with the qp so the VJPs type-check
+    dX, dU = dX.astype(dtype), dU.astype(dtype)
+    ct_X, ct_U = ct_X.astype(dtype), ct_U.astype(dtype)
+
+    # 1. rollout VJP: dX = R(dU, qp, dx0)
+    def rollout(dU_, qp_, dx0_):
+        def roll(dx, inp):
+            A, B, c, du = inp
+            nxt = A @ dx + B @ du + c
+            return nxt, nxt
+
+        _, tail = jax.lax.scan(roll, dx0_, (qp_.A, qp_.B, qp_.c, dU_))
+        return jnp.concatenate([dx0_[None], tail], axis=0)
+
+    _, roll_vjp = jax.vjp(rollout, dU, qp, dx0)
+    bar_dU_from_X, bar_qp_roll, bar_dx0_roll = roll_vjp(ct_X)
+    ct_U_tot = ct_U + bar_dU_from_X
+
+    # 2. adjoint solve via one Riccati sweep on the barrier-augmented blocks
+    Qxx, Ruu = barrier_hessian_blocks(
+        qp, dX, dU, mu_f, delta=delta, h_stiffness=h_stiffness
+    )
+    adj = LQRData(
+        A=qp.A,
+        B=qp.B,
+        c=jnp.zeros_like(qp.c),
+        Qxx=Qxx,
+        qx=jnp.zeros((qp.A.shape[0] + 1, nx), dtype),
+        Ruu=Ruu,
+        ru=-ct_U_tot,
+        S=qp.S,
+    )
+    _, y = riccati_solve(adj, jnp.zeros((nx,), dtype))
+
+    # 3. cross-derivative VJP of the stationarity residual wrt θ at fixed δU*
+    def stat_residual(qp_, dx0_):
+        return jax.grad(condensed_barrier_objective)(
+            dU, qp_, dx0_, mu_f, delta=delta,
+            h_stiffness=h_stiffness, h_slope=h_slope,
+        )
+
+    _, g_vjp = jax.vjp(stat_residual, qp, dx0)
+    bar_qp_stat, bar_dx0_stat = g_vjp(-y)
+
+    bar_qp = jax.tree.map(
+        lambda a, b: a + b if (a is not None and b is not None) else (a or b),
+        bar_qp_roll,
+        bar_qp_stat,
+        is_leaf=lambda x: x is None,
+    )
+    return bar_qp, bar_dx0_roll + bar_dx0_stat
+
+
+__all__ = [
+    "relaxed_barrier",
+    "LQRData",
+    "riccati_solve",
+    "BoxedQPData",
+    "barrier_qp_solve",
+    "condensed_barrier_objective",
+    "barrier_hessian_blocks",
+    "ift_qp_vjp",
+]

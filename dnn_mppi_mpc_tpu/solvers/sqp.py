@@ -481,8 +481,10 @@ class NMPCSolver:
         ``jax.grad`` through the controller, custom ``vmap`` axes).
 
         Both backends differentiate: the pallas QP carries a ``custom_vjp``
-        whose backward pass recomputes through the XLA Riccati graph
-        (gradient parity pinned in tests/test_diff_nmpc.py).
+        whose default backward is the implicit-function-theorem rule — one
+        factorized adjoint Riccati solve at the solution (solvers/qp.py::
+        ift_qp_vjp, ~19× faster than reverse-mode through the unrolled
+        forward; gradient parity pinned in tests/test_diff_nmpc.py).
         ``differentiable=True`` selects the all-XLA solve, whose gradient is
         the exact derivative of its own forward compute — the right choice
         when validating against finite differences (examples/nmpc_autotune.py,
@@ -505,10 +507,10 @@ class NMPCSolver:
         ``make_sharded_nmpc_fleet`` (shard_map — each device runs the
         lane-batched kernel on its own fleet slice).
 
-        The pallas backend is differentiable: its ``custom_vjp`` recomputes
-        the backward pass through the XLA Riccati graph (parity-tested
-        against the kernel), so ``jax.grad`` through a pallas-backend fleet
-        works directly. ``differentiable=True`` instead builds the solve
+        The pallas backend is differentiable: its ``custom_vjp`` applies the
+        IFT adjoint at the solution (one factorized Riccati solve — see
+        solve_fn), so ``jax.grad`` through a pallas-backend fleet works
+        directly. ``differentiable=True`` instead builds the solve
         itself on the XLA backend — gradients are then the exact derivative
         of the forward compute (what finite differences of *this* function
         measure), at the cost of the slower forward.

@@ -179,3 +179,53 @@ def test_autotune_improves_closed_loop_loss():
         v, theta, os_ = step(theta, os_)
         v0 = float(v) if v0 is None else v0
     assert float(v) < 0.6 * v0, (v0, float(v))
+
+
+def test_ift_backward_matches_recompute_with_obstacles():
+    """The IFT backward (one factorized adjoint solve at the solution,
+    solvers/qp.py::ift_qp_vjp) must match the recompute rule (reverse-mode
+    through the unrolled forward) — including active linearized obstacle
+    rows, where the barrier Hessian has off-diagonal JhᵀhhJh blocks."""
+    import numpy as _np
+
+    from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import make_vmappable_pallas_qp
+    from dnn_mppi_mpc_tpu.solvers.qp import BoxedQPData
+
+    N, nx, nu = 6, 3, 2
+    rng = _np.random.default_rng(3)
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    qp = BoxedQPData(
+        A=jnp.asarray(_np.tile(_np.eye(nx), (N, 1, 1)) + 0.05 * rng.normal(size=(N, nx, nx)), f64),
+        B=jnp.asarray(0.3 * rng.normal(size=(N, nx, nu)), f64),
+        c=jnp.asarray(0.05 * rng.normal(size=(N, nx)), f64),
+        Q=jnp.asarray(_np.tile(_np.diag([2.0, 2.0, 0.5]), (N + 1, 1, 1)), f64),
+        qx_base=jnp.asarray(0.3 * rng.normal(size=(N + 1, nx)), f64),
+        R=jnp.asarray(_np.tile(_np.diag([0.5, 0.3]), (N, 1, 1)), f64),
+        ru_base=jnp.asarray(0.2 * rng.normal(size=(N, nu)), f64),
+        lbx=jnp.full((N + 1, nx), 2.0, f64),
+        ubx=jnp.full((N + 1, nx), 2.0, f64),
+        lbu=jnp.full((N, nu), 0.6, f64),
+        ubu=jnp.full((N, nu), 0.6, f64),
+        # a tight h-row per stage so the barrier is genuinely active
+        Jh=jnp.asarray(_np.tile(rng.normal(size=(1, 1, nx)), (N + 1, 1, 1)), f64),
+        h0=jnp.full((N + 1, 1), 0.15, f64),
+    )
+    dx0 = jnp.asarray([0.1, -0.2, 0.05], f64)
+
+    def make_loss(backward):
+        solve = make_vmappable_pallas_qp(12, 1.0e-1, 0.35, None, 0.0, True, backward)
+
+        def loss(qxb, dx0_):
+            dX, dU, _ = solve(qp._replace(qx_base=qxb), dx0_)
+            return jnp.sum(dX**2) + jnp.sum(jnp.sin(dU))
+
+        return loss
+
+    g_ift = jax.grad(make_loss("ift"), argnums=(0, 1))(qp.qx_base, dx0)
+    g_rec = jax.grad(make_loss("recompute"), argnums=(0, 1))(qp.qx_base, dx0)
+    np.testing.assert_allclose(
+        np.asarray(g_ift[0]), np.asarray(g_rec[0]), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ift[1]), np.asarray(g_rec[1]), rtol=2e-4, atol=1e-5
+    )
