@@ -183,10 +183,134 @@ def save_animation(
     plt.close(fig)
 
 
+def draw_vehicle(
+    ax,
+    x: float,
+    y: float,
+    yaw: float,
+    steer: float = 0.0,
+    length: float = 4.0,
+    width: float = 2.0,
+    wheel_base: float = 2.5,
+) -> None:
+    """Race-car outline: chassis + four wheels, fronts rotated by ``steer`` —
+    the vehicle artist of models/vehicle.py:120-180 (chassis rectangle and
+    steerable front wheels), headless."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s], [s, c]])
+
+    def poly(cx, cy, L, W, extra_rot=0.0):
+        ce, se = np.cos(extra_rot), np.sin(extra_rot)
+        Re = np.array([[ce, -se], [se, ce]])
+        pts = np.array(
+            [[-L / 2, -W / 2], [L / 2, -W / 2], [L / 2, W / 2], [-L / 2, W / 2]]
+        )
+        pts = pts @ Re.T @ R.T + np.array([cx, cy])
+        return plt.Polygon(pts, closed=True, fill=False, ec="k", lw=1.2, zorder=6)
+
+    ax.add_patch(poly(x + 0.25 * length * c, y + 0.25 * length * s, length, width))
+    wl, ww = length * 0.22, width * 0.14
+    half = wheel_base / 2.0
+    rear = np.array([x, y])
+    front = rear + np.array([wheel_base * c, wheel_base * s])
+    for base, extra in ((rear, 0.0), (front, steer)):
+        for side in (1.0, -1.0):
+            off = np.array([0.0, side * width * 0.5]) @ R.T
+            wx, wy = base + off
+            ax.add_patch(poly(wx, wy, wl, ww, extra_rot=extra))
+    ax.plot(
+        [x, x + 0.8 * length * c], [y, y + 0.8 * length * s],
+        "k-", lw=0.8, alpha=0.5, zorder=6,
+    )
+
+
+def save_racecar_animation(
+    path: str,
+    states: np.ndarray,
+    controls: np.ndarray,
+    ref_path: Optional[np.ndarray] = None,
+    fps: int = 10,
+    stride: int = 1,
+    steer_limits=(-0.6, 0.6),
+    accel_limits=(-3.0, 3.0),
+    wheel_base: float = 2.5,
+    view_span: float = 15.0,
+    title: str = "race car",
+) -> None:
+    """Four-pane race-car animation — the rich layout of models/vehicle.py
+    :45-83 (main chase view, full-course minimap, steering gauge, accel
+    gauge), re-done headless to a .gif (Pillow; .mp4 where ffmpeg exists).
+
+    ``states`` is (n, ≥3) (x, y, yaw[, v]); ``controls`` (n, 2) =
+    (steer, accel) per tick (mppi_race_car_obstacle.py's control order).
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter, FFMpegWriter
+    from matplotlib.gridspec import GridSpec
+
+    states = np.asarray(states)
+    controls = np.asarray(controls)
+    fig = plt.figure(figsize=(10, 7))
+    gs = GridSpec(3, 3, figure=fig)
+    ax_main = fig.add_subplot(gs[:, :2])
+    ax_map = fig.add_subplot(gs[0, 2])
+    ax_steer = fig.add_subplot(gs[1, 2])
+    ax_acc = fig.add_subplot(gs[2, 2])
+
+    def gauge(ax, value, limits, label):
+        ax.clear()
+        ax.barh([0], [value], color="#2c7fb8")
+        ax.set_xlim(*limits)
+        ax.set_yticks([])
+        ax.axvline(0.0, color="k", lw=0.8)
+        ax.set_title(f"{label}: {value:+.2f}", fontsize=9)
+        ax.grid(True, axis="x", alpha=0.3)
+
+    frames = range(1, states.shape[0] + 1, stride)
+
+    def draw(i):
+        k = i - 1
+        x, y, yaw = states[k, 0], states[k, 1], states[k, 2]
+        steer = float(controls[min(k, len(controls) - 1), 0])
+        acc = float(controls[min(k, len(controls) - 1), 1])
+        # main chase view centered on the vehicle
+        ax_main.clear()
+        ax_main.set_xlim(x - view_span, x + view_span)
+        ax_main.set_ylim(y - view_span, y + view_span)
+        ax_main.set_aspect("equal")
+        ax_main.grid(True, alpha=0.3)
+        ax_main.set_title(f"{title} — tick {i}")
+        if ref_path is not None:
+            rp = np.asarray(ref_path)
+            ax_main.plot(rp[:, 0], rp[:, 1], "b--", lw=1.0, zorder=3)
+        ax_main.plot(states[:i, 0], states[:i, 1], "g-", lw=1.5, zorder=5)
+        draw_vehicle(ax_main, x, y, yaw, steer, wheel_base=wheel_base)
+        # minimap: whole course + current position
+        ax_map.clear()
+        if ref_path is not None:
+            rp = np.asarray(ref_path)
+            ax_map.plot(rp[:, 0], rp[:, 1], "b--", lw=0.8)
+        ax_map.plot(states[:i, 0], states[:i, 1], "g-", lw=1.0)
+        ax_map.plot([x], [y], "ro", ms=4)
+        ax_map.set_aspect("equal")
+        ax_map.set_xticks([]), ax_map.set_yticks([])
+        ax_map.set_title("course", fontsize=9)
+        gauge(ax_steer, steer, steer_limits, "steer [rad]")
+        gauge(ax_acc, acc, accel_limits, "accel [m/s²]")
+
+    anim = FuncAnimation(fig, draw, frames=frames)
+    writer = (
+        FFMpegWriter(fps=fps) if path.endswith(".mp4") else PillowWriter(fps=fps)
+    )
+    anim.save(path, writer=writer)
+    plt.close(fig)
+
+
 __all__ = [
     "plot_trajectory",
     "draw_robot",
+    "draw_vehicle",
     "plot_controls",
     "plot_training_curves",
     "save_animation",
+    "save_racecar_animation",
 ]

@@ -5,6 +5,8 @@ output (FuncAnimation drivers, controllers/mppi_differential_drive.py:291-372
 and models/vehicle.py:45-83); save_animation reproduces it headless (gif).
 """
 
+import os
+
 import numpy as np
 
 from dnn_mppi_mpc_tpu.utils.plotting import (
@@ -62,3 +64,17 @@ def test_static_plots(tmp_path):
     )
     plot_controls(str(tmp_path / "ctrl.png"), np.random.randn(12, 2), 0.1, ["v", "w"])
     assert (tmp_path / "traj.png").exists() and (tmp_path / "ctrl.png").exists()
+
+
+def test_racecar_four_pane_animation(tmp_path):
+    """The 4-pane race-car layout (main chase view + minimap + steer/accel
+    gauges — models/vehicle.py:45-83) renders headless to a gif."""
+    from dnn_mppi_mpc_tpu.utils.plotting import save_racecar_animation
+
+    t = np.linspace(0, 2 * np.pi, 12)
+    states = np.stack([10 * np.cos(t), 10 * np.sin(t), t + np.pi / 2], axis=1)
+    controls = np.stack([0.3 * np.sin(t), 1.5 * np.cos(t)], axis=1)
+    ref = np.stack([10 * np.cos(t), 10 * np.sin(t)], axis=1)
+    out = str(tmp_path / "race.gif")
+    save_racecar_animation(out, states, controls, ref_path=ref, fps=4)
+    assert os.path.getsize(out) > 1000
