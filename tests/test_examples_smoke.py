@@ -28,6 +28,11 @@ _CASES = [
         "nmpc_fleet_serving.py",
         ["--fleet", "3", "--horizon", "8", "--ticks", "4", "--bench"],
     ),
+    (
+        "mppi_fleet_serving.py",
+        ["--fleet", "3", "--samples", "128", "--horizon", "8", "--ticks", "4", "--bench"],
+    ),
+    ("pacer_characterization.py", ["--seconds", "0.5"]),
     ("custom_model_mppi.py", ["--ticks", "3", "--samples", "128", "--horizon", "8"]),
     (
         "dnn_mppi.py",
