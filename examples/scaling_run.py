@@ -46,7 +46,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from __graft_entry__ import _flagship
 from dnn_mppi_mpc_tpu.parallel.distributed import initialize_distributed
-from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_mppi_step
+from dnn_mppi_mpc_tpu.parallel.sharding import (
+    make_sharded_fused_mppi_step,
+    make_sharded_mppi_step,
+)
 from dnn_mppi_mpc_tpu.solvers.mppi import MPPIState
 from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
 from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
@@ -87,6 +90,12 @@ def main():
     ap.add_argument("--chain", type=int, nargs=2, default=None,
                     metavar=("N1", "N2"), help="chain lengths for the slope")
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument(
+        "--fused-tick", action="store_true",
+        help="use the two-phase on-chip-eps sharded tick "
+        "(make_sharded_fused_mppi_step) — TPU-only (Mosaic PRNG); the "
+        "default HBM-eps path runs everywhere incl. the virtual CPU mesh",
+    )
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
@@ -134,7 +143,14 @@ def main():
         K = args.k_per_device * n_dev
         cfg, params, step_fn, stage, terminal = _flagship(K, args.horizon)
         mesh = Mesh(np.asarray(pick(n_dev)), ("k",))
-        step = make_sharded_mppi_step(cfg, step_fn, stage, terminal, mesh)
+        if args.fused_tick:
+            # two-phase on-chip-ε tick (round-3): per-shard blocked kernel +
+            # ρ/η collectives + same-stream weighted reduce — 28× the HBM-ε
+            # path on one shard (docs/PERF.md); requires K/device a multiple
+            # of 1024 (kernel lane layout)
+            step = make_sharded_fused_mppi_step(cfg, step_fn, mesh)
+        else:
+            step = make_sharded_mppi_step(cfg, step_fn, stage, terminal, mesh)
         # Commit the replicated inputs to the mesh: uncommitted arrays make
         # jit resolve a *default* device via get_backend(), which on images
         # with an accelerator plugin dials the accelerator even under
@@ -154,7 +170,8 @@ def main():
     if jax.process_index() == 0:
         base = taus[0]  # unrounded: per_solve_ms rounds tiny taus to 0.0
         summary = {
-            "metric": "mppi_weak_scaling_efficiency",
+            "metric": "mppi_weak_scaling_efficiency"
+            + ("_fused" if args.fused_tick else ""),
             "k_per_device": args.k_per_device,
             "horizon": args.horizon,
             "device": str(devices[0]),
