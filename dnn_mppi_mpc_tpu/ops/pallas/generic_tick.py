@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .mppi_tick import (
     _TWO_PI,
     LANES,
+    fused_epilogue_block,
     pack_obstacles as _pack_obstacles,
     pick_r_blk,
     standard_normal_pair,
@@ -89,13 +90,20 @@ def _tick_kernel(
     obs_mode: str,  # "circle" | "soft"
     moving_obs: bool,
     rollout_only: bool = False,  # S only — the sharded rollout_fn path
+    fuse_epilogue: bool = False,  # filter matmul + update + hold + shift
 ):
     rest = list(rest)
+    if fuse_epilogue:
+        ft_ref = rest.pop(0)  # VMEM (T, T) transposed filter matrix Fᵀ
+        urows_ref = rest.pop(0)  # VMEM (nu, T) nominal controls, row layout
     if not gen_noise:
         eps = [rest.pop(0) for _ in range(nu)]  # (T, R, 128) inputs
     S_ref = rest.pop(0)
     if not rollout_only:
         w_ref, weps_ref = rest.pop(0), rest.pop(0)
+    if fuse_epilogue:
+        unew_ref, ushift_ref = rest.pop(0), rest.pop(0)  # (nu, T) each
+        ok_ref = rest.pop(0)  # SMEM (1,) f32 finite flag
     if emit_eps:
         eps_out = [rest.pop(0) for _ in range(nu)]
     if gen_noise:
@@ -297,6 +305,11 @@ def _tick_kernel(
     for j in range(nu):
         weps_ref[j, :] = jnp.sum(jnp.sum(eps[j][:, :, :] * wb, axis=2), axis=1)
 
+    if fuse_epilogue:
+        fused_epilogue_block(
+            weps_ref, ft_ref, urows_ref, unew_ref, ushift_ref, ok_ref, T
+        )
+
 
 def _pack_scalars(
     dt, n_exploit, inv_temperature, robot_radius, soft_dist, soft_w,
@@ -338,6 +351,7 @@ def _pack_scalars(
         "interpret",
         "gaussian",
         "collision",
+        "fuse_epilogue",
     ),
 )
 def generic_mppi_tick(
@@ -360,6 +374,7 @@ def generic_mppi_tick(
     obstacle_velocities: Optional[jnp.ndarray] = None,  # (n_obs, 2)
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
+    filter_t: Optional[jnp.ndarray] = None,  # (T, T) Fᵀ — fused-epilogue mode
     *,
     step_tile: TileStep,
     nx: int,
@@ -374,6 +389,7 @@ def generic_mppi_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     collision: str = "circle",
+    fuse_epilogue: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """One fused MPPI tick for arbitrary tile dynamics. Returns
     ``(S (K,), w (K,), w_eps (T, nu))`` — plus ``eps (K, T, nu)`` when
@@ -393,6 +409,8 @@ def generic_mppi_tick(
     R_BLK = pick_r_blk(R)
     gen_noise = eps is None
     emit = bool(emit_eps and gen_noise)
+    if fuse_epilogue and filter_t is None:
+        raise ValueError("fuse_epilogue=True requires the (T, T) filter_t matrix")
 
     scal = _pack_scalars(
         dt,
@@ -432,6 +450,7 @@ def generic_mppi_tick(
         gaussian=gaussian,
         obs_mode=collision,
         moving_obs=obstacle_velocities is not None,
+        fuse_epilogue=fuse_epilogue,
     )
 
     out_shape = [
@@ -439,11 +458,24 @@ def generic_mppi_tick(
         jax.ShapeDtypeStruct((R, LANES), jnp.float32),  # w
         jax.ShapeDtypeStruct((nu, T), jnp.float32),  # w_eps (rows)
     ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape]
+    if fuse_epilogue:
+        out_shape += [
+            jax.ShapeDtypeStruct((nu, T), jnp.float32),  # u_new rows
+            jax.ShapeDtypeStruct((nu, T), jnp.float32),  # u_shift rows
+            jax.ShapeDtypeStruct((1,), jnp.float32),  # finite flag
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     if emit:
         out_shape += [
             jax.ShapeDtypeStruct((T, R, LANES), jnp.float32) for _ in range(nu)
         ]
-    out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape)
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(nu)]
+    out_specs = tuple(out_specs)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
@@ -461,6 +493,12 @@ def generic_mppi_tick(
         window[:, :n_track].astype(jnp.float32),
         obs,
     ]
+    if fuse_epilogue:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Fᵀ
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u rows
+        ]
+        args += [filter_t.astype(jnp.float32), u.astype(jnp.float32).T]
     scratch_shapes = []
     if gen_noise:
         scratch_shapes += [
@@ -483,13 +521,24 @@ def generic_mppi_tick(
         interpret=interpret,
     )(*args)
 
-    S = result[0].reshape(K)
-    w = result[1].reshape(K)
-    w_eps = result[2].T  # (T, nu)
+    result = list(result)
+    S = result.pop(0).reshape(K)
+    w = result.pop(0).reshape(K)
+    w_eps = result.pop(0).T  # (T, nu)
+    epi = None
+    if fuse_epilogue:
+        u_new = result.pop(0).T  # (T, nu)
+        u_shift = result.pop(0).T
+        finite = result.pop(0)[0]
+        epi = (u_new, u_shift, finite)
     if emit:
-        eps_out = jnp.stack(result[3 : 3 + nu], axis=1)  # (T, nu, R, L)
+        eps_out = jnp.stack(result[:nu], axis=1)  # (T, nu, R, L)
         eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, nu)
+        if fuse_epilogue:
+            return S, w, w_eps, epi, eps_out
         return S, w, w_eps, eps_out
+    if fuse_epilogue:
+        return S, w, w_eps, epi
     return S, w, w_eps
 
 

@@ -118,6 +118,37 @@ def pack_obstacles(obstacles, obstacle_velocities):
     return jnp.concatenate([ob[:, :3], vel], axis=1), obstacles.shape[0]
 
 
+def fused_epilogue_block(
+    weps_ref, ft_ref, urows_ref, unew_ref, ushift_ref, ok_ref, T: int
+) -> None:
+    """The whole XLA tick tail in-kernel (round-2 verdict #4), shared by the
+    fused tick kernels: smoothing filter as one (nu,T)@(T,T) matmul against
+    Fᵀ (filters.filter_matrix), nominal update u+F·wε
+    (mppi_differential_drive.py:136-141), non-finite rejection with
+    hold-previous (SURVEY §5.3), and the receding-horizon shift (…:162-163)
+    — removing the chain of tiny sequential XLA ops that cost ~30% of a
+    flagship tick (docs/PERF.md)."""
+    wr = weps_ref[:, :]  # (nu, T)
+    un = jax.lax.dot_general(
+        wr,
+        ft_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # match apply_filter's f32
+        # matmul — the TPU default would drop to bf16 passes
+    )
+    un = urows_ref[:, :] + un
+    # isfinite without relying on an isfinite lowering: NaN fails x==x,
+    # ±inf fails |x| < 3.4e38
+    finite_mask = (un == un) & (jnp.abs(un) < jnp.float32(3.4e38))
+    finite = jnp.min(finite_mask.astype(jnp.float32))
+    un = jnp.where(finite > 0.5, un, urows_ref[:, :])
+    unew_ref[:, :] = un
+    ushift_ref[:, 0 : T - 1] = un[:, 1:T]
+    ushift_ref[:, T - 1 : T] = un[:, T - 1 : T]
+    ok_ref[0] = finite
+
+
 def pick_r_blk(R: int, target: int = 40) -> int:
     """Rollout block rows: the tile-aligned (multiple-of-8) divisor of R
     closest to ``target``.
@@ -325,31 +356,9 @@ def _tick_kernel(
     weps_ref[1, :] = jnp.sum(jnp.sum(eps1[:, :, :] * wb, axis=2), axis=1)
 
     if fuse_epilogue:
-        # The whole XLA tick tail in-kernel (round-2 verdict #4): smoothing
-        # filter as one (2,T)@(T,T) matmul against Fᵀ (filters.filter_matrix),
-        # nominal update u+F·wε (mppi_differential_drive.py:136-141),
-        # non-finite rejection with hold-previous (SURVEY §5.3), and the
-        # receding-horizon shift (…:162-163) — removing the chain of tiny
-        # sequential XLA ops that cost ~30% of a flagship tick (docs/PERF.md).
-        wr = weps_ref[:, :]  # (2, T)
-        un = jax.lax.dot_general(
-            wr,
-            ft_ref[:, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # match apply_filter's f32
-            # matmul — the TPU default would drop to bf16 passes
+        fused_epilogue_block(
+            weps_ref, ft_ref, urows_ref, unew_ref, ushift_ref, ok_ref, T
         )
-        un = urows_ref[:, :] + un
-        # isfinite without relying on an isfinite lowering: NaN fails x==x,
-        # ±inf fails |x| < 3.4e38
-        finite_mask = (un == un) & (jnp.abs(un) < jnp.float32(3.4e38))
-        finite = jnp.min(finite_mask.astype(jnp.float32))
-        un = jnp.where(finite > 0.5, un, urows_ref[:, :])
-        unew_ref[:, :] = un
-        ushift_ref[:, 0 : T - 1] = un[:, 1:T]
-        ushift_ref[:, T - 1 : T] = un[:, T - 1 : T]
-        ok_ref[0] = finite
 
 
 @functools.partial(

@@ -812,6 +812,7 @@ def make_generic_fused_tick(
     soft_weight: float = 100.0,
     interpret: bool = False,
     gaussian: str = "popcount",
+    fuse_epilogue: bool = False,
 ):
     """Bind the generic fused tick kernel (ops/pallas/generic_tick.py) as
     tick_fn for *arbitrary* dynamics.
@@ -837,6 +838,22 @@ def make_generic_fused_tick(
         )
     nx = cfg.dim_x if nx is None else nx
     nu = cfg.dim_u
+
+    filter_t = None
+    if fuse_epilogue:
+        import numpy as _np
+
+        from ..config import SmoothingFilter
+        from ..ops.filters import filter_matrix
+
+        if cfg.filter == SmoothingFilter.NONE:
+            F = _np.eye(cfg.horizon)
+        else:
+            F = filter_matrix(
+                cfg.filter.value, cfg.horizon, cfg.filter_window,
+                cfg.savgol_polyorder,
+            )
+        filter_t = jnp.asarray(F.T, jnp.float32)
 
     def tick(
         params: MPPIParams,
@@ -878,6 +895,7 @@ def make_generic_fused_tick(
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
+            filter_t=filter_t,
             step_tile=step_tile,
             nx=nx,
             nu=nu,
@@ -890,8 +908,10 @@ def make_generic_fused_tick(
             interpret=interpret,
             gaussian=gaussian,
             collision=collision,
+            fuse_epilogue=fuse_epilogue,
         )
 
+    tick.fused_epilogue = fuse_epilogue
     return tick
 
 
@@ -1260,6 +1280,7 @@ class MPPISolver:
                     soft_safety_distance=soft_safety_distance,
                     soft_weight=soft_weight,
                     gaussian=gaussian,
+                    fuse_epilogue=fuse_epilogue,
                 )
             elif (
                 _EPS_BYTES_PER_SAMPLE_STEP * cfg.horizon * cfg.num_samples

@@ -526,3 +526,27 @@ def test_generic_fuzz_random_configs(seed):
         np.asarray(aux_t.costs), S_r, rtol=5e-4, atol=5e-4
     )
     np.testing.assert_allclose(np.asarray(u0_t), np.asarray(u0_r), rtol=2e-4, atol=2e-5)
+
+
+def test_generic_fused_epilogue_matches_scan():
+    """fuse_epilogue=True on the generic kernel: the in-kernel filter matmul
+    + update + finite-hold + shift (shared fused_epilogue_block) reproduces
+    the XLA tail for arbitrary-dynamics ticks — here the four-wheel torque
+    model (nu=4: the epilogue block must handle nu > 2 row layouts)."""
+    cfg = _cfg(5, 4)
+    params = MPPIParams(
+        sigma=jnp.asarray(np.diag([0.2, 0.2, 0.15, 0.15]), jnp.float32),
+        stage_weight=jnp.array([4.0, 4.0, 0.5], jnp.float32),
+        terminal_weight=jnp.array([9.0, 9.0, 2.0], jnp.float32),
+        u_min=jnp.full((4,), -2.0, jnp.float32),
+        u_max=jnp.full((4,), 2.0, jnp.float32),
+        ref_path=_path(3),
+    )
+    step_fn = lambda x, u: euler_step(four_wheel_torque, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    tick = make_generic_fused_tick(
+        cfg, four_wheel_torque_tile(DT), interpret=True, fuse_epilogue=True
+    )
+    assert tick.fused_epilogue
+    _run_both(cfg, params, step_fn, stage, terminal, tick,
+              jnp.array([0.1, -0.05, 0.2, 0.0, 0.0], jnp.float32))
