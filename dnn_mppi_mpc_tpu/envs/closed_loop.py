@@ -236,6 +236,69 @@ def nmpc_controller(solver, params) -> Controller:
     return controller
 
 
+class RecoveryState(NamedTuple):
+    """Carry of :func:`with_recovery`: inner controller state + failure count."""
+
+    inner: object
+    bad_ticks: jnp.ndarray  # int32 consecutive failed solves
+    resets: jnp.ndarray  # int32 total recoveries (telemetry)
+
+
+def with_recovery(
+    controller_aux: Callable,
+    reset_fn: Callable,
+    max_bad_ticks: int = 5,
+    u_safe: Optional[jnp.ndarray] = None,
+) -> Controller:
+    """Elastic-recovery wrapper: reset a wedged controller in-scan.
+
+    Both solvers already reject non-finite updates per tick, holding the
+    previous sequence and flagging ``aux.status`` (warn-and-continue,
+    SURVEY §5.3). A *persistently* failing solve — diverged warm start,
+    NaN-poisoned nominal sequence — stays wedged under pure hold-previous.
+    This wrapper adds the recovery tier the reference lacks entirely: after
+    ``max_bad_ticks`` consecutive failed ticks it swaps in a fresh
+    controller state from ``reset_fn(inner_state)`` (e.g. zeros the nominal
+    sequence / warm start while keeping the PRNG key), optionally emitting
+    ``u_safe`` (default: zero control) on failed ticks instead of the
+    controller's output. Pure and scan-compatible — the whole
+    detect→hold→reset ladder runs on-device.
+
+    ``controller_aux(inner_state, x) -> (u, inner_state, aux)`` where
+    ``aux.status`` bit 2 marks a failed solve (MPPIAux / NMPCAux convention).
+    """
+
+    def controller(rs: RecoveryState, x):
+        u, inner, aux = controller_aux(rs.inner, x)
+        failed = (aux.status & 2) > 0
+        bad = jnp.where(failed, rs.bad_ticks + 1, 0).astype(jnp.int32)
+        do_reset = bad >= max_bad_ticks
+        inner = jax.tree.map(
+            lambda fresh, cur: jnp.where(do_reset, fresh, cur),
+            reset_fn(inner),
+            inner,
+        )
+        safe = (
+            jnp.zeros_like(u) if u_safe is None else jnp.broadcast_to(u_safe, u.shape)
+        )
+        u = jnp.where(failed, safe, u)
+        return u, RecoveryState(
+            inner=inner,
+            bad_ticks=jnp.where(do_reset, 0, bad).astype(jnp.int32),
+            resets=rs.resets + do_reset.astype(jnp.int32),
+        )
+
+    return controller
+
+
+def recovery_init(inner_state) -> RecoveryState:
+    return RecoveryState(
+        inner=inner_state,
+        bad_ticks=jnp.zeros((), jnp.int32),
+        resets=jnp.zeros((), jnp.int32),
+    )
+
+
 __all__ = [
     "Episode",
     "run_closed_loop",
@@ -243,4 +306,7 @@ __all__ = [
     "collect_residual_dataset_resumable",
     "mppi_controller",
     "nmpc_controller",
+    "RecoveryState",
+    "with_recovery",
+    "recovery_init",
 ]

@@ -414,3 +414,75 @@ def test_lidar_full_circle_has_unique_beams():
     np.testing.assert_allclose(best, 2.0, atol=1e-5)
     # the -π direction is sampled once: the closest-hit count at range≈2 is 1
     assert (np.abs(ranges - 2.0) < 1e-5).sum() == 1
+
+
+def test_with_recovery_resets_wedged_controller():
+    """Elastic recovery (SURVEY §5.3): a NaN-poisoned nominal sequence wedges
+    the MPPI solver in hold-previous forever; the recovery wrapper detects
+    the persistent status-2 ticks, emits the safe control, resets the
+    nominal sequence, and the loop resumes solving."""
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.config import MPPIConfig, MPPIParams
+    from dnn_mppi_mpc_tpu.envs.closed_loop import recovery_init, with_recovery
+    from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+    from dnn_mppi_mpc_tpu.models.integrators import euler_step
+    from dnn_mppi_mpc_tpu.paths import line
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        MPPIState,
+        make_tracking_costs,
+        mppi_step,
+    )
+
+    cfg = MPPIConfig(
+        num_samples=64, horizon=8, dim_x=3, dim_u=2, dt=0.1,
+        waypoint_search_len=10,
+    )
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.0], [0.0, 0.1]], jnp.float32),
+        stage_weight=jnp.array([5.0, 5.0, 1.0], jnp.float32),
+        terminal_weight=jnp.array([5.0, 5.0, 1.0], jnp.float32),
+        u_min=jnp.array([-2.0, -2.0], jnp.float32),
+        u_max=jnp.array([2.0, 2.0], jnp.float32),
+        ref_path=line(jnp.zeros(2), jnp.array([3.0, 1.0]), num_points=60),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, cfg.dt)
+    stage, terminal = make_tracking_costs(cfg)
+    core = jax.jit(
+        lambda s, x: mppi_step(cfg, step_fn, stage, terminal, params, s, x, None)
+    )
+
+    def controller_aux(cs, x):
+        return core(cs, x)
+
+    def reset_fn(cs):
+        return MPPIState(
+            u_prev=jnp.zeros_like(cs.u_prev),
+            waypoint_idx=cs.waypoint_idx,
+            key=cs.key,
+        )
+
+    ctrl = with_recovery(controller_aux, reset_fn, max_bad_ticks=3)
+
+    # poison the LAST row of the nominal sequence: the receding-horizon
+    # shift replicates it forever, so hold-previous alone stays wedged (a
+    # leading-row NaN would be shifted out and self-heal)
+    bad = MPPIState.init(cfg)
+    bad = MPPIState(
+        u_prev=bad.u_prev.at[-1, 0].set(jnp.nan),
+        waypoint_idx=bad.waypoint_idx,
+        key=bad.key,
+    )
+    rs = recovery_init(bad)
+    x = jnp.array([0.0, 0.2, 0.0], jnp.float32)
+    us = []
+    for _ in range(10):
+        u, rs = ctrl(rs, x)
+        us.append(np.asarray(u))
+        x = step_fn(x, u)
+    assert int(rs.resets) >= 1
+    # failed ticks emitted the safe (zero) control, never NaN
+    assert np.all(np.isfinite(np.stack(us)))
+    # after recovery the solver produces genuine (nonzero) controls again
+    assert np.abs(us[-1]).sum() > 0
+    assert bool(jnp.all(jnp.isfinite(rs.inner.u_prev)))
