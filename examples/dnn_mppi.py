@@ -31,7 +31,12 @@ from dnn_mppi_mpc_tpu.envs.closed_loop import (
     run_closed_loop,
 )
 from dnn_mppi_mpc_tpu.models import euler_step, unicycle
-from dnn_mppi_mpc_tpu.models.learned import MLP, make_residual_fn
+from dnn_mppi_mpc_tpu.models.learned import (
+    MLP,
+    ResNet1D,
+    make_residual_fn,
+    residual_from_train_state,
+)
 from dnn_mppi_mpc_tpu.paths import line
 from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs
 from dnn_mppi_mpc_tpu.train.checkpoint import save_checkpoint
@@ -94,6 +99,12 @@ def main():
         "simulation/bullet_differential_drive_dnn.py:37-60)",
     )
     ap.add_argument(
+        "--model", choices=["mlp", "resnet18", "resnet50"], default="mlp",
+        help="residual regressor family — the conv ResNets are the "
+        "reference's train_diff_resnet18/50.py models as controller "
+        "dynamics (BASELINE config 5)",
+    )
+    ap.add_argument(
         "--fused-interpret", action="store_true", dest="fused_interpret",
         help="validate the fused Pallas MLP step in interpret mode off-TPU",
     )
@@ -120,7 +131,10 @@ def main():
     print(f"collected {data.states.shape[0]} MPPI-driven samples")
 
     # 2. residual regression (train/train_diff_mlp.py loop, in-graph scalers)
-    model = MLP(out_dim=3, hidden=args.hidden, depth=2)
+    if args.model == "mlp":
+        model = MLP(out_dim=3, hidden=args.hidden, depth=2)
+    else:
+        model = ResNet1D(out_dim=3, variant=args.model[-2:])
     tstate, hist = train_residual_model(
         model, data.states, data.controls, data.errors,
         TrainConfig(num_epochs=args.epochs, batch_size=256, learning_rate=2e-3),
@@ -129,7 +143,7 @@ def main():
     plot_training_curves(os.path.join(args.out, "training.png"), hist)
     save_checkpoint(os.path.join(args.out, "ckpt"), tstate.params)
 
-    net = make_residual_fn(model, tstate.params, tstate.in_scaler, tstate.out_scaler)
+    net = residual_from_train_state(model, tstate)  # handles MLP and conv ResNets
 
     def corrected_step(x, u):
         return nominal_step(x, u) + net(jnp.concatenate([x, u], axis=-1))
@@ -184,15 +198,21 @@ def main():
 
         tau = slope_timing(make_runner, 20, 100, reps=8).tau
         print(
-            f"DNN-MPPI (K={args.samples}, T={args.horizon}, MLP 5-{args.hidden}-{args.hidden}-3, "
+            f"DNN-MPPI (K={args.samples}, T={args.horizon}, "
+            + (
+                f"MLP 5-{args.hidden}-{args.hidden}-3, "
+                if args.model == "mlp"
+                else f"{args.model} conv residual, "
+            )
+            + 
             f"{label}): {tau*1e3:.3f} ms/solve ({1/tau:.0f} solves/s) "
             f"on {jax.devices()[0].platform}"
         )
         return tau
 
-    bench_tick(corrected_step, "XLA scan")
+    bench_tick(corrected_step, f"XLA scan ({args.model})")
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu or args.fused_interpret:
+    if args.model == "mlp" and (on_tpu or args.fused_interpret):
         from dnn_mppi_mpc_tpu.ops.pallas.mlp_step import make_fused_residual_step
 
         # residual_scale=1: the net was fit to discrete one-step errors
