@@ -78,7 +78,11 @@ def main() -> None:
 
     cfg, params, step_fn, stage, terminal = _flagship(K, T)
     solver = MPPISolver(
-        cfg, step_fn, stage, terminal, use_pallas=False, fused_tick=on_tpu
+        cfg, step_fn, stage, terminal, use_pallas=False, fused_tick=on_tpu,
+        # the flagship tracking weights are x/y-symmetric ((5, 5, 10) —
+        # the reference's own defaults), so the exact iso_xy kernel
+        # specialization applies (parity: tests/test_mppi_tick.py)
+        iso_xy=True,
     )
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)

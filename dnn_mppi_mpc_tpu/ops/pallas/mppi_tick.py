@@ -191,6 +191,7 @@ def _tick_kernel(
     obs_mode: str,  # "circle" (hard ×1e7) | "soft" (exp penalty)
     moving_obs: bool,  # obstacles drift at (vx, vy) during the rollout
     fuse_epilogue: bool,  # smoothing matmul + update + finite-hold + shift
+    iso_xy: bool,  # sw0==sw1 and tw0==tw1 specialization (see wrapper doc)
 ):
     rest = list(rest)
     if fuse_epilogue:
@@ -243,20 +244,30 @@ def _tick_kernel(
     shape = (R_BLK, LANES)
 
     def window_refs(xc, yc):
-        """Running-min nearest-waypoint lookup (first-argmin tie rule)."""
+        """Running-min nearest-waypoint lookup (first-argmin tie rule).
+
+        ``iso_xy`` mode returns (dmin, ryaw) instead of the (rx, ry, ryaw)
+        reference point: with symmetric x/y tracking weights the stage cost
+        is sw0·dmin + sw2·(yaw−ryaw)² EXACTLY, so the rx/ry select chains —
+        2 of the 4 selects in the kernel's dominant W-deep loop — vanish.
+        """
         wx0, wy0, wyaw0 = win[0]
         dmin = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
-        rx = jnp.full(shape, wx0, dtype=jnp.float32)
-        ry = jnp.full(shape, wy0, dtype=jnp.float32)
         ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
+        if not iso_xy:
+            rx = jnp.full(shape, wx0, dtype=jnp.float32)
+            ry = jnp.full(shape, wy0, dtype=jnp.float32)
         for w in range(1, W):
             wx, wy, wyaw = win[w]
             d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
             better = d < dmin
             dmin = jnp.where(better, d, dmin)
-            rx = jnp.where(better, wx, rx)
-            ry = jnp.where(better, wy, ry)
             ryaw = jnp.where(better, wyaw, ryaw)
+            if not iso_xy:
+                rx = jnp.where(better, wx, rx)
+                ry = jnp.where(better, wy, ry)
+        if iso_xy:
+            return dmin, ryaw
         return rx, ry, ryaw
 
     def obstacle_penalty(xc, yc, t_f=None):
@@ -309,12 +320,16 @@ def _tick_kernel(
             y = y + v0 * jnp.sin(yaw) * dt
             yaw = yaw + v1 * dt
 
-            rx, ry, ryaw = window_refs(x, y)
-            c = (
-                sw0 * (x - rx) * (x - rx)
-                + sw1 * (y - ry) * (y - ry)
-                + sw2 * (yaw - ryaw) * (yaw - ryaw)
-            )
+            if iso_xy:
+                dmin, ryaw = window_refs(x, y)
+                c = sw0 * dmin + sw2 * (yaw - ryaw) * (yaw - ryaw)
+            else:
+                rx, ry, ryaw = window_refs(x, y)
+                c = (
+                    sw0 * (x - rx) * (x - rx)
+                    + sw1 * (y - ry) * (y - ry)
+                    + sw2 * (yaw - ryaw) * (yaw - ryaw)
+                )
             c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
             if n_obs > 0:
                 c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * dt)
@@ -330,12 +345,16 @@ def _tick_kernel(
         S = jnp.zeros(shape, dtype=jnp.float32)
         x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
 
-        rx, ry, ryaw = window_refs(x, y)
-        S = S + (
-            tw0 * (x - rx) * (x - rx)
-            + tw1 * (y - ry) * (y - ry)
-            + tw2 * (yaw - ryaw) * (yaw - ryaw)
-        )
+        if iso_xy:
+            dmin, ryaw = window_refs(x, y)
+            S = S + tw0 * dmin + tw2 * (yaw - ryaw) * (yaw - ryaw)
+        else:
+            rx, ry, ryaw = window_refs(x, y)
+            S = S + (
+                tw0 * (x - rx) * (x - rx)
+                + tw1 * (y - ry) * (y - ry)
+                + tw2 * (yaw - ryaw) * (yaw - ryaw)
+            )
         if n_obs > 0:
             S = S + obstacle_penalty(x, y)
         S_ref[r0 : r0 + R_BLK, :] = S
@@ -373,6 +392,7 @@ def _tick_kernel(
         "gaussian",
         "collision",
         "fuse_epilogue",
+        "iso_xy",
     ),
 )
 def diffdrive_mppi_tick(
@@ -406,6 +426,7 @@ def diffdrive_mppi_tick(
     gaussian: str = "popcount",
     collision: str = "circle",
     fuse_epilogue: bool = False,
+    iso_xy: bool = False,
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -470,6 +491,7 @@ def diffdrive_mppi_tick(
         obs_mode=collision,
         moving_obs=obstacle_velocities is not None,
         fuse_epilogue=fuse_epilogue,
+        iso_xy=iso_xy,
     )
 
     out_shape = [

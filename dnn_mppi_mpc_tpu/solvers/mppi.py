@@ -548,6 +548,7 @@ def make_pallas_diffdrive_tick(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     fuse_epilogue: bool = False,
+    iso_xy: bool = False,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -561,6 +562,16 @@ def make_pallas_diffdrive_tick(
     mppi_differential_drive_obs.py) or "soft" (exponential,
     test_mppi_diff_obs.py — the goal-seeking preset with W=1). In-rollout
     moving obstacles (params.obstacle_velocities) are supported in both.
+
+    ``iso_xy=True`` specializes the kernel for SYMMETRIC x/y tracking
+    weights (stage_weight[0]==stage_weight[1] and likewise terminal — the
+    reference's own defaults, e.g. (5, 5, 10) at
+    mppi_differential_drive.py:405-408): the stage cost becomes
+    sw0·min-distance² + sw2·(yaw−ryaw)² EXACTLY, eliminating the rx/ry
+    select chains from the kernel's dominant per-waypoint loop (~10%
+    faster flagship tick). The caller must guarantee the symmetry — the
+    weights are runtime arrays, so it cannot be checked at trace time;
+    with asymmetric weights this mode silently computes the wrong cost.
     """
     from ..ops.filters import filter_matrix
     from ..ops.pallas.mppi_tick import diffdrive_mppi_tick
@@ -630,6 +641,7 @@ def make_pallas_diffdrive_tick(
             gaussian=gaussian,
             collision=collision,
             fuse_epilogue=fuse_epilogue,
+            iso_xy=iso_xy,
         )
 
     tick.fused_epilogue = fuse_epilogue
@@ -1257,6 +1269,7 @@ class MPPISolver:
         soft_safety_distance: float = 2.0,
         soft_weight: float = 100.0,
         fuse_epilogue: bool = True,
+        iso_xy: bool = False,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
@@ -1309,6 +1322,7 @@ class MPPISolver:
                     soft_safety_distance=soft_safety_distance,
                     soft_weight=soft_weight,
                     fuse_epilogue=fuse_epilogue,
+                    iso_xy=iso_xy,
                 )
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)

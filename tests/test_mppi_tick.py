@@ -315,3 +315,15 @@ def test_tick_fused_epilogue_nonfinite_holds_previous():
             [np.asarray(state.u_prev)[1:], np.asarray(state.u_prev)[-1:]]
         ),
     )
+
+
+def test_tick_iso_xy_matches_scan():
+    """iso_xy=True (symmetric x/y tracking weights → cost from the min
+    distance directly, rx/ry select chains eliminated) must match the scan
+    engine exactly — the flagship-bench specialization."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
+    # _setup weights are (3,3,1)/(5,5,2): x/y-symmetric by construction
+    tick = make_pallas_diffdrive_tick(
+        cfg, interpret=True, fuse_epilogue=True, iso_xy=True
+    )
+    _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)
