@@ -1,0 +1,5 @@
+"""``python -m dnn_mppi_mpc_tpu`` — see cli.py."""
+
+from .cli import main
+
+main()

@@ -53,6 +53,8 @@ def diff_drive_mppi(
     dt: float = 0.1,
     obstacles: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    fused_tick: bool = False,
+    iso_xy: bool = False,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Diff-drive waypoint-tracking MPPI.
@@ -61,9 +63,13 @@ def diff_drive_mppi(
     K=100, T=10, exploration=1e-4, λ=1, α=0.2, Σ=diag(.1,.01), weights
     (5,5,10), v∈±5, ω∈±3.14); with ``obstacles`` the circle-collision variant
     of mppi_differential_drive_obs.py (K=500, T=20 in its main :428-486).
-    With ``use_pallas`` K is rounded up to a multiple of 128 (lane layout).
+    With ``use_pallas``/``fused_tick`` K is rounded up to a multiple of 128
+    (lane layout); ``fused_tick`` selects the single-launch Pallas tick (the
+    flagship-bench configuration — on-chip ε, in-kernel epilogue), and
+    ``iso_xy`` enables the exact x/y-symmetric-weight specialization (valid
+    for the default (5, 5, ·) weights; parity in tests/test_mppi_tick.py).
     """
-    if use_pallas:
+    if use_pallas or fused_tick:
         num_samples = _lane_rounded_samples(num_samples)
     # defaults-then-update so **overrides can replace ANY config field
     # (passing e.g. filter_window used to raise 'multiple values for keyword
@@ -99,7 +105,20 @@ def diff_drive_mppi(
     stage, terminal = make_tracking_costs(
         cfg, collision="none" if obstacles is None else "circle"
     )
-    return MPPISolver(cfg, step, stage, terminal, use_pallas=use_pallas), params
+    # kernel-side collision stays "circle" (the MPPISolver default): the fused
+    # tick only accepts circle/soft and treats params.obstacles=None as a no-op
+    return (
+        MPPISolver(
+            cfg,
+            step,
+            stage,
+            terminal,
+            use_pallas=use_pallas,
+            fused_tick=fused_tick,
+            iso_xy=iso_xy,
+        ),
+        params,
+    )
 
 
 def racecar_mppi(

@@ -29,3 +29,29 @@ def honor_jax_platforms_env() -> None:
         _jeb.clear_backends()
     except Exception:  # pragma: no cover - older jax versions
         pass
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (XLA executables keyed by
+    HLO + config + device target, so CPU and TPU entries coexist).
+
+    The test suite recompiles every jitted program from scratch each session
+    (~20 min on this host); with the cache a warm re-run skips the XLA
+    compile for every unchanged program. Safe for benchmarks too — timing
+    always excludes compile via warm-up calls. Default location:
+    ``$DMM_JAX_CACHE_DIR`` or ``<repo>/.jax_cache`` (gitignored).
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("DMM_JAX_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # default thresholds skip sub-second compiles — the suite's cost is the
+    # long tail of many ~1-10 s CPU compiles, so cache (almost) everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir

@@ -43,6 +43,13 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # explicit-f32 on its hot paths.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: a warm re-run of the suite skips the XLA
+# compile for every unchanged program (the suite's wall clock is dominated by
+# recompiles). Keyed by HLO+config+device, so config flips per test are safe.
+from dnn_mppi_mpc_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 
