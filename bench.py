@@ -26,9 +26,16 @@ import json
 import jax
 import jax.numpy as jnp
 
-from dnn_mppi_mpc_tpu.utils.platform import honor_jax_platforms_env
+from dnn_mppi_mpc_tpu.utils.platform import (
+    enable_compilation_cache,
+    honor_jax_platforms_env,
+)
 
 honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke must not dial the TPU
+# Persist XLA executables across runs: the flagship program's first compile
+# through the remote-attach tunnel costs minutes; a warm re-run skips it
+# entirely. Timing is unaffected (slope estimator warms up first).
+enable_compilation_cache()
 
 
 def _sync(*arrays) -> None:
@@ -55,6 +62,74 @@ def _make_chain(solver, params, n):
     return chain
 
 
+def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
+    """Slope-time the flagship tick at one K; returns a result row dict."""
+    from __graft_entry__ import _flagship
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
+    from dnn_mppi_mpc_tpu.utils.benchtime import slope_timing
+
+    cfg, params, step_fn, stage, terminal = _flagship(K, T)
+    solver = MPPISolver(
+        cfg, step_fn, stage, terminal, use_pallas=False, fused_tick=on_tpu,
+        iso_xy=True,
+    )
+    st0 = solver.init()
+    x0 = jnp.zeros((3,), jnp.float32)
+
+    def make_runner(n):
+        chain = _make_chain(solver, params, n)
+        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+
+    # keep the measured device-time delta well above tunnel jitter at every
+    # K: ~0.05 ms/solve at K=10k scales ≈ linearly with K
+    per_solve_guess_ms = 0.05 * K / 10240
+    n2 = max(40, min(1000, int(100.0 / per_solve_guess_ms)))
+    n1 = max(8, n2 // 5)
+    t = slope_timing(make_runner, n1, n2, reps=reps)
+    return {
+        "K": K,
+        "T": T,
+        "solves_per_s": round(t.ticks_per_s, 1),
+        "per_solve_ms_best": round(t.tau * 1e3, 4),
+        "p50_ms": round(t.p50 * 1e3, 4),
+        "p99_ms": round(t.p99 * 1e3, 4),
+        "sample_steps_per_s": round(t.ticks_per_s * K * T, 0),
+        "kernel": "blocked" if K * T > 25_000 * 50 else "single_block",
+        "chain_lengths": [n1, n2],
+    }
+
+
+def _run_sweep(ks, T: int) -> None:
+    """Measure the flagship tick across K and record the scaling curve.
+
+    One process, one device: each K compiles its own fused tick (the blocked
+    kernel past ~K=25k at T=50) and is slope-timed like the headline number.
+    Artifact: docs/assets/bench_k_sweep.json (device, rows per K).
+    """
+    import os
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rows = []
+    for K in ks:
+        if not on_tpu:
+            K = min(K, 2048)
+        rows.append(_measure_k(K, T, on_tpu, reps=10 if on_tpu else 3))
+        print(json.dumps(rows[-1]), flush=True)
+    out = {
+        "device": str(jax.devices()[0]),
+        "pallas_fused_tick": on_tpu,
+        "horizon": T,
+        "rows": rows,
+        "sync": "two-length on-device chains, slope estimator (docs/PERF.md)",
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "assets", "bench_k_sweep.json")
+    if on_tpu:  # CPU smoke must not overwrite the recorded chip curve
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"# wrote {path}")
+
+
 def main() -> None:
     import argparse
 
@@ -69,7 +144,17 @@ def main() -> None:
         "tick with per-block on-chip ε, e.g. --k 102400)",
     )
     ap.add_argument("--t", type=int, default=50, help="horizon")
+    ap.add_argument(
+        "--sweep", default=None,
+        help="comma-separated K list; measures each and writes the scaling "
+        "curve to docs/assets/bench_k_sweep.json (default single-K contract "
+        "— ONE JSON line — is unchanged when omitted)",
+    )
     args = ap.parse_args()
+
+    if args.sweep:
+        _run_sweep([int(s) for s in args.sweep.split(",")], args.t)
+        return
 
     K, T = args.k, args.t
     on_tpu = jax.devices()[0].platform != "cpu"

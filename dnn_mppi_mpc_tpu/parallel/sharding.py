@@ -336,10 +336,123 @@ def make_sharded_nmpc_fleet(solver, mesh: Mesh, axis: str = "batch") -> Callable
     return step
 
 
+def make_sharded_mppi_fleet(
+    cfg: MPPIConfig,
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    stage_cost: Optional[StageCost] = None,
+    terminal_cost: Optional[TerminalCost] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "batch",
+    fused: bool = False,
+    **fleet_kwargs,
+) -> Callable:
+    """Fleet of independent MPPI controllers sharded over a mesh axis.
+
+    The MPPI analog of :func:`make_sharded_nmpc_fleet` (SURVEY §2.10(b)
+    scenario parallelism at pod scale — the multi-robot collection fleets of
+    train/bullet_mpc_differential_drive.py:119-157): the fleet dimension has
+    no cross-member reductions, so each device runs its B/n slice with zero
+    collectives. Built on ``shard_map`` (per-device program), so with
+    ``fused=True`` every device runs the **lane-batched fused fleet tick**
+    (ops/pallas/mppi_tick_blocked.fleet_mppi_tick — one Pallas launch per
+    fleet slice per tick, 28× the vmapped scan fleet on one chip,
+    docs/PERF.md) on its own slice; PRNG-mode kernels are TPU-only, so the
+    virtual-mesh CI path uses ``fused=False`` (vmapped ``mppi_step``, same
+    semantics — per-member parity pinned in tests/test_fleet_tick.py).
+
+    Returns ``step(params, states, x0s) -> (u0s, states, auxs)`` with the
+    same calling convention as :func:`solvers.mppi.make_fleet_fused_mppi_step`:
+    shared ``params`` (replicated to every device), optionally carrying a
+    leading member axis on ``ref_path``/``obstacles``/``obstacle_velocities``
+    (those leaves are then sharded with the fleet). Fleet size must be a
+    multiple of the mesh axis size.
+    """
+    if mesh is None:
+        raise ValueError("make_sharded_mppi_fleet requires a mesh")
+    n = mesh.shape[axis]
+
+    if fused:
+        from ..solvers.mppi import make_fleet_fused_mppi_step
+
+        inner = make_fleet_fused_mppi_step(cfg, dynamics_step, **fleet_kwargs)
+    else:
+        if stage_cost is None or terminal_cost is None:
+            raise ValueError("the scan-path fleet needs stage_cost/terminal_cost")
+        core = functools.partial(
+            mppi_step, cfg, dynamics_step, stage_cost, terminal_cost
+        )
+        inner = jax.vmap(
+            lambda p, s, x: core(p, s, x, None), in_axes=(0, 0, 0)
+        )
+
+    spec = P(axis)
+    jitted_cache: dict = {}
+
+    def step(params: MPPIParams, states: MPPIState, x0s: jnp.ndarray):
+        B = x0s.shape[0]
+        if B % n != 0:
+            raise ValueError(
+                f"fleet size {B} must be divisible by mesh axis {axis!r}={n} "
+                "(shard_map partitions the fleet dimension evenly)"
+            )
+        # Per-member leaves (leading fleet axis) shard with the fleet; shared
+        # leaves replicate. Detected from ranks: ref_path (P, d) vs (B, P, d),
+        # obstacles/velocities (n, 3) vs (B, n, 3).
+        member_leaves = tuple(
+            name
+            for name, a in (
+                ("ref_path", params.ref_path),
+                ("obstacles", params.obstacles),
+                ("obstacle_velocities", params.obstacle_velocities),
+            )
+            if a is not None and a.ndim == 3
+        )
+        if member_leaves not in jitted_cache:
+            pspec = jax.tree.map(lambda _: P(), params)
+            import dataclasses as _dc
+
+            pspec = _dc.replace(
+                pspec, **{name: spec for name in member_leaves}
+            )
+            if fused:
+                fn = inner  # takes shared params + batched states/x0s
+            else:
+                # the vmapped scan core wants per-member params: broadcast
+                # shared leaves to the local slice inside the shard
+                def fn(p, s, x, _member=member_leaves):
+                    b = x.shape[0]
+                    p_local = jax.tree.map(
+                        lambda a: jnp.broadcast_to(a, (b,) + a.shape), p
+                    )
+                    import dataclasses as _dc2
+
+                    p_local = _dc2.replace(
+                        p_local, **{name: getattr(p, name) for name in _member}
+                    )
+                    return inner(p_local, s, x)
+
+            jitted_cache[member_leaves] = jax.jit(
+                jax.shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(pspec, spec, spec),
+                    out_specs=spec,
+                    # same rationale as make_sharded_nmpc_fleet: blanket
+                    # P(axis) over the aux pytree trips varying-axis
+                    # validation on jax 0.9; divisibility checked above
+                    check_vma=False,
+                )
+            )
+        return jitted_cache[member_leaves](params, states, x0s)
+
+    return step
+
+
 __all__ = [
     "make_mesh",
     "make_sharded_mppi_step",
     "make_sharded_fused_mppi_step",
     "make_batched_mppi_step",
     "make_sharded_nmpc_fleet",
+    "make_sharded_mppi_fleet",
 ]

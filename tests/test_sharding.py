@@ -227,3 +227,88 @@ def test_sharded_nmpc_fleet_matches_unsharded(backend):
     # the fleet really is partitioned: each device holds B/8 problems
     shard_devs = {s.device for s in u_s.addressable_shards}
     assert len(shard_devs) == 8
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("per_member_path", [False, True])
+def test_sharded_mppi_fleet_matches_unsharded(per_member_path):
+    """A mesh-sharded MPPI fleet (fleet axis partitioned over devices, zero
+    collectives) must equal the single-device vmapped fleet exactly —
+    SURVEY §2.10(b) scenario parallelism at pod scale. On TPU the same
+    builder with fused=True keeps the lane-batched fused fleet tick on each
+    shard (tests/test_fleet_tick.py pins per-member kernel parity)."""
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_mppi_fleet
+
+    cfg, params, _, _ = _make_pair()
+    cfg = dataclasses.replace(cfg, num_samples=64)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    B = 8
+
+    if per_member_path:
+        # each member tracks its own rotated copy of the reference path
+        angles = jnp.linspace(0.0, 0.6, B)
+
+        def rotate(path, a):
+            c, s = jnp.cos(a), jnp.sin(a)
+            xy = path[:, :2] @ jnp.array([[c, s], [-s, c]])
+            return jnp.concatenate([xy, path[:, 2:] + a], axis=1)
+
+        params = dataclasses.replace(
+            params, ref_path=jax.vmap(lambda a: rotate(params.ref_path, a))(angles)
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    states = jax.vmap(lambda k: MPPIState.init(cfg, k))(keys)
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(
+        np.concatenate([rng.uniform(-0.5, 0.5, (B, 2)), np.zeros((B, 1))], 1),
+        jnp.float32,
+    )
+
+    mesh = make_mesh(("batch",))
+    sharded = make_sharded_mppi_fleet(
+        cfg, step_fn, stage, terminal, mesh, axis="batch"
+    )
+    u_s, st_s, aux_s = sharded(params, states, x0s)
+
+    # single-device reference: per-member mppi_step on the same keys
+    def one(p_ref, s, x):
+        p = dataclasses.replace(params, ref_path=p_ref)
+        return mppi_step(cfg, step_fn, stage, terminal, p, s, x, None)
+
+    ref_paths = (
+        params.ref_path
+        if per_member_path
+        else jnp.broadcast_to(params.ref_path, (B,) + params.ref_path.shape)
+    )
+    u_r, st_r, aux_r = jax.vmap(one)(ref_paths, states, x0s)
+
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.u_prev), np.asarray(st_r.u_prev), rtol=1e-5, atol=1e-6
+    )
+    # the fleet really is partitioned: each device holds B/8 members
+    shard_devs = {s.device for s in u_s.addressable_shards}
+    assert len(shard_devs) == 8
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_mppi_fleet_divisibility_error():
+    import dataclasses
+
+    from dnn_mppi_mpc_tpu.parallel.sharding import make_sharded_mppi_fleet
+
+    cfg, params, _, _ = _make_pair()
+    cfg = dataclasses.replace(cfg, num_samples=64)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    mesh = make_mesh(("batch",))
+    step = make_sharded_mppi_fleet(cfg, step_fn, stage, terminal, mesh, axis="batch")
+    B = 6  # not divisible by 8
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: MPPIState.init(cfg, k))(keys)
+    with pytest.raises(ValueError, match="divisible"):
+        step(params, states, jnp.zeros((B, 3), jnp.float32))
