@@ -165,6 +165,11 @@ _DEMOS = {
 def cmd_demo(args: argparse.Namespace) -> None:
     from .envs.closed_loop import mppi_controller, nmpc_controller, run_closed_loop
 
+    if getattr(args, "fused", False) and jax.devices()[0].platform != "tpu":
+        raise SystemExit(
+            "--fused binds the single-launch Pallas tick (on-chip Mosaic "
+            "PRNG) — TPU only; drop --fused for the XLA scan path"
+        )
     solver, params, kind, x0, obstacles = _DEMOS[args.name](args)
     dt = float(solver.cfg.dt)
     if kind == "mppi":

@@ -54,6 +54,13 @@ def main() -> None:
     ap.add_argument("--horizon", type=int, default=25)
     ap.add_argument("--ticks", type=int, default=60)
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="partition the fleet over a device mesh (make_sharded_mppi_fleet; "
+        "zero collectives, fused fleet tick kept per shard on TPU) — on one "
+        "chip this is the 1-shard A/B vs the unsharded launch",
+    )
     args = ap.parse_args()
 
     B, dt = args.fleet, 0.05
@@ -78,7 +85,19 @@ def main() -> None:
         ref_path=paths,  # (B, P, 3): per-member references
     )
 
-    if on_tpu:
+    if args.sharded:
+        from dnn_mppi_mpc_tpu.parallel import make_mesh, make_sharded_mppi_fleet
+
+        mesh = make_mesh(("batch",))
+        stage, terminal = make_tracking_costs(cfg)
+        fleet = make_sharded_mppi_fleet(
+            cfg, step_fn, stage, terminal, mesh, axis="batch", fused=on_tpu
+        )
+        mode = (
+            f"mesh-sharded fleet over {mesh.shape['batch']} device(s) — "
+            + ("fused fleet tick per shard" if on_tpu else "scan path per shard")
+        )
+    elif on_tpu:
         fleet = make_fleet_fused_mppi_step(cfg, step_fn)
         mode = "fused fleet tick (one Pallas launch per control step)"
     else:
@@ -144,7 +163,8 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": f"mppi_fleet_tick_B{B}_K{args.samples}"
-                    + ("_fused" if on_tpu else "_cpu_scan"),
+                    + ("_fused" if on_tpu else "_cpu_scan")
+                    + ("_sharded" if args.sharded else ""),
                     "fleet_ticks_per_s": round(1.0 / t.tau, 2),
                     "member_solves_per_s": round(B / t.tau, 1),
                     "per_tick_ms_p50": round(t.p50 * 1e3, 4),
