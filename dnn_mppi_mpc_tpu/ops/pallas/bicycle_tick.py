@@ -66,6 +66,7 @@ def _bicycle_tick_kernel(
     gen_noise: bool,
     emit_eps: bool,
     gaussian: str,
+    iso_xy: bool,
 ):
     rest = list(rest)
     if not gen_noise:
@@ -117,33 +118,49 @@ def _bicycle_tick_kernel(
         zero_l = jnp.minimum(jnp.abs(eps0[0, r0 : r0 + R_BLK]), 0.0)
 
         def window_refs(xc, yc, zero_l=zero_l):
-            """Running-min over the SMEM window (first-argmin tie rule)."""
+            """Running-min over the SMEM window (first-argmin tie rule).
+
+            ``iso_xy`` mode returns (dmin, ryaw, rv) instead of the
+            (rx, ry, ryaw, rv) reference point: with symmetric x/y tracking
+            weights the cost is sw0·dmin + sw2·(yaw−ryaw)² + sw3·(v−rv)²
+            EXACTLY, so the rx/ry select chains — 2 of the 5 selects in the
+            kernel's dominant W-deep loop — vanish (the diff-drive kernel's
+            iso_xy lever, ops/pallas/mppi_tick.py)."""
             wx0, wy0 = win_ref[0, 0], win_ref[0, 1]
             d0 = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
             init = (
                 d0,
-                zero_l + wx0,
-                zero_l + wy0,
                 zero_l + win_ref[0, 2],
                 zero_l + win_ref[0, 3],
             )
+            if not iso_xy:
+                init = init + (zero_l + wx0, zero_l + wy0)
 
             def body(w, carry):
-                dmin, rx, ry, ryaw, rv = carry
+                dmin, ryaw, rv = carry[:3]
                 wx, wy = win_ref[w, 0], win_ref[w, 1]
                 d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
                 better = d < dmin
-                return (
+                out = (
                     jnp.where(better, d, dmin),
-                    jnp.where(better, wx, rx),
-                    jnp.where(better, wy, ry),
                     jnp.where(better, win_ref[w, 2], ryaw),
                     jnp.where(better, win_ref[w, 3], rv),
                 )
+                if not iso_xy:
+                    rx, ry = carry[3], carry[4]
+                    out = out + (
+                        jnp.where(better, wx, rx),
+                        jnp.where(better, wy, ry),
+                    )
+                return out
 
             # Mosaic supports only unroll=1 or full unroll for fori_loop;
             # full unroll at W≈200 × T explodes compile time, so stride 1.
-            _, rx, ry, ryaw, rv = jax.lax.fori_loop(1, W, body, init)
+            res = jax.lax.fori_loop(1, W, body, init)
+            if iso_xy:
+                dmin, ryaw, rv = res
+                return dmin, ryaw, rv
+            dmin, ryaw, rv, rx, ry = res
             return rx, ry, ryaw, rv
 
         def collision(xc, yc, cos_y, sin_y, zero_l=zero_l):
@@ -162,16 +179,24 @@ def _bicycle_tick_kernel(
             return hit * penalty
 
         def cost(xc, yc, yawc, vc, weights, cos_y, sin_y):
-            rx, ry, ryaw, rv = window_refs(xc, yc)
             yaw_wrapped = yawc - jnp.float32(_TWO_PI) * jnp.floor(
                 yawc / jnp.float32(_TWO_PI)
             )
-            c = (
-                weights[0] * (xc - rx) * (xc - rx)
-                + weights[1] * (yc - ry) * (yc - ry)
-                + weights[2] * (yaw_wrapped - ryaw) * (yaw_wrapped - ryaw)
-                + weights[3] * (vc - rv) * (vc - rv)
-            )
+            if iso_xy:
+                dmin, ryaw, rv = window_refs(xc, yc)
+                c = (
+                    weights[0] * dmin
+                    + weights[2] * (yaw_wrapped - ryaw) * (yaw_wrapped - ryaw)
+                    + weights[3] * (vc - rv) * (vc - rv)
+                )
+            else:
+                rx, ry, ryaw, rv = window_refs(xc, yc)
+                c = (
+                    weights[0] * (xc - rx) * (xc - rx)
+                    + weights[1] * (yc - ry) * (yc - ry)
+                    + weights[2] * (yaw_wrapped - ryaw) * (yaw_wrapped - ryaw)
+                    + weights[3] * (vc - rv) * (vc - rv)
+                )
             if n_obs > 0:
                 c = c + collision(xc, yc, cos_y, sin_y)
             return c
@@ -219,7 +244,7 @@ def _bicycle_tick_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "W", "emit_eps", "interpret", "gaussian"),
+    static_argnames=("K", "T", "W", "emit_eps", "interpret", "gaussian", "iso_xy"),
 )
 def bicycle_mppi_tick(
     seed: jnp.ndarray,  # () int32 — ignored when eps is given
@@ -249,10 +274,17 @@ def bicycle_mppi_tick(
     emit_eps: bool = False,
     interpret: bool = False,
     gaussian: str = "popcount",
+    iso_xy: bool = False,
 ):
     """One fused race-car MPPI tick → ``(S (K,), w (K,), w_eps (T, 2))``
     (plus ``eps (K, T, 2)`` when ``emit_eps``). ``gaussian`` as in
-    mppi_tick.standard_normal_pair."""
+    mppi_tick.standard_normal_pair. ``iso_xy`` specializes for SYMMETRIC x/y
+    tracking weights (stage_w[0]==stage_w[1], term_w[0]==term_w[1] — the
+    reference race car's own (50, 50, 1, 20) defaults,
+    mppi_race_car_obstacle.py:22-26): the cost uses the running min distance
+    directly, dropping the rx/ry select chains from the W-deep window loop.
+    The caller must guarantee the symmetry (asserted in
+    solvers.mppi.make_pallas_bicycle_tick at bind time)."""
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
@@ -302,6 +334,7 @@ def bicycle_mppi_tick(
         gen_noise=gen_noise,
         emit_eps=emit,
         gaussian=gaussian,
+        iso_xy=iso_xy,
     )
 
     out_shape = [

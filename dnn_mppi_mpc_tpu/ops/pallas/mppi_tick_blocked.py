@@ -79,7 +79,7 @@ def _gen_eps_block(seed, block_id, T, RB, chol, gaussian, eps0, eps1):
 
 def _rollout_block(
     sc, u_at, a_at, win, obs, eps0, eps1, k_base,
-    *, T, RB, R_BLK, n_obs, last_only, obs_mode, moving_obs,
+    *, T, RB, R_BLK, n_obs, last_only, obs_mode, moving_obs, iso_xy=False,
 ):
     """Roll out one (RB, 128) sample block, returning its cost surface S.
 
@@ -94,19 +94,26 @@ def _rollout_block(
     soft_dist, soft_w = sc["soft"]
 
     def window_refs(xc, yc):
+        # ``iso_xy``: symmetric x/y weights → cost from the running min
+        # distance directly, dropping the rx/ry select chains (the
+        # single-block kernel's lever, ops/pallas/mppi_tick.py)
         wx0, wy0, wyaw0 = win[0]
         dmin = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
-        rx = jnp.full(shape, wx0, dtype=jnp.float32)
-        ry = jnp.full(shape, wy0, dtype=jnp.float32)
+        if not iso_xy:
+            rx = jnp.full(shape, wx0, dtype=jnp.float32)
+            ry = jnp.full(shape, wy0, dtype=jnp.float32)
         ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
         for w in range(1, len(win)):
             wx, wy, wyaw = win[w]
             d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
             better = d < dmin
             dmin = jnp.where(better, d, dmin)
-            rx = jnp.where(better, wx, rx)
-            ry = jnp.where(better, wy, ry)
+            if not iso_xy:
+                rx = jnp.where(better, wx, rx)
+                ry = jnp.where(better, wy, ry)
             ryaw = jnp.where(better, wyaw, ryaw)
+        if iso_xy:
+            return dmin, ryaw
         return rx, ry, ryaw
 
     def obstacle_penalty(xc, yc, t_f=None):
@@ -150,12 +157,16 @@ def _rollout_block(
             x = x + v0 * jnp.cos(yaw) * sc["dt"]
             y = y + v0 * jnp.sin(yaw) * sc["dt"]
             yaw = yaw + v1 * sc["dt"]
-            rx, ry, ryaw = window_refs(x, y)
-            c = (
-                sw0 * (x - rx) * (x - rx)
-                + sw1 * (y - ry) * (y - ry)
-                + sw2 * (yaw - ryaw) * (yaw - ryaw)
-            )
+            if iso_xy:
+                dmin, ryaw = window_refs(x, y)
+                c = sw0 * dmin + sw2 * (yaw - ryaw) * (yaw - ryaw)
+            else:
+                rx, ry, ryaw = window_refs(x, y)
+                c = (
+                    sw0 * (x - rx) * (x - rx)
+                    + sw1 * (y - ry) * (y - ry)
+                    + sw2 * (yaw - ryaw) * (yaw - ryaw)
+                )
             c = c + a_at(t, 0) * v0 + a_at(t, 1) * v1
             if n_obs > 0:
                 c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * sc["dt"])
@@ -168,12 +179,16 @@ def _rollout_block(
         yaw = jnp.full(shape, yaw0c, dtype=jnp.float32)
         S = jnp.zeros(shape, dtype=jnp.float32)
         x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
-        rx, ry, ryaw = window_refs(x, y)
-        S = S + (
-            tw0 * (x - rx) * (x - rx)
-            + tw1 * (y - ry) * (y - ry)
-            + tw2 * (yaw - ryaw) * (yaw - ryaw)
-        )
+        if iso_xy:
+            dmin, ryaw = window_refs(x, y)
+            S = S + tw0 * dmin + tw2 * (yaw - ryaw) * (yaw - ryaw)
+        else:
+            rx, ry, ryaw = window_refs(x, y)
+            S = S + (
+                tw0 * (x - rx) * (x - rx)
+                + tw1 * (y - ry) * (y - ry)
+                + tw2 * (yaw - ryaw) * (yaw - ryaw)
+            )
         if n_obs > 0:
             S = S + obstacle_penalty(x, y)
         S_parts.append(S)
@@ -185,7 +200,7 @@ def _blocked_kernel(
     S_ref, stat_ref, weps_ref,
     eps0, eps1, acc_ref, neg_rho_ref, eta_ref,
     *, T, W, RB, R_BLK, NB, n_obs, last_only, gaussian, obs_mode, moving_obs,
-    s_only,
+    s_only, iso_xy,
 ):
     b = pl.program_id(0)
     sc = _read_scalars(scal_ref)
@@ -206,7 +221,7 @@ def _blocked_kernel(
         sc, lambda t, j: u_ref[t, j], lambda t, j: a_ref[t, j],
         win, obs, eps0, eps1, k_base,
         T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
-        obs_mode=obs_mode, moving_obs=moving_obs,
+        obs_mode=obs_mode, moving_obs=moving_obs, iso_xy=iso_xy,
     )
     for i, S in enumerate(S_parts):
         S_ref[i * R_BLK : (i + 1) * R_BLK, :] = S
@@ -276,7 +291,7 @@ def _pack_scalars(
     jax.jit,
     static_argnames=(
         "K", "T", "W", "K_BLK", "last_only", "s_only", "interpret", "gaussian",
-        "collision",
+        "collision", "iso_xy",
     ),
 )
 def diffdrive_mppi_tick_blocked(
@@ -310,6 +325,7 @@ def diffdrive_mppi_tick_blocked(
     interpret: bool = False,
     gaussian: str = "popcount",
     collision: str = "circle",
+    iso_xy: bool = False,
 ):
     """Fused MPPI tick for K beyond the single-block VMEM budget.
 
@@ -346,6 +362,7 @@ def diffdrive_mppi_tick_blocked(
         T=T, W=W, RB=RB, R_BLK=R_BLK, NB=NB, n_obs=n_obs,
         last_only=last_only, gaussian=gaussian, obs_mode=collision,
         moving_obs=obstacle_velocities is not None, s_only=s_only,
+        iso_xy=iso_xy,
     )
 
     grid = (NB,)
@@ -526,6 +543,7 @@ def _fleet_kernel(
     S_ref, w_ref, weps_ref,
     eps0, eps1,
     *, T, W, RB, R_BLK, n_obs, last_only, gaussian, obs_mode, moving_obs,
+    iso_xy,
 ):
     """One fleet member per grid step: complete tick (gen ε → rollout →
     softmax → weighted reduce) on member b's own u/x0/window/obstacles.
@@ -550,7 +568,7 @@ def _fleet_kernel(
         sc, lambda t, j: u_ref[0, t, j], lambda t, j: a_ref[0, t, j],
         win, obs, eps0, eps1, jnp.float32(0.0),
         T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
-        obs_mode=obs_mode, moving_obs=moving_obs,
+        obs_mode=obs_mode, moving_obs=moving_obs, iso_xy=iso_xy,
     )
     for i, S in enumerate(S_parts):
         S_ref[0, i * R_BLK : (i + 1) * R_BLK, :] = S
@@ -570,6 +588,7 @@ def _fleet_kernel(
     jax.jit,
     static_argnames=(
         "B", "K", "T", "W", "last_only", "interpret", "gaussian", "collision",
+        "iso_xy",
     ),
 )
 def fleet_mppi_tick(
@@ -600,6 +619,7 @@ def fleet_mppi_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     collision: str = "circle",
+    iso_xy: bool = False,
 ):
     """Lane-batched MPPI fleet tick: B independent controllers, one Pallas
     launch — the MPPI analog of the lane-batched NMPC QP fleet (round-2
@@ -646,7 +666,7 @@ def fleet_mppi_tick(
         _fleet_kernel,
         T=T, W=W, RB=RB, R_BLK=R_BLK, n_obs=n_obs,
         last_only=last_only, gaussian=gaussian, obs_mode=collision,
-        moving_obs=obstacle_velocities is not None,
+        moving_obs=obstacle_velocities is not None, iso_xy=iso_xy,
     )
     result = pl.pallas_call(
         kernel,

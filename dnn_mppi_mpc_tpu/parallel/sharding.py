@@ -145,6 +145,7 @@ def make_sharded_fused_mppi_step(
     soft_weight: float = 100.0,
     phase1: Optional[Callable] = None,
     phase2: Optional[Callable] = None,
+    iso_xy: bool = False,
 ) -> Callable:
     """Sample-sharded MPPI tick with per-shard ON-CHIP noise (two-phase).
 
@@ -216,6 +217,7 @@ def make_sharded_fused_mppi_step(
                 block_offset=block_offset,
                 K=local_K, T=T, W=window.shape[0], K_BLK=k_blk,
                 last_only=False, s_only=True, collision=collision,
+                iso_xy=iso_xy,
             )
 
         def phase2(seed, block_offset, w_local, chol):

@@ -131,6 +131,7 @@ def racecar_mppi(
     use_pallas: bool = False,
     fused_tick: bool = False,
     gaussian: str = "popcount",
+    iso_xy: bool = False,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -184,7 +185,16 @@ def racecar_mppi(
     if fused_tick:
         from .solvers.mppi import make_pallas_bicycle_tick
 
-        tick_fn = make_pallas_bicycle_tick(cfg, wheel_base=wheel_base, gaussian=gaussian)
+        if iso_xy and (
+            float(params.stage_weight[0]) != float(params.stage_weight[1])
+            or float(params.terminal_weight[0]) != float(params.terminal_weight[1])
+        ):
+            raise ValueError(
+                "iso_xy=True requires symmetric x/y tracking weights"
+            )
+        tick_fn = make_pallas_bicycle_tick(
+            cfg, wheel_base=wheel_base, gaussian=gaussian, iso_xy=iso_xy
+        )
     elif use_pallas:
         from .solvers.mppi import make_pallas_bicycle_rollout
 

@@ -655,6 +655,7 @@ def make_pallas_diffdrive_tick_blocked(
     collision: str = "circle",
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
+    iso_xy: bool = False,
 ):
     """Bind the K-blocked fused tick (ops/pallas/mppi_tick_blocked.py) as
     tick_fn — pod-scale sample counts (K ≥ ~40k at T=50) on one chip.
@@ -725,6 +726,7 @@ def make_pallas_diffdrive_tick_blocked(
             K_BLK=k_block,
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             collision=collision,
+            iso_xy=iso_xy,
         )
         # per-sample weights: one cheap elementwise pass over S in XLA
         inv_t = jnp.asarray(cfg.inv_temperature, S.dtype)
@@ -742,6 +744,7 @@ def make_pallas_bicycle_tick(
     margin_rate: float = 1.5,
     interpret: bool = False,
     gaussian: str = "popcount",
+    iso_xy: bool = False,
 ):
     """Bind the fully-fused race-car tick kernel (ops/pallas/bicycle_tick.py).
 
@@ -749,6 +752,10 @@ def make_pallas_bicycle_tick(
     tracking + polygon collision over the W≈200 window, softmax, weighted
     reduce — the ε tensor never exists in HBM. Single-device; semantics of
     make_pallas_bicycle_rollout (parity: tests/test_bicycle_tick.py).
+    ``iso_xy`` specializes for symmetric x/y tracking weights — the reference
+    race car's own (50, 50, 1, 20) defaults (mppi_race_car_obstacle.py:22-26)
+    — dropping the rx/ry select chains from the dominant W-deep window loop
+    (checked against params at call time).
     """
     from ..ops.pallas.bicycle_tick import bicycle_mppi_tick
     from ..ops.sampling import small_cholesky
@@ -777,6 +784,19 @@ def make_pallas_bicycle_tick(
                 "the fused bicycle tick does not implement in-rollout moving "
                 "obstacles (obstacle_velocities) — use the scan path"
             )
+        if iso_xy:
+            # trace-time guard where possible (concrete weights); symmetric
+            # x/y weights are what makes the dmin specialization exact
+            for wgt in (params.stage_weight, params.terminal_weight):
+                try:
+                    w0, w1 = float(wgt[0]), float(wgt[1])
+                except TypeError:
+                    continue  # traced weights: caller's responsibility
+                if w0 != w1:
+                    raise ValueError(
+                        f"iso_xy=True requires symmetric x/y weights, got "
+                        f"({w0}, {w1}) — drop iso_xy or symmetrize"
+                    )
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
@@ -807,6 +827,7 @@ def make_pallas_bicycle_tick(
             W=Wlen,
             interpret=interpret,
             gaussian=gaussian,
+            iso_xy=iso_xy,
         )
 
     return tick
@@ -1100,6 +1121,7 @@ def make_fleet_fused_mppi_step(
     collision: str = "circle",
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
+    iso_xy: bool = False,
 ):
     """Lane-batched MPPI fleet: B independent controllers per Pallas launch.
 
@@ -1195,6 +1217,7 @@ def make_fleet_fused_mppi_step(
             W=windows.shape[1],
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             collision=collision,
+            iso_xy=iso_xy,
         )
 
         # _mppi_tail only uses ref_path for its LENGTH (end-of-path bit) and
@@ -1309,6 +1332,7 @@ class MPPISolver:
                     collision=collision,
                     soft_safety_distance=soft_safety_distance,
                     soft_weight=soft_weight,
+                    iso_xy=iso_xy,
                 )
             else:
                 # collision/soft settings must reach the kernel — dropping

@@ -220,3 +220,53 @@ def test_racecar_preset_fused_tick_wiring(monkeypatch):
     u0_a, _, _ = sol_t.step(params, st, x0, noise=eps)
     u0_b, _, _ = sol_k.step(params2, st, x0, noise=eps)
     np.testing.assert_allclose(np.asarray(u0_a), np.asarray(u0_b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("obstacles", [False, True])
+def test_bicycle_tick_iso_xy_matches_scan_engine(obstacles):
+    """iso_xy=True (symmetric x/y weights — the reference's own (50, 50, …)
+    defaults) must reproduce the scan engine like the general kernel: the
+    cost from the running min distance is algebraically identical."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=obstacles)
+    eps = _noise(cfg, params, seed=9)
+    x0 = jnp.asarray([10.0, 0.5, np.pi / 2, 3.0], jnp.float32)
+    state = MPPIState.init(cfg)
+    state = dataclasses.replace(
+        state,
+        u_prev=jnp.asarray(
+            np.random.default_rng(1).normal(0, 0.1, (T, 2)), jnp.float32
+        ),
+    )
+
+    tick = make_pallas_bicycle_tick(cfg, interpret=True, iso_xy=True)
+    u0_t, st_t, aux_t = jax.jit(
+        lambda p, s, x, n: mppi_step(
+            cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+        )
+    )(params, state, x0, eps)
+    u0_r, st_r, aux_r = jax.jit(
+        lambda p, s, x, n: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n)
+    )(params, state, x0, eps)
+
+    np.testing.assert_allclose(
+        np.asarray(aux_t.costs), np.asarray(aux_r.costs), rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_t.weights), np.asarray(aux_r.weights), rtol=3e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(u0_t), np.asarray(u0_r), rtol=1e-4, atol=1e-5)
+
+
+def test_bicycle_tick_iso_xy_rejects_asymmetric_weights():
+    """Concrete (un-jitted) weights are validated at call time; traced
+    weights are the caller's responsibility (documented in the binder)."""
+    cfg, params, step_fn, stage, terminal = _setup()
+    params = dataclasses.replace(
+        params, stage_weight=jnp.array([50.0, 40.0, 1.0, 20.0], jnp.float32)
+    )
+    tick = make_pallas_bicycle_tick(cfg, interpret=True, iso_xy=True)
+    with pytest.raises(ValueError, match="symmetric"):
+        mppi_step(
+            cfg, step_fn, stage, terminal, params, MPPIState.init(cfg),
+            jnp.zeros(4, jnp.float32), _noise(cfg, params), tick_fn=tick,
+        )

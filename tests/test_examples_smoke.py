@@ -32,6 +32,11 @@ _CASES = [
         "mppi_fleet_serving.py",
         ["--fleet", "3", "--samples", "128", "--horizon", "8", "--ticks", "4", "--bench"],
     ),
+    (
+        "mppi_fleet_serving.py",
+        ["--fleet", "8", "--samples", "64", "--horizon", "6", "--ticks", "3",
+         "--sharded"],
+    ),
     ("pacer_characterization.py", ["--seconds", "0.5"]),
     ("custom_model_mppi.py", ["--ticks", "3", "--samples", "128", "--horizon", "8"]),
     (

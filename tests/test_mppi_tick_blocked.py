@@ -215,3 +215,42 @@ def test_blocked_tick_closed_loop_tracks():
     assert bool(jnp.all(jnp.isfinite(x)))
     d1 = float(jnp.min(jnp.linalg.norm(params.ref_path[:, :2] - x[:2], axis=1)))
     assert d1 < max(0.15, d0)  # converged onto the path band
+
+
+@pytest.mark.tpu_hw
+@pytest.mark.skipif(not on_tpu, reason="Mosaic PRNG is TPU-only")
+def test_blocked_tick_iso_xy_matches_general():
+    """iso_xy=True on symmetric x/y weights equals the general blocked kernel
+    at equal seeds (identical ε streams; the cost from the running min
+    distance is algebraically identical — sw0·dmin vs sw0·dx²+sw1·dy²)."""
+    from dnn_mppi_mpc_tpu.ops.pallas.mppi_tick_blocked import (
+        diffdrive_mppi_tick_blocked,
+    )
+    from dnn_mppi_mpc_tpu.ops.sampling import sigma_inverse, small_cholesky
+
+    cfg, params, step_fn, stage, terminal = _setup(
+        filter=SmoothingFilter.NONE, filter_window=1
+    )
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.normal(0, 0.3, (T, 2)), jnp.float32)
+    x0 = jnp.concatenate(
+        [params.ref_path[0, :2], jnp.asarray([0.2], jnp.float32)]
+    )
+    window = params.ref_path[:W, :3]
+    a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+    chol = small_cholesky(params.sigma)
+    seed = jnp.asarray(77, jnp.int32)
+
+    outs = {}
+    for iso in (False, True):
+        S, rho, eta, weps = diffdrive_mppi_tick_blocked(
+            seed, u, a, chol, x0, window,
+            params.stage_weight, params.terminal_weight,
+            params.u_min, params.u_max, cfg.dt,
+            (1.0 - cfg.exploration) * K, cfg.inv_temperature,
+            obstacles=params.obstacles, robot_radius=0.5,
+            K=K, T=T, W=W, K_BLK=KB, iso_xy=iso,
+        )
+        outs[iso] = (np.asarray(S), np.asarray(weps))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-4, atol=1e-5)
