@@ -46,6 +46,15 @@ def _lane_rounded_samples(num_samples: int) -> int:
     return -(-num_samples // 128) * 128
 
 
+def _symmetric_xy(params: MPPIParams) -> bool:
+    """True when stage/terminal x and y weights are equal — the condition
+    under which the kernels' exact ``iso_xy`` specialization applies."""
+    return bool(
+        float(params.stage_weight[0]) == float(params.stage_weight[1])
+        and float(params.terminal_weight[0]) == float(params.terminal_weight[1])
+    )
+
+
 def diff_drive_mppi(
     ref_path: jnp.ndarray,
     num_samples: int = 100,
@@ -54,7 +63,7 @@ def diff_drive_mppi(
     obstacles: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     fused_tick: bool = False,
-    iso_xy: bool = False,
+    iso_xy: Optional[bool] = None,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Diff-drive waypoint-tracking MPPI.
@@ -66,8 +75,10 @@ def diff_drive_mppi(
     With ``use_pallas``/``fused_tick`` K is rounded up to a multiple of 128
     (lane layout); ``fused_tick`` selects the single-launch Pallas tick (the
     flagship-bench configuration — on-chip ε, in-kernel epilogue), and
-    ``iso_xy`` enables the exact x/y-symmetric-weight specialization (valid
-    for the default (5, 5, ·) weights; parity in tests/test_mppi_tick.py).
+    ``iso_xy`` enables the exact x/y-symmetric-weight specialization
+    (default None = auto: enabled exactly when the weights are symmetric,
+    which the reference defaults (5, 5, ·) are; parity in
+    tests/test_mppi_tick.py).
     """
     if use_pallas or fused_tick:
         num_samples = _lane_rounded_samples(num_samples)
@@ -105,6 +116,8 @@ def diff_drive_mppi(
     stage, terminal = make_tracking_costs(
         cfg, collision="none" if obstacles is None else "circle"
     )
+    if iso_xy is None:
+        iso_xy = _symmetric_xy(params)
     # kernel-side collision stays "circle" (the MPPISolver default): the fused
     # tick only accepts circle/soft and treats params.obstacles=None as a no-op
     return (
@@ -131,7 +144,7 @@ def racecar_mppi(
     use_pallas: bool = False,
     fused_tick: bool = False,
     gaussian: str = "popcount",
-    iso_xy: bool = False,
+    iso_xy: Optional[bool] = None,
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -182,13 +195,12 @@ def racecar_mppi(
     )
     rollout_fn = None
     tick_fn = None
+    if iso_xy is None:
+        iso_xy = _symmetric_xy(params)
     if fused_tick:
         from .solvers.mppi import make_pallas_bicycle_tick
 
-        if iso_xy and (
-            float(params.stage_weight[0]) != float(params.stage_weight[1])
-            or float(params.terminal_weight[0]) != float(params.terminal_weight[1])
-        ):
+        if iso_xy and not _symmetric_xy(params):
             raise ValueError(
                 "iso_xy=True requires symmetric x/y tracking weights"
             )
