@@ -89,6 +89,11 @@ def _demo_diff_drive_mppi(args):
     obstacles = (
         jnp.array([[3.0, -1.0, 0.8], [5.5, -3.0, 0.8]]) if args.obstacles else None
     )
+    lookahead = (
+        dict(waypoint_carry="rollout", waypoint_persist="max")
+        if args.lookahead
+        else {}
+    )
     solver, params = presets.diff_drive_mppi(
         _line_path(),
         num_samples=args.samples,
@@ -96,6 +101,7 @@ def _demo_diff_drive_mppi(args):
         obstacles=obstacles,
         fused_tick=args.fused,
         compute_optimal_traj=False,
+        **lookahead,
     )
     return solver, params, "mppi", jnp.zeros(3), obstacles
 
@@ -476,6 +482,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--horizon", type=int, default=10)
     d.add_argument("--obstacles", action="store_true")
     d.add_argument("--fused", action="store_true", help="single-launch Pallas tick")
+    d.add_argument(
+        "--lookahead",
+        action="store_true",
+        help="diff-drive-mppi only: waypoint_carry='rollout' + persist='max' — "
+        "the pure form of the reference's stateful waypoint lookup, recovering "
+        "its closed-loop tracking speed (MIGRATION.md; scan path, not --fused)",
+    )
     d.add_argument("--seed", type=int, default=0)
     d.add_argument("--out", default=None, help="directory for trajectory/control plots")
     d.set_defaults(fn=cmd_demo)

@@ -91,6 +91,24 @@ class MPPIConfig:
     rollout_var_cost: float = 0.0
     rollout_var_discount: float = 0.95
     use_pallas: bool = False  # fused Pallas rollout kernel for the hot path
+    waypoint_carry: str = "tick"  # nearest-waypoint window anchoring:
+    # * "tick"    — one window per control tick (pure default; every rollout
+    #   state queries the same [start, start+W) window)
+    # * "rollout" — each rollout carries its own monotone window start through
+    #   the scan (idx_{t+1} = argmin over [idx_t, idx_t+W)). This is the pure,
+    #   vmappable form of the reference's *stateful* lookup
+    #   (mppi_differential_drive.py:228 calls _get_nearest_waypoint with
+    #   update_prev_idx=True from inside the cost): the mutation makes the
+    #   window creep ahead of the robot during the solve and is what actually
+    #   produces the reference demo's forward progress — the nearest-waypoint
+    #   cost itself has no progress term. Scan path only (the fused kernels
+    #   anchor their window per tick).
+    waypoint_persist: str = "none"  # cross-tick carry for "rollout" mode:
+    # "none" keeps the tick-level window advance; "max" persists the furthest
+    # rollout-carried index into the next tick's window start (the pure
+    # analog of the reference's prev_way_point_idx retaining the last
+    # sample's final index — measured to recover ~80% of the reference's
+    # closed-loop progress where "none" recovers ~20%; tests/test_reference_crosscheck.py)
     compute_optimal_traj: bool = False  # (T, nx) planned-trajectory diagnostic;
     # off by default: it is a K=1 *sequential* scan of T dependent steps whose
     # latency rivals the whole K-wide rollout (~40% of a fused tick at the

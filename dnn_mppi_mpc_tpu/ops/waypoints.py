@@ -54,4 +54,37 @@ def nearest_waypoint(
     return idx, ref
 
 
-__all__ = ["nearest_waypoint"]
+def nearest_waypoint_carried(
+    ref_path: jnp.ndarray,
+    xy: jnp.ndarray,
+    start_idx: jnp.ndarray,
+    search_len: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query-window nearest-waypoint lookup (``waypoint_carry="rollout"``).
+
+    Like :func:`nearest_waypoint` but ``start_idx`` has the batch shape of
+    ``xy`` (one window per rollout), so each sample's window can advance
+    independently through the scan — the pure form of the reference's
+    stateful in-cost search (mppi_differential_drive.py:222-238, which
+    mutates ``prev_way_point_idx`` per evaluation). Monotone by construction:
+    the window is forward-only from each carried index, exactly like the
+    reference's ``[prev, prev+W)`` slice.
+
+    Returns (idx, ref) with idx ≥ start_idx elementwise.
+    """
+    P = ref_path.shape[0]
+    search_len = min(search_len, P)
+    start = jnp.clip(start_idx, 0, max(P - search_len, 0)).astype(jnp.int32)
+    offs = jnp.arange(search_len, dtype=jnp.int32)
+    gidx = start[..., None] + offs  # (..., W)
+    rows = jnp.take(ref_path, gidx, axis=0)  # (..., W, d)
+    d2 = jnp.sum((xy[..., None, :2] - rows[..., :2]) ** 2, axis=-1)
+    local = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    idx = start + local
+    ref = jnp.take_along_axis(
+        rows, local[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    return idx, ref
+
+
+__all__ = ["nearest_waypoint", "nearest_waypoint_carried"]

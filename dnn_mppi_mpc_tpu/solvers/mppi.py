@@ -47,7 +47,7 @@ from ..ops.costs import (
 )
 from ..ops.filters import apply_filter
 from ..ops.sampling import sample_noise, sigma_inverse
-from ..ops.waypoints import nearest_waypoint
+from ..ops.waypoints import nearest_waypoint, nearest_waypoint_carried
 
 
 @register_pytree_node_class
@@ -124,9 +124,22 @@ def make_tracking_costs(
     """
 
     def tracking(x: jnp.ndarray, weight: jnp.ndarray, ctx: CostContext) -> jnp.ndarray:
-        _, ref = nearest_waypoint(
-            ctx.params.ref_path, x[..., :2], ctx.waypoint_start, cfg.waypoint_search_len
-        )
+        if ctx.waypoint_start.ndim > 0:
+            # waypoint_carry="rollout": per-sample window starts carried by the
+            # scan (ops/waypoints.nearest_waypoint_carried)
+            _, ref = nearest_waypoint_carried(
+                ctx.params.ref_path,
+                x[..., :2],
+                ctx.waypoint_start,
+                cfg.waypoint_search_len,
+            )
+        else:
+            _, ref = nearest_waypoint(
+                ctx.params.ref_path,
+                x[..., :2],
+                ctx.waypoint_start,
+                cfg.waypoint_search_len,
+            )
         n = weight.shape[-1]
         err = x[..., :n] - ref[..., :n]
         if wrap_yaw:
@@ -239,6 +252,16 @@ def mppi_step(
     )
     ctx = CostContext(params=params, waypoint_start=wp_idx)
 
+    if cfg.waypoint_carry not in ("tick", "rollout"):
+        raise ValueError(f"waypoint_carry must be 'tick' or 'rollout': {cfg.waypoint_carry!r}")
+    if cfg.waypoint_persist not in ("none", "max"):
+        raise ValueError(f"waypoint_persist must be 'none' or 'max': {cfg.waypoint_persist!r}")
+    if cfg.waypoint_carry == "rollout" and (tick_fn is not None or rollout_fn is not None):
+        raise ValueError(
+            "waypoint_carry='rollout' is scan-path only — the fused/Pallas "
+            "kernels anchor their waypoint window per tick"
+        )
+
     if tick_fn is not None:
         if axis_name is not None:
             raise ValueError(
@@ -308,13 +331,29 @@ def mppi_step(
         # discounted rollout-variance penalty added.
         M = max(1, cfg.num_rollout_repeats)
 
+        rollout_carry = cfg.waypoint_carry == "rollout"
+
         def body(carry, inp):
-            x, s, var = carry
+            x, s, var, wpi = carry
             v_t, e_t, t = inp
             if M > 1:  # repeat the same actions across the M rollouts
                 v_t = jnp.broadcast_to(v_t[None], (M,) + v_t.shape)
             x = dynamics_step(x, v_t)  # (K, nx) or (M, K, nx)
-            c = stage_cost(x, t, ctx) + e_t
+            if rollout_carry:
+                # per-rollout monotone window advance — the pure form of the
+                # reference's stateful in-cost lookup (see MPPIConfig.
+                # waypoint_carry). The cost's window anchors at the PRE-update
+                # carry, so its internal forward-only search reproduces the
+                # exact lookup whose argmin becomes the next carry (one
+                # semantic lookup per (k, t), like the reference's
+                # _get_nearest_waypoint(update_prev_idx=True) at :228).
+                ctx_t = ctx._replace(waypoint_start=wpi)
+                wpi, _ = nearest_waypoint_carried(
+                    params.ref_path, x[..., :2], wpi, cfg.waypoint_search_len
+                )
+            else:
+                ctx_t = ctx
+            c = stage_cost(x, t, ctx_t) + e_t
             if M > 1:
                 disc = jnp.asarray(cfg.rollout_var_discount, u.dtype) ** t.astype(u.dtype)
                 var = var + jnp.var(c, axis=0) * disc
@@ -322,19 +361,31 @@ def mppi_step(
                 s = s + c
             else:  # LAST: reference overwrite quirk (mppi_differential_drive.py:124)
                 s = c
-            return (x, s, var), None
+            return (x, s, var, wpi), None
 
         batch = (local_K,) if M == 1 else (M, local_K)
         x_init = jnp.broadcast_to(x0, batch + x0.shape)
         s_init = jnp.zeros(batch, dtype=u.dtype)
         var_init = jnp.zeros((local_K,), dtype=u.dtype)
+        wpi_init = jnp.broadcast_to(wp_idx, batch).astype(jnp.int32)
         ts = jnp.arange(T, dtype=jnp.int32)
-        (x_final, S, cost_var), _ = jax.lax.scan(
-            body, (x_init, s_init, var_init), (v_time, jnp.swapaxes(energy, 0, 1), ts)
+        (x_final, S, cost_var, wpi_final), _ = jax.lax.scan(
+            body,
+            (x_init, s_init, var_init, wpi_init),
+            (v_time, jnp.swapaxes(energy, 0, 1), ts),
         )
-        S = S + terminal_cost(x_final, ctx)
+        term_ctx = ctx._replace(waypoint_start=wpi_final) if rollout_carry else ctx
+        S = S + terminal_cost(x_final, term_ctx)
         if M > 1:
             S = jnp.mean(S, axis=0) + cfg.rollout_var_cost * cost_var
+        if rollout_carry and cfg.waypoint_persist == "max":
+            # persist the furthest carried index into the next tick's window
+            # (the pure analog of the reference's prev_way_point_idx retaining
+            # the last sample's final index, mppi_differential_drive.py:218)
+            wp_next = jnp.max(wpi_final)
+            if axis_name is not None:
+                wp_next = jax.lax.pmax(wp_next, axis_name)
+            wp_idx = wp_next
 
     # Softmax weights with ρ = min S (mppi_differential_drive.py:167-180).
     # Sharded: ρ via pmin, normalizer η via psum — the only cross-chip scalars.

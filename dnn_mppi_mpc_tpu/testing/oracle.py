@@ -42,6 +42,12 @@ class OracleMPPI:
     faithful: bool = True
     temperature: str = "exploration"  # diff-drive uses 1/exploration (:175)
     filter_window: int = 10
+    waypoint_carry: str = "tick"  # pure-mode lookup anchoring: "tick" mirrors
+    # the engine default; "rollout" carries a per-sample monotone window start
+    # through the rollout (MPPIConfig.waypoint_carry) — only used with
+    # faithful=False (faithful mode replicates the reference's full
+    # cross-sample mutation instead)
+    waypoint_persist: str = "none"  # "max" persists the furthest carried index
 
     def __post_init__(self):
         if self.sigma is None:
@@ -90,6 +96,16 @@ class OracleMPPI:
         d = (x - window[:, 0]) ** 2 + (y - window[:, 1]) ** 2
         return self.ref_path[int(np.argmin(d)) + start]
 
+    def _nearest_carried(self, x, y, start):
+        """Pure forward-only lookup returning (idx, ref) — the numpy twin of
+        ops/waypoints.nearest_waypoint_carried."""
+        P = self.ref_path.shape[0]
+        start = min(max(start, 0), max(P - self.search_len, 0))
+        window = self.ref_path[start : start + self.search_len]
+        d = (x - window[:, 0]) ** 2 + (y - window[:, 1]) ** 2
+        idx = int(np.argmin(d)) + start
+        return idx, self.ref_path[idx]
+
     def _track_cost(self, x, weight, tick_start):
         if self.faithful:
             ref = self._nearest(x[0], x[1], update=True)
@@ -136,8 +152,11 @@ class OracleMPPI:
         S = np.zeros(self.K)
         v = np.zeros((self.K, self.T, 2))
         n_exploit = (1.0 - self.exploration) * self.K
+        rollout_carry = (not self.faithful) and self.waypoint_carry == "rollout"
+        final_wpi = np.full(self.K, tick_start, dtype=int)
         for k in range(self.K):
             x = x0.copy()
+            wpi = tick_start
             for t in range(1, self.T + 1):
                 if k < n_exploit:
                     v[k, t - 1] = u[t - 1] + epsilon[k, t - 1]
@@ -145,13 +164,29 @@ class OracleMPPI:
                     v[k, t - 1] = epsilon[k, t - 1]
                 v[k, t - 1] = self._clamp(v[k, t - 1])
                 x = self._transition(x, v[k, t - 1])
-                c = self._track_cost(x, self.stage_weight, tick_start)
+                if rollout_carry:
+                    # cost anchored at the pre-update carry; argmin becomes
+                    # the next carry (engine: waypoint_carry="rollout")
+                    idx, ref = self._nearest_carried(x[0], x[1], wpi)
+                    e = x - ref[:3]
+                    c = float(np.sum(self.stage_weight * e * e))
+                    wpi = idx
+                else:
+                    c = self._track_cost(x, self.stage_weight, tick_start)
                 c += self.gamma * float(u[t - 1] @ self.sigma_inv @ v[k, t - 1])
                 if self.faithful:
                     S[k] = c  # reference overwrite quirk (:124)
                 else:
                     S[k] += c
-            S[k] += self._track_cost(x, self.terminal_weight, tick_start)
+            if rollout_carry:
+                _, ref = self._nearest_carried(x[0], x[1], wpi)
+                e = x - ref[:3]
+                S[k] += float(np.sum(self.terminal_weight * e * e))
+                final_wpi[k] = wpi
+            else:
+                S[k] += self._track_cost(x, self.terminal_weight, tick_start)
+        if rollout_carry and self.waypoint_persist == "max":
+            self.prev_idx = int(final_wpi.max())
 
         rho = S.min()
         inv_temp = (

@@ -1,0 +1,139 @@
+"""waypoint_carry="rollout": the pure form of the reference's stateful lookup.
+
+The reference's per-step cost calls _get_nearest_waypoint(update_prev_idx=True)
+(mppi_differential_drive.py:228), mutating the shared window start across every
+(k, t) evaluation. That mutation is what produces the reference demo's forward
+progress — the nearest-waypoint cost itself has no progress term. The engine's
+pure equivalent carries a monotone per-rollout window start through the scan
+(MPPIConfig.waypoint_carry="rollout"), optionally persisting the furthest index
+across ticks (waypoint_persist="max"). Exact parity against the numpy oracle in
+the same mode; behavioral gain vs the tick-anchored default; guards for the
+fused kernels (which anchor per tick). The direct comparison against the
+reference's own code runs in tests/test_reference_crosscheck.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.config import (
+    CostAccumulation,
+    MPPIConfig,
+    MPPIParams,
+    SmoothingFilter,
+    Temperature,
+)
+from dnn_mppi_mpc_tpu.models import euler_step, unicycle
+from dnn_mppi_mpc_tpu.paths.generators import line
+from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs, mppi_step
+from dnn_mppi_mpc_tpu.testing.oracle import OracleMPPI
+
+K, T, DT = 64, 10, 0.1
+
+
+def _make(carry="rollout", persist="max", **kw):
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, dim_x=3, dim_u=2, dt=DT,
+        lam=1.0, alpha=0.2, exploration=0.0001,
+        temperature=Temperature.EXPLORATION,
+        accumulation=CostAccumulation.SUM,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE, filter_window=10,
+        waypoint_search_len=20,
+        waypoint_carry=carry, waypoint_persist=persist,
+        compute_optimal_traj=False, **kw,
+    )
+    ref = np.asarray(line(jnp.zeros(2), jnp.array([10.0, -5.0]), 100), np.float64)
+    params = MPPIParams(
+        sigma=jnp.array([[0.1, 0.0], [0.0, 0.01]]),
+        stage_weight=jnp.array([5.0, 5.0, 10.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 10.0]),
+        u_min=jnp.array([-5.0, -3.14]),
+        u_max=jnp.array([5.0, 3.14]),
+        ref_path=jnp.asarray(ref, jnp.float32),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(cfg)
+    solver = MPPISolver(cfg, step_fn, stage, terminal)
+    oracle = OracleMPPI(
+        ref_path=ref, dt=DT, K=K, T=T, faithful=False,
+        waypoint_carry=carry, waypoint_persist=persist,
+    )
+    return cfg, params, solver, oracle, step_fn
+
+
+def test_rollout_carry_matches_oracle():
+    cfg, params, solver, oracle, step_fn = _make()
+    rng = np.random.default_rng(11)
+    x_o = np.zeros(3)
+    x_j = jnp.zeros(3)
+    state = solver.init()
+    for _ in range(12):
+        eps = rng.multivariate_normal(
+            np.zeros(2), np.asarray(params.sigma), size=(K, T)
+        )
+        u0_o, _, S_o = oracle.step(x_o, eps)
+        u0_j, state, aux = solver.step(
+            params, state, x_j, noise=jnp.asarray(eps, jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux.costs), S_o, rtol=5e-3, atol=5e-3
+        )
+        np.testing.assert_allclose(np.asarray(u0_j), u0_o, rtol=5e-3, atol=5e-4)
+        # persisted window start must match too
+        assert int(state.waypoint_idx) == oracle.prev_idx
+        x_o = x_o + np.array(
+            [u0_o[0] * np.cos(x_o[2]), u0_o[0] * np.sin(x_o[2]), u0_o[1]]
+        ) * DT
+        x_j = step_fn(x_j, u0_j)
+    np.testing.assert_allclose(np.asarray(x_j), x_o, rtol=1e-3, atol=1e-3)
+
+
+def test_rollout_carry_progresses_faster_than_tick_anchor():
+    """The lookahead is the point: closed-loop progress toward the goal must
+    beat the tick-anchored default substantially (the reference's own demo
+    relies on this effect for its forward progress)."""
+    goal = np.array([10.0, -5.0])
+
+    def run(carry, persist):
+        cfg, params, solver, _, step_fn = _make(carry=carry, persist=persist)
+        x = jnp.zeros(3)
+        state = solver.init(jax.random.PRNGKey(0))
+        for _ in range(120):
+            u0, state, _ = solver.step(params, state, x)
+            x = step_fn(x, u0)
+        return float(np.linalg.norm(np.asarray(x)[:2] - goal))
+
+    d0 = np.linalg.norm(goal)
+    d_tick = run("tick", "none")
+    d_roll = run("rollout", "max")
+    prog_tick = d0 - d_tick
+    prog_roll = d0 - d_roll
+    assert prog_roll > 2.0 * max(prog_tick, 1e-6), (prog_tick, prog_roll)
+
+
+def test_rollout_carry_rejects_fused_paths():
+    cfg, params, solver, _, step_fn = _make()
+    stage, terminal = make_tracking_costs(cfg)
+    with pytest.raises(ValueError, match="scan-path only"):
+        mppi_step(
+            cfg, step_fn, stage, terminal, params,
+            solver.init(), jnp.zeros(3),
+            noise=jnp.zeros((K, T, 2), jnp.float32),
+            rollout_fn=lambda *a, **k: None,
+        )
+
+
+def test_config_validation():
+    cfg, params, solver, _, step_fn = _make()
+    stage, terminal = make_tracking_costs(cfg)
+    bad = dataclasses.replace(cfg, waypoint_carry="bogus")
+    with pytest.raises(ValueError, match="waypoint_carry"):
+        mppi_step(
+            bad, step_fn, stage, terminal, params, solver.init(),
+            jnp.zeros(3), noise=jnp.zeros((K, T, 2), jnp.float32),
+        )
