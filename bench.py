@@ -86,6 +86,14 @@ def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
     n2 = max(40, min(1000, int(100.0 / per_solve_guess_ms)))
     n1 = max(8, n2 // 5)
     t = slope_timing(make_runner, n1, n2, reps=reps)
+    # label from the SAME constants MPPISolver's kernel selector uses —
+    # a duplicated threshold here mislabeled rows for K·T in (13107, 25000]·50
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        _EPS_BYTES_PER_SAMPLE_STEP,
+        _SINGLE_BLOCK_VMEM_BUDGET,
+    )
+
+    blocked = _EPS_BYTES_PER_SAMPLE_STEP * T * K > _SINGLE_BLOCK_VMEM_BUDGET
     return {
         "K": K,
         "T": T,
@@ -94,7 +102,7 @@ def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
         "p50_ms": round(t.p50 * 1e3, 4),
         "p99_ms": round(t.p99 * 1e3, 4),
         "sample_steps_per_s": round(t.ticks_per_s * K * T, 0),
-        "kernel": "blocked" if K * T > 25_000 * 50 else "single_block",
+        "kernel": ("blocked" if blocked else "single_block") if on_tpu else "xla_scan",
         "chain_lengths": [n1, n2],
     }
 
@@ -110,11 +118,14 @@ def _run_sweep(ks, T: int) -> None:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     rows = []
-    for K in ks:
-        if not on_tpu:
-            K = min(K, 2048)
-        rows.append(_measure_k(K, T, on_tpu, reps=10 if on_tpu else 3))
-        print(json.dumps(rows[-1]), flush=True)
+    for requested in ks:
+        K = requested if on_tpu else min(requested, 2048)
+        row = _measure_k(K, T, on_tpu, reps=10 if on_tpu else 3)
+        if K != requested:  # CPU smoke clamp must not read as measured data
+            row["requested_K"] = requested
+            row["cpu_smoke_clamped"] = True
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     out = {
         "device": str(jax.devices()[0]),
         "pallas_fused_tick": on_tpu,

@@ -74,13 +74,18 @@ def nearest_waypoint_carried(
     """
     P = ref_path.shape[0]
     search_len = min(search_len, P)
-    start = jnp.clip(start_idx, 0, max(P - search_len, 0)).astype(jnp.int32)
+    # Truncate at the path end like the reference's [prev : prev+W] slice —
+    # clipping the START down (as the tick-level op does) would let a carried
+    # index near the end regress by up to W−1, breaking the monotone contract.
+    # Indices past P−1 gather duplicate last rows; argmin's first-tie rule
+    # resolves them to the genuine index, so idx never regresses.
+    start = jnp.clip(start_idx, 0, P - 1).astype(jnp.int32)
     offs = jnp.arange(search_len, dtype=jnp.int32)
-    gidx = start[..., None] + offs  # (..., W)
+    gidx = jnp.minimum(start[..., None] + offs, P - 1)  # (..., W)
     rows = jnp.take(ref_path, gidx, axis=0)  # (..., W, d)
     d2 = jnp.sum((xy[..., None, :2] - rows[..., :2]) ** 2, axis=-1)
     local = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-    idx = start + local
+    idx = jnp.minimum(start + local, P - 1)
     ref = jnp.take_along_axis(
         rows, local[..., None, None].astype(jnp.int32), axis=-2
     )[..., 0, :]

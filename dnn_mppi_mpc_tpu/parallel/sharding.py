@@ -409,7 +409,11 @@ def make_sharded_mppi_fleet(
             )
             if a is not None and a.ndim == 3
         )
-        if member_leaves not in jitted_cache:
+        # key must include the pytree STRUCTURE: a params whose optional
+        # leaves appear/disappear (obstacles None → shared 2-D array) maps to
+        # the same member_leaves but needs different shard_map in_specs
+        cache_key = (member_leaves, jax.tree.structure(params))
+        if cache_key not in jitted_cache:
             pspec = jax.tree.map(lambda _: P(), params)
             import dataclasses as _dc
 
@@ -433,7 +437,7 @@ def make_sharded_mppi_fleet(
                     )
                     return inner(p_local, s, x)
 
-            jitted_cache[member_leaves] = jax.jit(
+            jitted_cache[cache_key] = jax.jit(
                 jax.shard_map(
                     fn,
                     mesh=mesh,
@@ -445,7 +449,7 @@ def make_sharded_mppi_fleet(
                     check_vma=False,
                 )
             )
-        return jitted_cache[member_leaves](params, states, x0s)
+        return jitted_cache[cache_key](params, states, x0s)
 
     return step
 

@@ -80,6 +80,9 @@ class CostContext(NamedTuple):
 
     params: MPPIParams
     waypoint_start: jnp.ndarray  # int32 window start for this control tick
+    waypoint_ref: Optional[jnp.ndarray] = None  # precomputed nearest-waypoint
+    # rows (..., d) — set by the rollout-carry scan body so the tracking cost
+    # reuses the body's single lookup instead of repeating the gather+argmin
 
 
 # stage_cost(x: (..., nx), t: int32, ctx) -> (...,); terminal likewise without t.
@@ -124,7 +127,11 @@ def make_tracking_costs(
     """
 
     def tracking(x: jnp.ndarray, weight: jnp.ndarray, ctx: CostContext) -> jnp.ndarray:
-        if ctx.waypoint_start.ndim > 0:
+        if ctx.waypoint_ref is not None:
+            # rollout-carry scan body already did this lookup (one semantic
+            # lookup per (k, t) — see mppi_step)
+            ref = ctx.waypoint_ref
+        elif ctx.waypoint_start.ndim > 0:
             # waypoint_carry="rollout": per-sample window starts carried by the
             # scan (ops/waypoints.nearest_waypoint_carried)
             _, ref = nearest_waypoint_carried(
@@ -306,6 +313,7 @@ def mppi_step(
     else:
         eps = noise.astype(u.dtype)
 
+    wp_status = None  # non-None only when the carry is a persisted lookahead
     if rollout_fn is not None:
         S = rollout_fn(params, ctx, u, eps, x0, axis_name=axis_name)
     else:
@@ -342,15 +350,16 @@ def mppi_step(
             if rollout_carry:
                 # per-rollout monotone window advance — the pure form of the
                 # reference's stateful in-cost lookup (see MPPIConfig.
-                # waypoint_carry). The cost's window anchors at the PRE-update
-                # carry, so its internal forward-only search reproduces the
-                # exact lookup whose argmin becomes the next carry (one
-                # semantic lookup per (k, t), like the reference's
-                # _get_nearest_waypoint(update_prev_idx=True) at :228).
-                ctx_t = ctx._replace(waypoint_start=wpi)
-                wpi, _ = nearest_waypoint_carried(
+                # waypoint_carry). One lookup per (k, t), anchored at the
+                # PRE-update carry exactly like the reference's
+                # _get_nearest_waypoint(update_prev_idx=True) at :228: its
+                # ref rows feed the cost (via ctx.waypoint_ref) and its
+                # argmin becomes the next carry.
+                idx_new, ref = nearest_waypoint_carried(
                     params.ref_path, x[..., :2], wpi, cfg.waypoint_search_len
                 )
+                ctx_t = ctx._replace(waypoint_start=wpi, waypoint_ref=ref)
+                wpi = idx_new
             else:
                 ctx_t = ctx
             c = stage_cost(x, t, ctx_t) + e_t
@@ -381,7 +390,10 @@ def mppi_step(
         if rollout_carry and cfg.waypoint_persist == "max":
             # persist the furthest carried index into the next tick's window
             # (the pure analog of the reference's prev_way_point_idx retaining
-            # the last sample's final index, mppi_differential_drive.py:218)
+            # the last sample's final index, mppi_differential_drive.py:218).
+            # The end-of-path status keeps judging the TICK-level index — the
+            # persisted one is a lookahead that reaches the end early.
+            wp_status = wp_idx
             wp_next = jnp.max(wpi_final)
             if axis_name is not None:
                 wp_next = jax.lax.pmax(wp_next, axis_name)
@@ -404,14 +416,22 @@ def mppi_step(
     if axis_name is not None:
         w_eps = jax.lax.psum(w_eps, axis_name)
     return _mppi_tail(
-        cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+        cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps,
+        status_idx=wp_status,
     )
 
 
 def _mppi_tail(
-    cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+    cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps,
+    status_idx=None,
 ):
-    """Shared tick tail: smoothing, update, shift, diagnostics, failure flags."""
+    """Shared tick tail: smoothing, update, shift, diagnostics, failure flags.
+
+    ``status_idx`` (default: ``wp_idx``) is the index the end-of-path flag is
+    judged against — with ``waypoint_persist="max"`` the carried ``wp_idx`` is
+    a deliberate LOOKAHEAD (it can sit near the path end many ticks before the
+    robot does), so the status bit uses the tick-level robot-position index
+    instead."""
     T = cfg.horizon
     # Smoothing filter on the weighted noise (…:136-141).
     w_eps = apply_filter(w_eps, cfg.filter, cfg.filter_window, cfg.savgol_polyorder)
@@ -436,7 +456,8 @@ def _mppi_tail(
     # previous sequence (warn-and-continue semantics); flag end-of-path.
     finite = jnp.all(jnp.isfinite(u_new))
     u_new = jnp.where(finite, u_new, u)
-    end_of_path = wp_idx >= params.ref_path.shape[0] - 1
+    sidx = wp_idx if status_idx is None else status_idx
+    end_of_path = sidx >= params.ref_path.shape[0] - 1
     status = (
         end_of_path.astype(jnp.int32)
         + 2 * jnp.logical_not(finite).astype(jnp.int32)
@@ -588,6 +609,23 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
         )
 
     return rollout
+
+
+def _check_iso_weights(params: MPPIParams) -> None:
+    """Call-time guard for the iso_xy kernel specialization: symmetric x/y
+    tracking weights are what makes the dmin form exact. Concrete weights are
+    validated; traced weights (inside a jit of the whole binder) are the
+    caller's responsibility (presets validate at build time)."""
+    for wgt in (params.stage_weight, params.terminal_weight):
+        try:
+            w0, w1 = float(wgt[0]), float(wgt[1])
+        except TypeError:
+            continue
+        if w0 != w1:
+            raise ValueError(
+                f"iso_xy=True requires symmetric x/y weights, got "
+                f"({w0}, {w1}) — drop iso_xy or symmetrize"
+            )
 
 
 def make_pallas_diffdrive_tick(
@@ -747,6 +785,8 @@ def make_pallas_diffdrive_tick_blocked(
                 "ε) — use the single-block tick or scan path for injected "
                 "noise"
             )
+        if iso_xy:
+            _check_iso_weights(params)
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
@@ -836,18 +876,7 @@ def make_pallas_bicycle_tick(
                 "obstacles (obstacle_velocities) — use the scan path"
             )
         if iso_xy:
-            # trace-time guard where possible (concrete weights); symmetric
-            # x/y weights are what makes the dmin specialization exact
-            for wgt in (params.stage_weight, params.terminal_weight):
-                try:
-                    w0, w1 = float(wgt[0]), float(wgt[1])
-                except TypeError:
-                    continue  # traced weights: caller's responsibility
-                if w0 != w1:
-                    raise ValueError(
-                        f"iso_xy=True requires symmetric x/y weights, got "
-                        f"({w0}, {w1}) — drop iso_xy or symmetrize"
-                    )
+            _check_iso_weights(params)
         P = params.ref_path.shape[0]
         Wlen = min(cfg.waypoint_search_len, P)
         start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))

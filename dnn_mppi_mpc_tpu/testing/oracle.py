@@ -98,9 +98,10 @@ class OracleMPPI:
 
     def _nearest_carried(self, x, y, start):
         """Pure forward-only lookup returning (idx, ref) — the numpy twin of
-        ops/waypoints.nearest_waypoint_carried."""
+        ops/waypoints.nearest_waypoint_carried. Truncates at the path end
+        like the reference's [prev : prev+W] slice (never regresses)."""
         P = self.ref_path.shape[0]
-        start = min(max(start, 0), max(P - self.search_len, 0))
+        start = min(max(start, 0), P - 1)
         window = self.ref_path[start : start + self.search_len]
         d = (x - window[:, 0]) ** 2 + (y - window[:, 1]) ** 2
         idx = int(np.argmin(d)) + start

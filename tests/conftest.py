@@ -68,3 +68,17 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "tpu_hw" not in item.keywords:
                 item.add_marker(skip)
+
+
+@pytest.fixture
+def f32_mode():
+    """Temporarily disable x64: the Pallas kernels are f32-by-contract, and
+    under the suite's x64 mode Mosaic lowering mixes i64 literals into i32
+    loop indices. Shared by the hardware kernel tests (an autouse variant
+    lives module-locally where a whole file needs it, e.g. test_fleet_tick)."""
+    import jax as _jax
+
+    old = _jax.config.jax_enable_x64
+    _jax.config.update("jax_enable_x64", False)
+    yield
+    _jax.config.update("jax_enable_x64", old)

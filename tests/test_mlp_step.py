@@ -180,23 +180,11 @@ def test_mppi_tick_with_fused_step_matches_plain():
     np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-5)
 
 
-@pytest.fixture
-def _f32_mode():
-    # the kernels are f32-by-contract; under the suite's x64 mode Mosaic
-    # lowering mixes i64 literals into i32 loop indices and fails to
-    # legalize — pin f32 like the other hardware kernel tests
-    # (tests/test_fleet_tick.py::_f32_mode)
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", False)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
 @pytest.mark.tpu_hw
 @pytest.mark.skipif(
     jax.devices()[0].platform != "tpu", reason="needs real TPU hardware"
 )
-def test_fused_step_compiles_on_tpu(_f32_mode):
+def test_fused_step_compiles_on_tpu(f32_mode):
     """Compiled Mosaic path (DMM_TPU_TESTS=1): parity at f32 on hardware."""
     model, params, in_s, out_s = _setup(128, 2, seed=6)
     rng = np.random.default_rng(6)

@@ -264,23 +264,12 @@ def test_vmappable_wrapper_broadcasts_unbatched_args():
         np.testing.assert_allclose(float(kktb[i]), float(kkt), rtol=2e-4, atol=2e-6)
 
 
-@pytest.fixture
-def _f32_mode():
-    # f32-by-contract kernels: under the suite's x64 mode Mosaic mixes i64
-    # literals into i32 loop indices ('arith.addi' verification error) —
-    # pin f32 like the other hardware kernel tests (tests/test_fleet_tick.py)
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", False)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
 @pytest.mark.tpu_hw
 @pytest.mark.skipif(
     jax.devices()[0].platform != "tpu",
     reason="compiled (non-interpret) lane-batched kernel needs a TPU",
 )
-def test_batched_kernel_on_hardware(_f32_mode):
+def test_batched_kernel_on_hardware(f32_mode):
     """Compiled lane-batched kernel vs compiled per-problem kernel on-chip
     (N=30 diff-drive dims — the PERF.md fleet-serving configuration)."""
     from dnn_mppi_mpc_tpu.ops.pallas.riccati_qp import (

@@ -104,8 +104,12 @@ def test_rollout_carry_progresses_faster_than_tick_anchor():
         x = jnp.zeros(3)
         state = solver.init(jax.random.PRNGKey(0))
         for _ in range(120):
-            u0, state, _ = solver.step(params, state, x)
+            u0, state, aux = solver.step(params, state, x)
             x = step_fn(x, u0)
+            # the persisted index is a deliberate lookahead — the end-of-path
+            # status bit must keep judging the robot's own (tick-level) index,
+            # which stays far from the end on this course (review finding)
+            assert int(aux.status) & 1 == 0, (carry, persist, aux.waypoint_idx)
         return float(np.linalg.norm(np.asarray(x)[:2] - goal))
 
     d0 = np.linalg.norm(goal)
