@@ -161,7 +161,25 @@ def main() -> None:
         "curve to docs/assets/bench_k_sweep.json (default single-K contract "
         "— ONE JSON line — is unchanged when omitted)",
     )
+    ap.add_argument(
+        "--suite", nargs="?", const="all", default=None,
+        help="measure every docs/PERF.md headline row in one session (one "
+        "JSON line per row; artifact docs/assets/bench_suite_r3.json). "
+        "Optionally a comma-separated subset, e.g. --suite racecar,nmpc_rti "
+        "(subsets print rows but do not write the artifact)",
+    )
+    ap.add_argument(
+        "--reps", type=int, default=None,
+        help="timing repetitions per suite row (default 10 on TPU, 3 on CPU)",
+    )
     args = ap.parse_args()
+
+    if args.suite:
+        from dnn_mppi_mpc_tpu.utils.benchsuite import run_suite
+
+        rows = None if args.suite == "all" else tuple(args.suite.split(","))
+        run_suite(rows=rows, reps=args.reps)
+        return
 
     if args.sweep:
         _run_sweep([int(s) for s in args.sweep.split(",")], args.t)
