@@ -27,6 +27,8 @@ Workload ↔ PERF.md row map:
 ``dnn_mppi``     MLP-residual MPPI K=1 024 T=25 (XLA scan / MXU path)
 ``nmpc_rti``     diff-drive NMPC RTI N=30, 2 obstacle rows, pallas QP
 ``nmpc_fleet``   B=128 N=30 fleet on the lane-batched barrier-Riccati QP
+``sharded_tick``      two-phase on-chip-ε sample-sharded tick (1-shard A/B)
+``sharded_mppi_fleet`` mesh-sharded fleet, fused fleet tick per shard
 ===============  ======================================================
 """
 
@@ -52,6 +54,8 @@ ROWS = (
     "dnn_mppi",
     "nmpc_rti",
     "nmpc_fleet",
+    "sharded_tick",
+    "sharded_mppi_fleet",
 )
 
 
@@ -361,6 +365,127 @@ def _build_nmpc_fleet(on_tpu: bool) -> Workload:
     )
 
 
+def _build_sharded_tick(on_tpu: bool) -> Workload:
+    """Sample-sharded flagship tick over the full device mesh.
+
+    On the single attached chip this is the 1-shard A/B of PERF.md's
+    "two-phase on-chip ε" row (the shard_map wrapper + collectives at mesh
+    size 1); on the CPU test mesh it exercises the HBM-ε scan path
+    (make_sharded_mppi_step — the Mosaic PRNG has no CPU lowering).
+    """
+    from __graft_entry__ import _flagship
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.sharding import (
+        make_mesh,
+        make_sharded_fused_mppi_step,
+        make_sharded_mppi_step,
+    )
+    from ..solvers.mppi import MPPIState
+
+    n_dev = len(jax.devices())
+    K, T = (10_240 * n_dev, 50) if on_tpu else (1024 * n_dev, 25)
+    cfg, params, step_fn, stage, terminal = _flagship(K, T)
+    mesh = make_mesh(("k",))
+    if on_tpu:
+        step = make_sharded_fused_mppi_step(cfg, step_fn, mesh, iso_xy=True)
+    else:
+        step = make_sharded_mppi_step(cfg, step_fn, stage, terminal, mesh)
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    st0 = jax.device_put(MPPIState.init(cfg), rep)
+    x0 = jax.device_put(jnp.zeros(3, jnp.float32), rep)
+    params = jax.device_put(params, rep)
+
+    def make_runner(n):
+        @jax.jit
+        def chain(state, x):
+            def body(carry, _):
+                state, x = carry
+                u0, state, aux = step(params, state, x)
+                # state-dependent chaining so ticks cannot be overlapped
+                x = x.at[0].add(u0[0] * 1e-6)
+                return (state, x), aux.costs.min()
+
+            (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
+            return x, ys
+
+        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+
+    n1, n2 = (200, 1000) if on_tpu else (2, 6)
+    return Workload(
+        "sharded_tick", make_runner, n1, n2, 1,
+        {"K": K, "T": T, "devices": n_dev,
+         "kernel": "two_phase_onchip_eps" if on_tpu else "sharded_scan"},
+    )
+
+
+def _build_sharded_mppi_fleet(on_tpu: bool) -> Workload:
+    """Mesh-sharded MPPI fleet (fleet axis partitioned, zero collectives)."""
+    from ..config import MPPIConfig, MPPIParams
+    from ..models.dynamics import unicycle
+    from ..models.integrators import euler_step
+    from ..parallel.sharding import make_mesh, make_sharded_mppi_fleet
+    from ..paths.generators import line
+    from ..solvers.mppi import MPPIState, make_tracking_costs
+
+    n_dev = len(jax.devices())
+    if on_tpu:
+        B, K, T = 16 * n_dev, 1024, 50
+    else:
+        B, K, T = n_dev, 128, 10
+    dt = 0.05
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, dim_x=3, dim_u=2, dt=dt,
+        waypoint_search_len=20,
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, dt)
+    rng = np.random.default_rng(0)
+    goals = rng.uniform(-4, 4, (B, 2)).astype(np.float32)
+    paths = jnp.stack(
+        [line(jnp.zeros(2), jnp.asarray(g), num_points=80) for g in goals]
+    )
+    params = MPPIParams(
+        sigma=jnp.array([[0.2, 0.0], [0.0, 0.1]], jnp.float32),
+        stage_weight=jnp.array([8.0, 8.0, 2.0], jnp.float32),
+        terminal_weight=jnp.array([8.0, 8.0, 2.0], jnp.float32),
+        u_min=jnp.array([-3.0, -3.14], jnp.float32),
+        u_max=jnp.array([3.0, 3.14], jnp.float32),
+        ref_path=paths,
+    )
+    mesh = make_mesh(("batch",))
+    stage, terminal = make_tracking_costs(cfg)
+    fleet = make_sharded_mppi_fleet(
+        cfg, step_fn, stage, terminal, mesh, axis="batch", fused=on_tpu
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))
+    st0 = jax.vmap(lambda k: MPPIState.init(cfg, k))(keys)
+    x0 = jnp.zeros((B, 3), jnp.float32)
+
+    def make_runner(n):
+        @jax.jit
+        def chain(st, x):
+            def body(carry, _):
+                st, x = carry
+                u0s, st, auxs = fleet(params, st, x)
+                x = jax.vmap(step_fn)(x, u0s)
+                return (st, x), auxs.costs[:, 0]
+
+            (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
+            return x, ys
+
+        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+
+    n1, n2 = (50, 250) if on_tpu else (2, 6)
+    return Workload(
+        "sharded_mppi_fleet", make_runner, n1, n2, B,
+        {"B": B, "K": K, "T": T, "devices": n_dev,
+         "kernel": "sharded_fleet_fused_tick" if on_tpu
+         else "sharded_fleet_scan"},
+    )
+
+
 _BUILDERS = {
     "flagship": _build_flagship,
     "pod_k": _build_pod_k,
@@ -370,6 +495,8 @@ _BUILDERS = {
     "dnn_mppi": _build_dnn_mppi,
     "nmpc_rti": _build_nmpc_rti,
     "nmpc_fleet": _build_nmpc_fleet,
+    "sharded_tick": _build_sharded_tick,
+    "sharded_mppi_fleet": _build_sharded_mppi_fleet,
 }
 
 
@@ -395,15 +522,21 @@ def run_suite(
     for name in names:
         w = _BUILDERS[name](on_tpu)
         t = slope_timing(w.make_runner, w.n1, w.n2, reps=reps)
+        # benchtime floors a jitter-inverted slope at 1e-9 s; a floored tau
+        # would read as a billions-of-solves rate — fall back to p50 and say so
+        floored = t.tau <= 2e-9
+        per_tick = t.p50 if floored else t.tau
         row = {
             "workload": name,
             "per_tick_ms_best": round(t.tau * 1e3, 4),
             "per_tick_ms_p50": round(t.p50 * 1e3, 4),
             "per_tick_ms_p99": round(t.p99 * 1e3, 4),
-            "solves_per_s": round(t.ticks_per_s * w.solves_per_tick, 1),
+            "solves_per_s": round(w.solves_per_tick / max(per_tick, 1e-9), 1),
             "chain_lengths": [w.n1, w.n2],
             **w.meta,
         }
+        if floored:
+            row["slope_floored"] = True
         if not on_tpu:
             row["cpu_smoke"] = True  # smoke shapes — not a measurement
         results.append(row)
