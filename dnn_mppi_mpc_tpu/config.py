@@ -101,14 +101,28 @@ class MPPIConfig:
     #   update_prev_idx=True from inside the cost): the mutation makes the
     #   window creep ahead of the robot during the solve and is what actually
     #   produces the reference demo's forward progress — the nearest-waypoint
-    #   cost itself has no progress term. Scan path only (the fused kernels
-    #   anchor their window per tick).
+    #   cost itself has no progress term. Supported by the scan path AND the
+    #   fused diff-drive/generic tick kernels (per-lane carried index over a
+    #   pre-gathered carry_window_len window; masked running-min).
     waypoint_persist: str = "none"  # cross-tick carry for "rollout" mode:
     # "none" keeps the tick-level window advance; "max" persists the furthest
     # rollout-carried index into the next tick's window start (the pure
     # analog of the reference's prev_way_point_idx retaining the last
     # sample's final index — measured to recover ~80% of the reference's
     # closed-loop progress where "none" recovers ~20%; tests/test_reference_crosscheck.py)
+    carry_window_len: Optional[int] = None  # waypoint_carry="rollout" on the
+    # fused kernels: total pre-gathered window rows (must cover the furthest
+    # index any rollout can reach from the tick anchor; the per-step search
+    # span stays waypoint_search_len). None → waypoint_search_len + horizon
+    # (advance ≤ ~1 waypoint/step). Too small silently truncates lookahead —
+    # the scan-vs-fused parity test (tests/test_waypoint_carry.py) is the
+    # guard for a given problem's geometry.
+    time_varying_dynamics: bool = False  # dynamics_step takes a third arg:
+    # F(x, u, t) with t the int32 rollout step index (seconds = t·dt) — the
+    # pytorch_mppi spec's `dynamics(states, actions, t)` signature
+    # (test/test_mppi_diff_obs.py:28-42). Scan path and the generic Pallas
+    # tick (step_takes_t) support it; the model-specialized fused diff-drive/
+    # bicycle kernels do not (their dynamics are compiled in).
     compute_optimal_traj: bool = False  # (T, nx) planned-trajectory diagnostic;
     # off by default: it is a K=1 *sequential* scan of T dependent steps whose
     # latency rivals the whole K-wide rollout (~40% of a fused tick at the
@@ -195,6 +209,19 @@ class SQPConfig:
     slack_weight_l1: float = 1.0e3
     ip_mu0: float = 1.0e-1  # initial interior-point barrier weight
     ip_kappa: float = 0.25  # barrier decrease factor per iteration
+    ip_delta: float = 1.0e-3  # relaxed-barrier relaxation threshold δ: active
+    # constraints settle at margin ≈ δ inside the bound (solvers/qp.py::
+    # relaxed_barrier), so δ is the accuracy floor of the QP w.r.t. the exact
+    # active-set solution. The f64 acados-parity gate (tests/test_oracle_nmpc.py)
+    # shrinks it to 1e-6; the f32 hot path keeps 1e-3 (δ² stiffness must stay
+    # representable and well-conditioned in f32).
+    line_search: str = "merit"  # 'merit' (fixed-α ℓ1-merit globalization) or
+    # 'full' — always take the full Newton step, acados' SQP_RTI semantics
+    # (no globalization, mpc_differential_drive_obstacle_static.py:240)
+    h_terminal: bool = True  # apply h-constraints at the terminal shooting node.
+    # acados applies con_h_expr at stages 0..N-1 only (the reference never sets
+    # con_h_expr_e, mpc_differential_drive_obstacle_static.py:211-234) — set
+    # False for strict acados parity; True (default) also guards x_N.
     parallel_riccati: bool = True  # associative-scan (O(log N)-depth) Riccati
     # sweeps instead of sequential lax.scan — identical solution (FP reorder
     # only); the sequential path remains for reference/debugging

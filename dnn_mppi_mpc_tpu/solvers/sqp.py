@@ -271,6 +271,13 @@ def sqp_solve(
         if h_fn is not None and params.p is not None:
             h0 = jax.vmap(lambda x: h_fn(x, params.p))(X)  # (N+1, n_h)
             Jh = jax.vmap(jax.jacfwd(lambda x: h_fn(x, params.p)))(X)
+            if not cfg.h_terminal:
+                # acados convention: con_h_expr stages 0..N-1 only (no
+                # con_h_expr_e in the reference). Zeroing the terminal Jacobian
+                # row removes every gradient/Hessian contribution of the
+                # stage-N barrier term (h0[-1] then only shifts a constant).
+                Jh = Jh.at[-1].set(0.0)
+                h0 = h0.at[-1].set(1.0)
         else:
             h0, Jh = None, None
 
@@ -315,6 +322,7 @@ def sqp_solve(
                 num_iters=cfg.qp_iters,
                 mu0=cfg.ip_mu0,
                 kappa=cfg.ip_kappa,
+                delta=cfg.ip_delta,
                 # soft h-constraints: the barrier's quadratic extension plays
                 # the Zl L2 slack role and h_slope the zl L1 role
                 # (test_diff_mpc_dyna_slack.py:158-182)
@@ -323,6 +331,14 @@ def sqp_solve(
                 parallel=cfg.parallel_riccati,
                 return_kkt=True,
             )
+
+        if cfg.line_search == "full":
+            # acados SQP_RTI semantics: always the full Newton step, no
+            # globalization (mpc_differential_drive_obstacle_static.py:240).
+            # This is the mode the f64 oracle parity gate runs
+            # (tests/test_oracle_nmpc.py); the merit search below is the
+            # robust default for cold starts / far-from-track warm starts.
+            return (X + dX, U + dU), kkt
 
         # Globalization: pick the step size minimizing an ℓ1 merit function
         # (LS cost + defect + bound-violation penalties) over a fixed candidate

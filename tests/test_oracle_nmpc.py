@@ -1,0 +1,285 @@
+"""Per-tick NMPC parity against the f64 acados-semantics SQP-RTI oracle.
+
+The BASELINE accuracy gate "match acados NMPC within tolerance", closed
+tightly: :mod:`dnn_mppi_mpc_tpu.testing.oracle_nmpc` re-derives the acados
+tick (ERK(4,3) sensitivities, Gauss-Newton, exact condensed QP, full-step
+RTI, warm start) in scalar f64 numpy with no shared code, and the JAX
+engine is locked-step against it — at every tick of a closed loop both
+solvers get the SAME warm start and the SAME measured state, and their
+outputs (u0, X, U) must agree to ≤ 1e-3 (observed: ~1e-4, dominated by the
+relaxed-barrier's δ=1e-6 active-set offset).
+
+Three reference configurations, straight from the reference mains:
+
+* config #9  — diff-drive + 3 static obstacles
+  (mpc_differential_drive_obstacle_static.py:376-460): the closed loop
+  rides the first obstacle's boundary for most of the run, so the gate
+  covers *strongly active, degenerate* h-constraints;
+* config #10 — diff-drive + moving obstacles, 45x weights
+  (mpc_differential_drive_obstacle_dynamic.py:360-480): obstacles advance
+  p += v·dt each tick; ticks whose linearized QP is infeasible (an obstacle
+  swept over the warm start — acados returns status != 0 there and the
+  reference ignores it, …static.py:322-323) are excluded from the
+  comparison and counted;
+* config #13 — race-car kinematic bicycle + obstacles
+  (mpc_racecar_obstacle_static.py:330-440), control order (a, δ) as in the
+  reference model (:36-44).
+
+The engine runs its default XLA Riccati backend in f64 with
+``line_search='full'`` + ``h_terminal=False`` (exact acados RTI semantics;
+see SQPConfig). A second, f32 check documents the precision floor of the
+default single-precision hot path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_mppi_mpc_tpu.config import SQPConfig
+from dnn_mppi_mpc_tpu.models.dynamics import unicycle
+from dnn_mppi_mpc_tpu.solvers.sqp import (
+    NMPCSolver,
+    NMPCState,
+    OCPParams,
+    circle_obstacle_h,
+)
+from dnn_mppi_mpc_tpu.testing import oracle_nmpc as onp
+
+
+def _lockstep_max_diff(rec, solver, params, ticks, dtype, moving_p=False):
+    """Run the engine on the oracle's per-tick (warm start, state) inputs.
+
+    Returns (worst_clean, worst_recovery, #skipped-infeasible, #active):
+    * clean ticks — warm-start trajectory satisfies the h-constraints: the
+      regime where both solvers see a well-posed QP; gated at 1e-3;
+    * recovery ticks — warm start violates h (a moving obstacle advanced
+      onto the previous plan) but the QP is still feasible: the relaxed
+      barrier's quadratic extension and the exact QP both recover, with a
+      slightly larger spread; gated at 5e-3;
+    * skipped — the linearized QP itself is infeasible (oracle qp_viol>1e-4):
+      acados returns status != 0 there (and the reference ignores it,
+      …static.py:322-323); no exact answer exists to compare against.
+    """
+    worst_clean, worst_recov, skipped, active = 0.0, 0.0, 0, 0
+    for t in range(ticks):
+        if rec["qp_viol"][t] > 1e-4:
+            skipped += 1
+            continue
+        p = params
+        if moving_p:
+            p = dataclasses.replace(params, p=jnp.asarray(rec["p"][t], dtype))
+        st = NMPCState(
+            X=jnp.asarray(rec["warm_X"][t], dtype),
+            U=jnp.asarray(rec["warm_U"][t], dtype),
+        )
+        u0, st2, aux = solver._solve(p, st, jnp.asarray(rec["x"][t], dtype))
+        d = max(
+            np.abs(np.asarray(u0) - rec["u0"][t]).max(),
+            np.abs(np.asarray(st2.U) - rec["U"][t]).max(),
+            np.abs(np.asarray(st2.X) - rec["X"][t]).max(),
+        )
+        pa = rec["p"][t]
+        clean = True
+        if pa is not None:
+            hmin = onp.circle_obstacle_h_np(rec["x"][t], pa).min()
+            if hmin < 0.3:
+                active += 1
+            hmin_ws = min(
+                onp.circle_obstacle_h_np(x, pa).min() for x in rec["warm_X"][t]
+            )
+            clean = hmin_ws > -1e-2
+        if clean:
+            worst_clean = max(worst_clean, float(d))
+        else:
+            worst_recov = max(worst_recov, float(d))
+    return worst_clean, worst_recov, skipped, active
+
+
+def _parity_cfg(N, nx, nu, dt, n_h):
+    return SQPConfig(
+        N=N, dim_x=nx, dim_u=nu, dt=dt, sqp_iters=1,
+        qp_iters=150, ip_mu0=1e-1, ip_kappa=0.8, ip_delta=1e-6,
+        line_search="full", h_terminal=False, n_h_constraints=n_h,
+    )
+
+
+def _params(dtype=jnp.float64, **kw):
+    return OCPParams(
+        **{
+            k: (None if v is None else jnp.asarray(v, dtype))
+            for k, v in kw.items()
+        }
+    )
+
+
+@pytest.mark.slow
+def test_config9_static_obstacles_per_tick_parity():
+    # reference main config (…obstacle_static.py:376-460); radii+safe folded
+    N, dt, ticks = 10, 0.01, 120
+    Q = np.diag([7.0, 7.0, 9.0])
+    R = np.diag([1.0, 0.1])
+    goal = np.array([4.0, 4.0, 0.0])
+    yref = np.concatenate([goal, [2.0, 0.5]])[None, :].repeat(N, axis=0)
+    lbx = np.array([-10.0, -10.0, -3.14])
+    lbu = np.array([-30.0, -31.4])
+    obs = np.array([[2.0, 1.0, 0.7], [3.0, 2.5, 0.5], [2.0, 3.0, 0.6]])
+
+    ocp = onp.OracleOCP(
+        N=N, dt=dt, f=onp.unicycle_np, Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+        lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu,
+        h_fn=onp.circle_obstacle_h_np, p=obs,
+    )
+    rec = onp.closed_loop(ocp, np.zeros(3), ticks=ticks)
+    # the loop must actually exercise active constraints: it converges onto
+    # obstacle 1's boundary (margin ~0) and stays there
+    margins = [onp.circle_obstacle_h_np(x, obs).min() for x in rec["x"]]
+    assert min(margins) < 1e-3
+
+    solver = NMPCSolver(_parity_cfg(N, 3, 2, dt, 3), unicycle, h_fn=circle_obstacle_h)
+    params = _params(Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+                     lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu, p=obs)
+    worst, worst_recov, skipped, active = _lockstep_max_diff(
+        rec, solver, params, ticks, jnp.float64
+    )
+    assert skipped == 0
+    assert active > 50  # most ticks ride the boundary
+    assert worst < 1e-3, worst
+    assert worst_recov < 5e-3, worst_recov
+
+    # f32 default-precision floor on the same inputs (documented, looser)
+    cfg32 = _parity_cfg(N, 3, 2, dt, 3)
+    solver32 = NMPCSolver(
+        dataclasses.replace(cfg32, ip_delta=1e-4), unicycle, h_fn=circle_obstacle_h
+    )
+    params32 = _params(jnp.float32, Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+                       lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu, p=obs)
+    worst32, recov32, _, _ = _lockstep_max_diff(rec, solver32, params32, 40, jnp.float32)
+    assert max(worst32, recov32) < 5e-2, (worst32, recov32)
+
+
+@pytest.mark.slow
+def test_config10_moving_obstacles_per_tick_parity():
+    # reference main config (…obstacle_dynamic.py:360-480)
+    N, dt, ticks = 30, 0.01, 100
+    Q = 45 * np.diag([55.5, 75.0, 165.0])
+    R = np.diag([1.0, 1.0])
+    goal = np.array([6.0, 6.0, 0.0])
+    yref = np.concatenate([goal, [0.0, 0.0]])[None, :].repeat(N, axis=0)
+    lbx = np.array([-10.0, -10.0, -3.14])
+    lbu = np.array([-30.0, -10.0])
+    ubu = np.array([30.0, 10.0])
+    p0 = np.array([[2.0, 1.0, 0.7], [3.0, 3.0, 0.4], [2.0, 6.0, 0.6]])
+    vel = 15.0 * np.array([[0.3, 0.6], [0.6, 0.0], [0.5, 0.1]])
+
+    def p_sched(t):
+        p = p0.copy()
+        p[:, :2] += vel * dt * t  # :471 obstacle_positions += vel * dt
+        return p
+
+    ocp = onp.OracleOCP(
+        N=N, dt=dt, f=onp.unicycle_np, Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+        lbx=lbx, ubx=-lbx, lbu=lbu, ubu=ubu,
+        h_fn=onp.circle_obstacle_h_np, p=p0,
+    )
+    rec = onp.closed_loop(ocp, np.zeros(3), ticks=ticks, p_schedule=p_sched)
+
+    solver = NMPCSolver(_parity_cfg(N, 3, 2, dt, 3), unicycle, h_fn=circle_obstacle_h)
+    params = _params(Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+                     lbx=lbx, ubx=-lbx, lbu=lbu, ubu=ubu, p=p0)
+    worst, worst_recov, skipped, active = _lockstep_max_diff(
+        rec, solver, params, ticks, jnp.float64, moving_p=True
+    )
+    # obstacles sweeping over the warm start make some subproblems infeasible
+    # (acados status != 0); they are excluded but must stay a minority
+    assert skipped < ticks // 3, skipped
+    assert active > 20
+    assert worst < 1e-3, worst
+    assert worst_recov < 5e-3, worst_recov
+
+
+@pytest.mark.slow
+def test_config13_racecar_obstacles_per_tick_parity():
+    # reference main config (mpc_racecar_obstacle_static.py:330-440);
+    # control order (a, δ) per the reference model export (:36-44)
+    L = 0.325
+    N, dt, ticks = 30, 1.0 / 30, 100
+
+    def racecar_np(x, u):
+        return np.stack([
+            x[3] * np.cos(x[2]),
+            x[3] * np.sin(x[2]),
+            x[3] * np.tan(u[1]) / L,
+            u[0] + 0.0 * x[0],
+        ])
+
+    def racecar_jx(x, u):
+        return jnp.stack([
+            x[3] * jnp.cos(x[2]),
+            x[3] * jnp.sin(x[2]),
+            x[3] * jnp.tan(u[1]) / L,
+            u[0] + 0.0 * x[0],
+        ])
+
+    Q = np.diag([750.0, 750.0, 1500.0, 1500.0])
+    R = np.diag([1.0, 1.0])
+    goal = np.array([6.0, 2.0, 0.0, 0.0])
+    yref = np.concatenate([goal, [1.0, 0.578]])[None, :].repeat(N, axis=0)
+    lbx = np.array([-50.0, -50.0, -np.pi, -100.0])
+    lbu = np.array([-50.0, -np.pi])
+    obs = np.array([[2.0, 1.0, 0.7], [3.0, 3.0, 0.4], [2.0, 6.0, 0.6]])
+
+    ocp = onp.OracleOCP(
+        N=N, dt=dt, f=racecar_np, Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+        lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu,
+        h_fn=onp.circle_obstacle_h_np, p=obs,
+    )
+    # plant: the reference's update_stateRungeKutta at dt=0.01 (:337-343)
+    plant = lambda x, u: onp.rk4_np(racecar_np, x, u, 0.01)
+    rec = onp.closed_loop(ocp, np.zeros(4), ticks=ticks, plant_step=plant)
+
+    solver = NMPCSolver(_parity_cfg(N, 4, 2, dt, 3), racecar_jx, h_fn=circle_obstacle_h)
+    params = _params(Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+                     lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu, p=obs)
+    worst, worst_recov, skipped, _ = _lockstep_max_diff(
+        rec, solver, params, ticks, jnp.float64
+    )
+    assert skipped <= 5, skipped
+    assert worst < 1e-3, worst
+    assert worst_recov < 5e-3, worst_recov
+
+
+def test_oracle_qp_kkt():
+    """The oracle's dense IP solves a random strictly convex QP to KKT."""
+    rng = np.random.default_rng(0)
+    n, m = 12, 30
+    Hr = rng.normal(size=(n, n))
+    H = Hr @ Hr.T + np.eye(n)
+    g = rng.normal(size=n)
+    G = rng.normal(size=(m, n))
+    w = rng.uniform(0.1, 1.0, m)
+    z, lam = onp.solve_dense_qp(H, g, G, w)
+    s = w - G @ z
+    assert (s > -1e-9).all()
+    assert (lam > -1e-9).all()
+    assert np.abs(H @ z + g + G.T @ lam).max() < 1e-7
+    assert np.abs(s * lam).max() < 1e-7
+
+
+def test_oracle_sensitivities_match_jacfwd():
+    """Complex-step ERK sensitivities == jax.jacfwd through the same map."""
+    from dnn_mppi_mpc_tpu.models.integrators import erk_step
+
+    x = np.array([0.3, -0.2, 0.7])
+    u = np.array([1.2, -0.4])
+    F, A, B = onp.step_with_jacobians(onp.unicycle_np, x, u, 0.1)
+    xj = jnp.asarray(x, jnp.float64)
+    uj = jnp.asarray(u, jnp.float64)
+    Fj = erk_step(unicycle, xj, uj, 0.1, num_steps=3)
+    Aj = jax.jacfwd(lambda xx: erk_step(unicycle, xx, uj, 0.1, num_steps=3))(xj)
+    Bj = jax.jacfwd(lambda uu: erk_step(unicycle, xj, uu, 0.1, num_steps=3))(uj)
+    np.testing.assert_allclose(F, np.asarray(Fj), atol=1e-12)
+    np.testing.assert_allclose(A, np.asarray(Aj), atol=1e-12)
+    np.testing.assert_allclose(B, np.asarray(Bj), atol=1e-12)
