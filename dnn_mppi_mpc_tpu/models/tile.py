@@ -200,8 +200,27 @@ def lift_dynamics(
     return step
 
 
+def lift_dynamics_time_varying(
+    dynamics_step: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+) -> TileStep:
+    """:func:`lift_dynamics` for a step-indexed F(x, u, t) — the pytorch_mppi
+    `dynamics(states, actions, t)` signature (test/test_mppi_diff_obs.py:28-42).
+    ``t`` arrives as the kernel's int32 rollout step index. Pair with
+    ``MPPIConfig.time_varying_dynamics=True`` (the generic tick then calls the
+    tile step with three arguments)."""
+
+    def step(xs, vs, t):
+        x = jnp.stack(xs, axis=-1)
+        u = jnp.stack(vs, axis=-1)
+        y = dynamics_step(x, u, t)
+        return tuple(y[..., i] for i in range(len(xs)))
+
+    return step
+
+
 __all__ = [
     "TileStep",
+    "lift_dynamics_time_varying",
     "atan_tile",
     "unicycle_tile",
     "kinematic_bicycle_tile",

@@ -91,6 +91,7 @@ def _tick_kernel(
     moving_obs: bool,
     rollout_only: bool = False,  # S only — the sharded rollout_fn path
     fuse_epilogue: bool = False,  # filter matmul + update + hold + shift
+    step_takes_t: bool = False,  # step_tile is F(xs, vs, t) — time-varying
 ):
     rest = list(rest)
     if fuse_epilogue:
@@ -264,7 +265,12 @@ def _tick_kernel(
                 vs.append(v)
                 term = a_ref[t, j] * v
                 energy = term if energy is None else energy + term
-            xs = list(step_tile(tuple(xs), tuple(vs)))
+            if step_takes_t:
+                # time-varying tile dynamics F(x, u, t): t is the int32 step
+                # index (the pytorch_mppi convention, test_mppi_diff_obs.py:28-42)
+                xs = list(step_tile(tuple(xs), tuple(vs), t))
+            else:
+                xs = list(step_tile(tuple(xs), tuple(vs)))
             assert len(xs) == nx, (
                 f"step_tile returned {len(xs)} state dims, expected {nx}"
             )
@@ -352,6 +358,7 @@ def _pack_scalars(
         "gaussian",
         "collision",
         "fuse_epilogue",
+        "step_takes_t",
     ),
 )
 def generic_mppi_tick(
@@ -390,6 +397,7 @@ def generic_mppi_tick(
     gaussian: str = "popcount",
     collision: str = "circle",
     fuse_epilogue: bool = False,
+    step_takes_t: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """One fused MPPI tick for arbitrary tile dynamics. Returns
     ``(S (K,), w (K,), w_eps (T, nu))`` — plus ``eps (K, T, nu)`` when
@@ -451,6 +459,7 @@ def generic_mppi_tick(
         obs_mode=collision,
         moving_obs=obstacle_velocities is not None,
         fuse_epilogue=fuse_epilogue,
+        step_takes_t=step_takes_t,
     )
 
     out_shape = [
@@ -555,6 +564,7 @@ def generic_mppi_tick(
         "last_only",
         "interpret",
         "collision",
+        "step_takes_t",
     ),
 )
 def generic_rollout_costs(
@@ -587,6 +597,7 @@ def generic_rollout_costs(
     last_only: bool = False,
     interpret: bool = False,
     collision: str = "circle",
+    step_takes_t: bool = False,
 ) -> jnp.ndarray:
     """Rollout + cost only (no softmax/weighted reduce): the sample-sharded
     counterpart of ``generic_mppi_tick``, bound as the engine's ``rollout_fn``
@@ -645,6 +656,7 @@ def generic_rollout_costs(
         obs_mode=collision,
         moving_obs=obstacle_velocities is not None,
         rollout_only=True,
+        step_takes_t=step_takes_t,
     )
 
     eps_t = jnp.transpose(

@@ -38,6 +38,8 @@ class CEMConfig:
     init_std: float = 0.5
     min_std: float = 0.05  # floor keeps exploration alive (prevents collapse)
     momentum: float = 0.25  # EMA smoothing of mean/std across iterations
+    time_varying_dynamics: bool = False  # dynamics_step is F(x, u, t), t the
+    # int32 rollout step index (test/test_mppi_diff_obs.py:28-42)
     waypoint_search_len: int = 20
 
 
@@ -100,7 +102,10 @@ def cem_step(
         def body(carry, inp):
             x, s = carry
             v_t, t = inp
-            x = dynamics_step(x, v_t)
+            if cfg.time_varying_dynamics:
+                x = dynamics_step(x, v_t, t)
+            else:
+                x = dynamics_step(x, v_t)
             return (x, s + stage_cost(x, t, ctx)), None
 
         x_init = jnp.broadcast_to(x0, (K,) + x0.shape)

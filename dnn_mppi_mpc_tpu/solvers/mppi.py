@@ -208,6 +208,19 @@ def unify_float_dtype(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+def _time_indexed(cfg, dynamics_step):
+    """Uniform 3-arg view of the discrete transition.
+
+    With ``cfg.time_varying_dynamics`` the user's F(x, u, t) is called as-is
+    (t = int32 rollout step index, the pytorch_mppi `dynamics(states,
+    actions, t)` convention, test/test_mppi_diff_obs.py:28-42); otherwise the
+    2-arg F(x, u) is wrapped and t ignored.
+    """
+    if cfg.time_varying_dynamics:
+        return dynamics_step
+    return lambda x, v, t: dynamics_step(x, v)
+
+
 def mppi_step(
     cfg: MPPIConfig,
     dynamics_step: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -263,10 +276,21 @@ def mppi_step(
         raise ValueError(f"waypoint_carry must be 'tick' or 'rollout': {cfg.waypoint_carry!r}")
     if cfg.waypoint_persist not in ("none", "max"):
         raise ValueError(f"waypoint_persist must be 'none' or 'max': {cfg.waypoint_persist!r}")
-    if cfg.waypoint_carry == "rollout" and (tick_fn is not None or rollout_fn is not None):
+    if cfg.waypoint_carry == "rollout" and rollout_fn is not None:
         raise ValueError(
-            "waypoint_carry='rollout' is scan-path only — the fused/Pallas "
-            "kernels anchor their waypoint window per tick"
+            "waypoint_carry='rollout' is not supported by the sharded "
+            "rollout_fn path (per-lane carry is kernel-local; the persisted "
+            "max would need an extra collective) — use the fused tick or scan"
+        )
+    if (
+        cfg.waypoint_carry == "rollout"
+        and tick_fn is not None
+        and not getattr(tick_fn, "supports_rollout_carry", False)
+    ):
+        raise ValueError(
+            "this tick_fn anchors its waypoint window per tick — build it "
+            "with a cfg whose waypoint_carry='rollout' "
+            "(make_pallas_diffdrive_tick / make_generic_fused_tick)"
         )
 
     if tick_fn is not None:
@@ -290,19 +314,37 @@ def mppi_step(
             if typed
             else kd_next
         )
+        kernel_carry = cfg.waypoint_carry == "rollout"
         if getattr(tick_fn, "fused_epilogue", False):
             # Kernel already applied filter + update + finite-hold + shift;
             # only diagnostics and the waypoint/status carry remain in XLA.
-            S, w, _, (u_new, u_shift, finite) = tick_fn(
-                params, ctx, u, x0, seed, noise
-            )
+            out = tick_fn(params, ctx, u, x0, seed, noise)
+            if kernel_carry:
+                S, w, _, (u_new, u_shift, finite), wp_carried = out
+            else:
+                S, w, _, (u_new, u_shift, finite) = out
+                wp_carried = None
+            wp_next, status_idx = wp_idx, None
+            if kernel_carry and cfg.waypoint_persist == "max":
+                # persisted lookahead (scan-path rule at the bottom of this
+                # function): status keeps judging the tick-level index
+                wp_next, status_idx = wp_carried, wp_idx
             return _mppi_tail_fused(
-                cfg, dynamics_step, params, state, x0, key, wp_idx,
-                S, w, u_new, u_shift, finite,
+                cfg, dynamics_step, params, state, x0, key, wp_next,
+                S, w, u_new, u_shift, finite, status_idx=status_idx,
             )
-        S, w, w_eps = tick_fn(params, ctx, u, x0, seed, noise)
+        out = tick_fn(params, ctx, u, x0, seed, noise)
+        if kernel_carry:
+            S, w, w_eps, wp_carried = out
+        else:
+            S, w, w_eps = out
+            wp_carried = None
+        wp_next, status_idx = wp_idx, None
+        if kernel_carry and cfg.waypoint_persist == "max":
+            wp_next, status_idx = wp_carried, wp_idx
         return _mppi_tail(
-            cfg, dynamics_step, params, state, ctx, x0, u, key, wp_idx, S, w, w_eps
+            cfg, dynamics_step, params, state, ctx, x0, u, key, wp_next,
+            S, w, w_eps, status_idx=status_idx,
         )
 
     key, sub = jax.random.split(state.key)
@@ -340,13 +382,14 @@ def mppi_step(
         M = max(1, cfg.num_rollout_repeats)
 
         rollout_carry = cfg.waypoint_carry == "rollout"
+        dyn_t = _time_indexed(cfg, dynamics_step)
 
         def body(carry, inp):
             x, s, var, wpi = carry
             v_t, e_t, t = inp
             if M > 1:  # repeat the same actions across the M rollouts
                 v_t = jnp.broadcast_to(v_t[None], (M,) + v_t.shape)
-            x = dynamics_step(x, v_t)  # (K, nx) or (M, K, nx)
+            x = dyn_t(x, v_t, t)  # (K, nx) or (M, K, nx)
             if rollout_carry:
                 # per-rollout monotone window advance — the pure form of the
                 # reference's stateful in-cost lookup (see MPPIConfig.
@@ -444,11 +487,16 @@ def _mppi_tail(
     # off-by-one is deliberately not replicated (same policy as the other
     # documented quirks in the module docstring).
     if cfg.compute_optimal_traj:
-        def opt_body(x, u_t):
-            x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
+        dyn_t = _time_indexed(cfg, dynamics_step)
+
+        def opt_body(x, inp):
+            u_t, t = inp
+            x = dyn_t(x, jnp.clip(u_t, params.u_min, params.u_max), t)
             return x, x
 
-        _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+        _, optimal_traj = jax.lax.scan(
+            opt_body, x0, (u_new, jnp.arange(T, dtype=jnp.int32))
+        )
     else:
         optimal_traj = jnp.zeros((T,) + x0.shape, dtype=u.dtype)
 
@@ -477,20 +525,29 @@ def _mppi_tail(
 
 
 def _mppi_tail_fused(
-    cfg, dynamics_step, params, state, x0, key, wp_idx, S, w, u_new, u_shift, finite
+    cfg, dynamics_step, params, state, x0, key, wp_idx, S, w, u_new, u_shift,
+    finite, status_idx=None,
 ):
-    """Tick tail when the kernel already fused filter/update/hold/shift."""
+    """Tick tail when the kernel already fused filter/update/hold/shift.
+    ``status_idx`` — see _mppi_tail (persisted-lookahead carries judge the
+    end-of-path flag against the tick-level index instead)."""
     T = cfg.horizon
     if cfg.compute_optimal_traj:
-        def opt_body(x, u_t):
-            x = dynamics_step(x, jnp.clip(u_t, params.u_min, params.u_max))
+        dyn_t = _time_indexed(cfg, dynamics_step)
+
+        def opt_body(x, inp):
+            u_t, t = inp
+            x = dyn_t(x, jnp.clip(u_t, params.u_min, params.u_max), t)
             return x, x
 
-        _, optimal_traj = jax.lax.scan(opt_body, x0, u_new)
+        _, optimal_traj = jax.lax.scan(
+            opt_body, x0, (u_new, jnp.arange(T, dtype=jnp.int32))
+        )
     else:
         optimal_traj = jnp.zeros((T,) + x0.shape, dtype=u_new.dtype)
 
-    end_of_path = wp_idx >= params.ref_path.shape[0] - 1
+    sidx = wp_idx if status_idx is None else status_idx
+    end_of_path = sidx >= params.ref_path.shape[0] - 1
     status = (
         end_of_path.astype(jnp.int32)
         + 2 * (finite < 0.5).astype(jnp.int32)
@@ -529,12 +586,19 @@ def sampled_trajectories(
     v = jnp.where(exploit, u[None] + noise, noise)
     v = jnp.clip(v, params.u_min, params.u_max)
 
-    def body(x, v_t):
-        x = dynamics_step(x, v_t)
+    dyn_t = _time_indexed(cfg, dynamics_step)
+
+    def body(x, inp):
+        v_t, t = inp
+        x = dyn_t(x, v_t, t)
         return x, x
 
     x_init = jnp.broadcast_to(x0, (K,) + x0.shape)
-    _, trajs = jax.lax.scan(body, x_init, jnp.swapaxes(v, 0, 1))  # (T, K, nx)
+    _, trajs = jax.lax.scan(
+        body,
+        x_init,
+        (jnp.swapaxes(v, 0, 1), jnp.arange(cfg.horizon, dtype=jnp.int32)),
+    )  # (T, K, nx)
     trajs = jnp.swapaxes(trajs, 0, 1)  # (K, T, nx)
     order = jnp.argsort(costs)
     n_top = max(1, int(K * top_fraction))
@@ -688,6 +752,8 @@ def make_pallas_diffdrive_tick(
             )
         filter_t = jnp.asarray(F.T, jnp.float32)
 
+    rollout_carry = cfg.waypoint_carry == "rollout"
+
     def tick(
         params: MPPIParams,
         ctx: CostContext,
@@ -697,11 +763,32 @@ def make_pallas_diffdrive_tick(
         noise: Optional[jnp.ndarray],
     ):
         P = params.ref_path.shape[0]
-        Wlen = min(cfg.waypoint_search_len, P)
-        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
-        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        if rollout_carry:
+            # pre-gather the carry window from the tick anchor with CLAMPED
+            # indices (path-end rows duplicate P−1, resolved to the genuine
+            # first index by the kernel's first-tie rule — the same clip rule
+            # as ops/waypoints.nearest_waypoint_carried)
+            span = min(cfg.waypoint_search_len, P)
+            Wlen = min(
+                cfg.carry_window_len
+                if cfg.carry_window_len is not None
+                else cfg.waypoint_search_len + cfg.horizon,
+                P,
+            )
+            start = jnp.clip(ctx.waypoint_start, 0, P - 1)
+            gidx = jnp.minimum(
+                start + jnp.arange(Wlen, dtype=jnp.int32), P - 1
+            )
+            window = jnp.take(params.ref_path, gidx, axis=0)
+        else:
+            span = 0
+            Wlen = min(cfg.waypoint_search_len, P)
+            start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+            window = jax.lax.dynamic_slice_in_dim(
+                params.ref_path, start, Wlen, axis=0
+            )
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
-        return diffdrive_mppi_tick(
+        out = diffdrive_mppi_tick(
             seed,
             u,
             a,
@@ -731,9 +818,20 @@ def make_pallas_diffdrive_tick(
             collision=collision,
             fuse_epilogue=fuse_epilogue,
             iso_xy=iso_xy,
+            rollout_carry=rollout_carry,
+            carry_W=span,
         )
+        if not rollout_carry:
+            return out
+        # kernel returns the max LOCAL carried row; map to a global path
+        # index (clamped rows can't exceed P−1 by construction)
+        out = list(out)
+        wp_adv = out.pop()
+        wp_global = jnp.minimum(start + wp_adv, P - 1)
+        return tuple(out) + (wp_global,)
 
     tick.fused_epilogue = fuse_epilogue
+    tick.supports_rollout_carry = rollout_carry
     return tick
 
 
@@ -1020,6 +1118,7 @@ def make_generic_fused_tick(
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             interpret=interpret,
             gaussian=gaussian,
+            step_takes_t=cfg.time_varying_dynamics,
             collision=collision,
             fuse_epilogue=fuse_epilogue,
         )
@@ -1109,6 +1208,7 @@ def make_generic_pallas_rollout(
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             interpret=interpret,
             collision=collision,
+            step_takes_t=cfg.time_varying_dynamics,
         )
 
     return rollout
@@ -1377,6 +1477,15 @@ class MPPISolver:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
+        if cfg.time_varying_dynamics and (use_pallas or fused_tick) and (
+            tile_dynamics is None and tick_fn is None
+        ):
+            raise ValueError(
+                "time_varying_dynamics needs the scan path or the generic "
+                "tick (pass tile_dynamics built with lift_dynamics(..., "
+                "time_varying=True)); the model-specialized diff-drive "
+                "kernels compile their dynamics in"
+            )
         if tile_dynamics is not None and not fused_tick and tick_fn is None:
             raise ValueError(
                 "tile_dynamics is only used by the fused tick kernel — pass "
@@ -1405,6 +1514,13 @@ class MPPISolver:
                 # Past ~K=25k at T=50 the single-block kernel's two (T, K/128,
                 # 128) ε scratch planes overflow VMEM — switch to the
                 # K-blocked grid kernel with per-block ε regeneration.
+                if cfg.waypoint_carry == "rollout":
+                    raise ValueError(
+                        "waypoint_carry='rollout' is implemented in the "
+                        "single-block fused tick (K·T under the VMEM budget) "
+                        "and the generic tick — reduce num_samples/horizon "
+                        "or use the scan path at this scale"
+                    )
                 tick_fn = make_pallas_diffdrive_tick_blocked(
                     cfg,
                     robot_radius,
