@@ -192,6 +192,9 @@ def _tick_kernel(
     moving_obs: bool,  # obstacles drift at (vx, vy) during the rollout
     fuse_epilogue: bool,  # smoothing matmul + update + finite-hold + shift
     iso_xy: bool,  # sw0==sw1 and tw0==tw1 specialization (see wrapper doc)
+    rollout_carry: bool = False,  # per-sample monotone waypoint-window carry
+    carry_W: int = 0,  # per-step search span in carry mode (the scan path's
+    # waypoint_search_len; W is then the larger pre-gathered window)
 ):
     rest = list(rest)
     if fuse_epilogue:
@@ -200,6 +203,8 @@ def _tick_kernel(
     if not gen_noise:
         eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) inputs
     S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if rollout_carry:
+        wpadv_ref = rest.pop(0)  # SMEM (1,) int32: max carried advance over K
     if fuse_epilogue:
         unew_ref, ushift_ref = rest.pop(0), rest.pop(0)  # (2, T) each
         ok_ref = rest.pop(0)  # SMEM (1,) f32: 1.0 = finite update applied
@@ -294,6 +299,40 @@ def _tick_kernel(
             return pen * jnp.float32(1.0e7)
         return pen * soft_w
 
+    def window_refs_carried(xc, yc, idx):
+        """Per-sample monotone window lookup (waypoint_carry="rollout").
+
+        ``idx`` is the per-lane carried window start (int32, local row into
+        the pre-gathered W rows). The search span is [idx, idx + carry_W) —
+        the pure form of the reference's stateful [prev, prev+W) slice
+        (mppi_differential_drive.py:201-228) — realized as a masked
+        running-min over all W rows: rows outside the span never win. The
+        first-strict-< tie rule matches argmin, and duplicate end rows
+        (path-end clamp in the gather) resolve to the genuine first index.
+        Returns the refs plus the advanced idx (monotone: idx_new ≥ idx).
+        """
+        big = jnp.float32(1.0e30)
+        dmin = jnp.full(shape, big, dtype=jnp.float32)
+        ryaw = jnp.zeros(shape, dtype=jnp.float32)
+        if not iso_xy:
+            rx = jnp.zeros(shape, dtype=jnp.float32)
+            ry = jnp.zeros(shape, dtype=jnp.float32)
+        idx_new = idx
+        for w_i in range(W):
+            wx, wy, wyaw = win[w_i]
+            d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
+            valid = (idx <= w_i) & (idx > jnp.int32(w_i - carry_W))
+            better = valid & (d < dmin)
+            dmin = jnp.where(better, d, dmin)
+            ryaw = jnp.where(better, wyaw, ryaw)
+            idx_new = jnp.where(better, jnp.int32(w_i), idx_new)
+            if not iso_xy:
+                rx = jnp.where(better, wx, rx)
+                ry = jnp.where(better, wy, ry)
+        if iso_xy:
+            return dmin, ryaw, idx_new
+        return rx, ry, ryaw, idx_new
+
     # Rollout in (R_BLK, 128) row blocks: the T-loop carry must fit vector
     # registers — a full (R, 128) carry (R = 80 at the flagship scale) spills
     # to VMEM on every loop-op, which measured ~2× slower end-to-end.
@@ -306,7 +345,10 @@ def _tick_kernel(
         exploit = k_idx < n_exploit
 
         def body(t, carry, exploit=exploit):
-            x, y, yaw, S = carry
+            if rollout_carry:
+                x, y, yaw, S, idx = carry
+            else:
+                x, y, yaw, S = carry
             e0 = eps0[t, r0 : r0 + R_BLK]
             e1 = eps1[t, r0 : r0 + R_BLK]
             u0 = u_ref[t, 0]
@@ -320,7 +362,18 @@ def _tick_kernel(
             y = y + v0 * jnp.sin(yaw) * dt
             yaw = yaw + v1 * dt
 
-            if iso_xy:
+            if rollout_carry:
+                if iso_xy:
+                    dmin, ryaw, idx = window_refs_carried(x, y, idx)
+                    c = sw0 * dmin + sw2 * (yaw - ryaw) * (yaw - ryaw)
+                else:
+                    rx, ry, ryaw, idx = window_refs_carried(x, y, idx)
+                    c = (
+                        sw0 * (x - rx) * (x - rx)
+                        + sw1 * (y - ry) * (y - ry)
+                        + sw2 * (yaw - ryaw) * (yaw - ryaw)
+                    )
+            elif iso_xy:
                 dmin, ryaw = window_refs(x, y)
                 c = sw0 * dmin + sw2 * (yaw - ryaw) * (yaw - ryaw)
             else:
@@ -337,24 +390,50 @@ def _tick_kernel(
                 S = c  # reference overwrite quirk (mppi_differential_drive.py:124)
             else:
                 S = S + c
+            if rollout_carry:
+                return x, y, yaw, S, idx
             return x, y, yaw, S
 
         x = jnp.full(shape, x0, dtype=jnp.float32)
         y = jnp.full(shape, y0, dtype=jnp.float32)
         yaw = jnp.full(shape, yaw0, dtype=jnp.float32)
         S = jnp.zeros(shape, dtype=jnp.float32)
-        x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
-
-        if iso_xy:
-            dmin, ryaw = window_refs(x, y)
-            S = S + tw0 * dmin + tw2 * (yaw - ryaw) * (yaw - ryaw)
-        else:
-            rx, ry, ryaw = window_refs(x, y)
-            S = S + (
-                tw0 * (x - rx) * (x - rx)
-                + tw1 * (y - ry) * (y - ry)
-                + tw2 * (yaw - ryaw) * (yaw - ryaw)
+        if rollout_carry:
+            idx0 = jnp.zeros(shape, dtype=jnp.int32)
+            x, y, yaw, S, idx = jax.lax.fori_loop(
+                0, T, body, (x, y, yaw, S, idx0)
             )
+            # persist="max" carry: max final per-sample index over the block
+            # (the terminal lookup below does not advance it — scan-path rule,
+            # solvers/mppi.py: wpi_final is the post-rollout carry)
+            blk_max = jnp.max(idx)
+            if blk == 0:
+                wpadv_ref[0] = blk_max
+            else:
+                wpadv_ref[0] = jnp.maximum(wpadv_ref[0], blk_max)
+            if iso_xy:
+                dmin, ryaw, _ = window_refs_carried(x, y, idx)
+                S = S + tw0 * dmin + tw2 * (yaw - ryaw) * (yaw - ryaw)
+            else:
+                rx, ry, ryaw, _ = window_refs_carried(x, y, idx)
+                S = S + (
+                    tw0 * (x - rx) * (x - rx)
+                    + tw1 * (y - ry) * (y - ry)
+                    + tw2 * (yaw - ryaw) * (yaw - ryaw)
+                )
+        else:
+            x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
+
+            if iso_xy:
+                dmin, ryaw = window_refs(x, y)
+                S = S + tw0 * dmin + tw2 * (yaw - ryaw) * (yaw - ryaw)
+            else:
+                rx, ry, ryaw = window_refs(x, y)
+                S = S + (
+                    tw0 * (x - rx) * (x - rx)
+                    + tw1 * (y - ry) * (y - ry)
+                    + tw2 * (yaw - ryaw) * (yaw - ryaw)
+                )
         if n_obs > 0:
             S = S + obstacle_penalty(x, y)
         S_ref[r0 : r0 + R_BLK, :] = S
@@ -393,6 +472,8 @@ def _tick_kernel(
         "collision",
         "fuse_epilogue",
         "iso_xy",
+        "rollout_carry",
+        "carry_W",
     ),
 )
 def diffdrive_mppi_tick(
@@ -427,6 +508,8 @@ def diffdrive_mppi_tick(
     collision: str = "circle",
     fuse_epilogue: bool = False,
     iso_xy: bool = False,
+    rollout_carry: bool = False,
+    carry_W: int = 0,
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -492,6 +575,8 @@ def diffdrive_mppi_tick(
         moving_obs=obstacle_velocities is not None,
         fuse_epilogue=fuse_epilogue,
         iso_xy=iso_xy,
+        rollout_carry=rollout_carry,
+        carry_W=carry_W,
     )
 
     out_shape = [
@@ -500,6 +585,9 @@ def diffdrive_mppi_tick(
         jax.ShapeDtypeStruct((2, T), jnp.float32),  # w_eps (rows)
     ]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape]
+    if rollout_carry:
+        out_shape += [jax.ShapeDtypeStruct((1,), jnp.int32)]  # max carried idx
+        out_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if fuse_epilogue:
         out_shape += [
             jax.ShapeDtypeStruct((2, T), jnp.float32),  # u_new rows
@@ -574,6 +662,7 @@ def diffdrive_mppi_tick(
     S = result.pop(0).reshape(K)
     w = result.pop(0).reshape(K)
     w_eps = result.pop(0).T  # (T, 2)
+    wp_adv = result.pop(0)[0] if rollout_carry else None
     epi = None
     if fuse_epilogue:
         u_new = result.pop(0).T  # (T, 2)
@@ -584,10 +673,18 @@ def diffdrive_mppi_tick(
         eps_out = jnp.stack([result.pop(0), result.pop(0)], axis=1)  # (T, 2, R, L)
         eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, 2)
         if fuse_epilogue:
+            if rollout_carry:
+                return S, w, w_eps, epi, eps_out, wp_adv
             return S, w, w_eps, epi, eps_out
+        if rollout_carry:
+            return S, w, w_eps, eps_out, wp_adv
         return S, w, w_eps, eps_out
     if fuse_epilogue:
+        if rollout_carry:
+            return S, w, w_eps, epi, wp_adv
         return S, w, w_eps, epi
+    if rollout_carry:
+        return S, w, w_eps, wp_adv
     return S, w, w_eps
 
 

@@ -7,8 +7,9 @@ progress — the nearest-waypoint cost itself has no progress term. The engine's
 pure equivalent carries a monotone per-rollout window start through the scan
 (MPPIConfig.waypoint_carry="rollout"), optionally persisting the furthest index
 across ticks (waypoint_persist="max"). Exact parity against the numpy oracle in
-the same mode; behavioral gain vs the tick-anchored default; guards for the
-fused kernels (which anchor per tick). The direct comparison against the
+the same mode; behavioral gain vs the tick-anchored default; scan-vs-fused
+parity for the kernel implementation (per-lane carried index, masked
+running-min over a pre-gathered carry window). The direct comparison against the
 reference's own code runs in tests/test_reference_crosscheck.py.
 """
 
@@ -120,16 +121,94 @@ def test_rollout_carry_progresses_faster_than_tick_anchor():
     assert prog_roll > 2.0 * max(prog_tick, 1e-6), (prog_tick, prog_roll)
 
 
-def test_rollout_carry_rejects_fused_paths():
+def test_rollout_carry_rejects_sharded_rollout_path():
     cfg, params, solver, _, step_fn = _make()
     stage, terminal = make_tracking_costs(cfg)
-    with pytest.raises(ValueError, match="scan-path only"):
+    with pytest.raises(ValueError, match="sharded"):
         mppi_step(
             cfg, step_fn, stage, terminal, params,
             solver.init(), jnp.zeros(3),
             noise=jnp.zeros((K, T, 2), jnp.float32),
             rollout_fn=lambda *a, **k: None,
         )
+
+
+def test_rollout_carry_rejects_tick_anchored_tick_fn():
+    """A tick built WITHOUT rollout-carry must be refused in rollout mode."""
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_pallas_diffdrive_tick
+
+    cfg, params, solver, _, step_fn = _make()
+    stage, terminal = make_tracking_costs(cfg)
+    anchored = make_pallas_diffdrive_tick(
+        dataclasses.replace(cfg, waypoint_carry="tick"), interpret=True
+    )
+    with pytest.raises(ValueError, match="anchors its waypoint window"):
+        mppi_step(
+            cfg, step_fn, stage, terminal, params,
+            solver.init(), jnp.zeros(3),
+            noise=jnp.zeros((K, T, 2), jnp.float32),
+            tick_fn=anchored,
+        )
+
+
+@pytest.mark.parametrize("persist", ["none", "max"])
+@pytest.mark.parametrize("fuse_epilogue", [False, True])
+def test_fused_tick_rollout_carry_matches_scan(persist, fuse_epilogue):
+    """The kernel's per-lane carried window == the scan path, tick for tick:
+    costs, u0, carried waypoint index and status all agree over a closed
+    loop that advances well past the initial window."""
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_pallas_diffdrive_tick
+
+    cfg, params, solver, _, step_fn = _make(persist=persist)
+    cfg = dataclasses.replace(cfg, num_samples=128)  # kernel lane constraint
+    stage, terminal = make_tracking_costs(cfg)
+    tick = make_pallas_diffdrive_tick(
+        cfg, interpret=True, fuse_epilogue=fuse_epilogue
+    )
+    assert tick.supports_rollout_carry
+
+    rng = np.random.default_rng(0)
+    st_s = solver.init()
+    st_f = solver.init()
+    x_s = jnp.zeros(3)
+    x_f = jnp.zeros(3)
+    for t in range(12):
+        noise = jnp.asarray(
+            rng.multivariate_normal(
+                np.zeros(2), np.asarray(params.sigma), size=(128, T)
+            ),
+            jnp.float32,
+        )
+        u0_s, st_s, aux_s = mppi_step(
+            cfg, step_fn, stage, terminal, params, st_s, x_s, noise=noise
+        )
+        u0_f, st_f, aux_f = mppi_step(
+            cfg, step_fn, stage, terminal, params, st_f, x_f, noise=noise,
+            tick_fn=tick,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_s.costs), np.asarray(aux_f.costs), rtol=2e-4, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(u0_s), np.asarray(u0_f), rtol=1e-4, atol=2e-4
+        )
+        assert int(st_s.waypoint_idx) == int(st_f.waypoint_idx), t
+        assert int(aux_s.status) == int(aux_f.status)
+        x_s = step_fn(x_s, u0_s)
+        x_f = step_fn(x_f, u0_f)
+    if persist == "max":
+        # the persisted lookahead must actually have advanced the carry
+        assert int(st_s.waypoint_idx) > 5
+
+
+def test_rollout_carry_blocked_kernel_guard():
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
+
+    cfg, params, solver, _, step_fn = _make()
+    stage, terminal = make_tracking_costs(cfg)
+    big = dataclasses.replace(cfg, num_samples=131072, horizon=50)
+    with pytest.raises(ValueError, match="single-block"):
+        MPPISolver(big, step_fn, stage, terminal, fused_tick=True)
 
 
 def test_config_validation():
