@@ -44,26 +44,35 @@ class RealtimeLoop:
         apply_control: Callable[[np.ndarray], None],
         hz: float = 50.0,
         telemetry_capacity: int = 1 << 14,
+        convert_arrays: bool = True,
     ) -> None:
         self.controller = controller
         self.read_state = read_state
         self.apply_control = apply_control
         self.hz = hz
         self.telemetry_capacity = telemetry_capacity
+        # convert_arrays=False keeps state/control as opaque handles (e.g.
+        # jax.Arrays resident on a remote-attached TPU, where a device→host
+        # fetch costs ~25 ms through the tunnel — runtime/realtime_bench.py).
+        # Telemetry then records timing only; the controller wrapper is
+        # responsible for blocking until its result is actually ready so
+        # solve_ns measures dispatch+compute+ready, not the async enqueue.
+        self.convert_arrays = convert_arrays
         self.pacer: Optional[RatePacer] = None
         self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
 
     def run(self, num_ticks: int) -> dict:
         """Run the loop; returns pacing statistics (overruns, worst lateness)."""
-        x = np.asarray(self.read_state())
-        u = np.asarray(self.controller(x))  # warm-up / compile
+        conv = np.asarray if self.convert_arrays else (lambda a: a)
+        x = conv(self.read_state())
+        u = conv(self.controller(x))  # warm-up / compile
         self.pacer = RatePacer(self.hz)
         rec = np.zeros((), dtype=TELEMETRY_DTYPE)
         for tick in range(num_ticks):
             late_ns = self.pacer.wait()
-            x = np.asarray(self.read_state())
+            x = conv(self.read_state())
             t0 = time.perf_counter_ns()
-            u = np.asarray(self.controller(x))
+            u = conv(self.controller(x))
             solve_ns = time.perf_counter_ns() - t0
             self.apply_control(u)
 
@@ -71,12 +80,13 @@ class RealtimeLoop:
             rec["t_wall_ns"] = time.perf_counter_ns()
             rec["solve_ns"] = solve_ns
             rec["late_ns"] = late_ns
-            # slice by total size, not last-axis length — a (4, 2) state has
-            # x.shape[-1]=2 but 8 elements (round-2 review finding)
-            nx = min(8, x.size)
-            nu = min(4, u.size)
-            rec["state"][:nx] = x.ravel()[:nx]
-            rec["control"][:nu] = u.ravel()[:nu]
+            if self.convert_arrays:
+                # slice by total size, not last-axis length — a (4, 2) state
+                # has x.shape[-1]=2 but 8 elements (round-2 review finding)
+                nx = min(8, x.size)
+                nu = min(4, u.size)
+                rec["state"][:nx] = x.ravel()[:nx]
+                rec["control"][:nu] = u.ravel()[:nu]
             self.telemetry.push(rec)
         stats = self.pacer.stats
         self.pacer.close()
