@@ -92,6 +92,8 @@ def _tick_kernel(
     rollout_only: bool = False,  # S only — the sharded rollout_fn path
     fuse_epilogue: bool = False,  # filter matmul + update + hold + shift
     step_takes_t: bool = False,  # step_tile is F(xs, vs, t) — time-varying
+    rollout_carry: bool = False,  # per-sample monotone waypoint-window carry
+    carry_W: int = 0,  # per-step search span in carry mode
 ):
     rest = list(rest)
     if fuse_epilogue:
@@ -102,6 +104,8 @@ def _tick_kernel(
     S_ref = rest.pop(0)
     if not rollout_only:
         w_ref, weps_ref = rest.pop(0), rest.pop(0)
+    if rollout_carry:
+        wpadv_ref = rest.pop(0)  # SMEM (1,) int32: max carried advance
     if fuse_epilogue:
         unew_ref, ushift_ref = rest.pop(0), rest.pop(0)  # (nu, T) each
         ok_ref = rest.pop(0)  # SMEM (1,) f32 finite flag
@@ -217,6 +221,58 @@ def _tick_kernel(
             out = jax.lax.fori_loop(1, W, wbody, init)
             return list(out[1:])
 
+        def window_refs_carried(xc, yc, idx, zero_l=zero_l):
+            """Per-sample monotone window lookup (waypoint_carry="rollout"):
+            masked running-min over [idx, idx+carry_W) — see
+            ops/pallas/mppi_tick.py::window_refs_carried for the contract."""
+            big = jnp.float32(1.0e30)
+            dmin = zero_l + big
+            refs = [zero_l for _ in range(n_track)]
+            idx_new = idx
+            if win is not None:  # unrolled, hoisted scalars
+                for w_i in range(W):
+                    ww = win[w_i]
+                    d = (xc - ww[0]) * (xc - ww[0]) + (yc - ww[1]) * (yc - ww[1])
+                    valid = (idx <= w_i) & (idx > jnp.int32(w_i - carry_W))
+                    better = valid & (d < dmin)
+                    dmin = jnp.where(better, d, dmin)
+                    idx_new = jnp.where(better, jnp.int32(w_i), idx_new)
+                    refs = [
+                        jnp.where(better, ww[i], refs[i]) for i in range(n_track)
+                    ]
+                return refs, idx_new
+
+            def wbody(w, carry):
+                dmin, idx_new = carry[0], carry[1]
+                refs = list(carry[2:])
+                wx, wy = win_ref[w, 0], win_ref[w, 1]
+                d = (xc - wx) * (xc - wx) + (yc - wy) * (yc - wy)
+                valid = (idx <= w) & (idx > w - carry_W)
+                better = valid & (d < dmin)
+                return (
+                    jnp.where(better, d, dmin),
+                    jnp.where(better, w, idx_new),
+                ) + tuple(
+                    jnp.where(better, win_ref[w, i], refs[i])
+                    for i in range(n_track)
+                )
+
+            init = (dmin, idx_new) + tuple(refs)
+            out = jax.lax.fori_loop(0, W, wbody, init)
+            return list(out[2:]), out[1]
+
+        def tracking_carried(xs, weights, idx, zero_l=zero_l):
+            refs, idx_new = window_refs_carried(xs[0], xs[1], idx)
+            c = zero_l
+            for i in range(n_track):
+                xi = xs[i]
+                if wrap_yaw and i == 2:
+                    xi = xi - jnp.float32(_TWO_PI) * jnp.floor(
+                        xi * jnp.float32(1.0 / _TWO_PI)
+                    )
+                c = c + weights[i] * (xi - refs[i]) * (xi - refs[i])
+            return c, idx_new
+
         def tracking(xs, weights, zero_l=zero_l):
             refs = window_refs(xs[0], xs[1])
             c = zero_l
@@ -274,20 +330,39 @@ def _tick_kernel(
             assert len(xs) == nx, (
                 f"step_tile returned {len(xs)} state dims, expected {nx}"
             )
-            c = tracking(xs, sw) + energy
+            if rollout_carry:
+                idx = carry[nx + 1]
+                c, idx = tracking_carried(xs, sw, idx)
+                c = c + energy
+            else:
+                c = tracking(xs, sw) + energy
             if n_obs > 0:
                 c = c + obstacle_penalty(xs[0], xs[1], t.astype(jnp.float32) * dt)
             if last_only:
                 S = c  # reference overwrite quirk (mppi_differential_drive.py:124)
             else:
                 S = S + c
+            if rollout_carry:
+                return tuple(xs) + (S, idx)
             return tuple(xs) + (S,)
 
         init = tuple(zero_l + x0[i] for i in range(nx)) + (zero_l,)
+        if rollout_carry:
+            init = init + (zero_l.astype(jnp.int32),)
         carry = jax.lax.fori_loop(0, T, body, init)
         xs, S = list(carry[:nx]), carry[nx]
 
-        S = S + tracking(xs, tw)
+        if rollout_carry:
+            idx = carry[nx + 1]
+            blk_max = jnp.max(idx)
+            if blk == 0:
+                wpadv_ref[0] = blk_max
+            else:
+                wpadv_ref[0] = jnp.maximum(wpadv_ref[0], blk_max)
+            c_term, _ = tracking_carried(xs, tw, idx)
+            S = S + c_term
+        else:
+            S = S + tracking(xs, tw)
         if n_obs > 0:
             S = S + obstacle_penalty(xs[0], xs[1])
         S_ref[r0 : r0 + R_BLK, :] = S
@@ -359,6 +434,8 @@ def _pack_scalars(
         "collision",
         "fuse_epilogue",
         "step_takes_t",
+        "rollout_carry",
+        "carry_W",
     ),
 )
 def generic_mppi_tick(
@@ -398,6 +475,8 @@ def generic_mppi_tick(
     collision: str = "circle",
     fuse_epilogue: bool = False,
     step_takes_t: bool = False,
+    rollout_carry: bool = False,
+    carry_W: int = 0,
 ) -> Tuple[jnp.ndarray, ...]:
     """One fused MPPI tick for arbitrary tile dynamics. Returns
     ``(S (K,), w (K,), w_eps (T, nu))`` — plus ``eps (K, T, nu)`` when
@@ -460,6 +539,8 @@ def generic_mppi_tick(
         moving_obs=obstacle_velocities is not None,
         fuse_epilogue=fuse_epilogue,
         step_takes_t=step_takes_t,
+        rollout_carry=rollout_carry,
+        carry_W=carry_W,
     )
 
     out_shape = [
@@ -468,6 +549,9 @@ def generic_mppi_tick(
         jax.ShapeDtypeStruct((nu, T), jnp.float32),  # w_eps (rows)
     ]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape]
+    if rollout_carry:
+        out_shape += [jax.ShapeDtypeStruct((1,), jnp.int32)]  # max carried idx
+        out_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if fuse_epilogue:
         out_shape += [
             jax.ShapeDtypeStruct((nu, T), jnp.float32),  # u_new rows
@@ -534,6 +618,7 @@ def generic_mppi_tick(
     S = result.pop(0).reshape(K)
     w = result.pop(0).reshape(K)
     w_eps = result.pop(0).T  # (T, nu)
+    wp_adv = result.pop(0)[0] if rollout_carry else None
     epi = None
     if fuse_epilogue:
         u_new = result.pop(0).T  # (T, nu)
@@ -544,10 +629,18 @@ def generic_mppi_tick(
         eps_out = jnp.stack(result[:nu], axis=1)  # (T, nu, R, L)
         eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, nu)
         if fuse_epilogue:
+            if rollout_carry:
+                return S, w, w_eps, epi, eps_out, wp_adv
             return S, w, w_eps, epi, eps_out
+        if rollout_carry:
+            return S, w, w_eps, eps_out, wp_adv
         return S, w, w_eps, eps_out
     if fuse_epilogue:
+        if rollout_carry:
+            return S, w, w_eps, epi, wp_adv
         return S, w, w_eps, epi
+    if rollout_carry:
+        return S, w, w_eps, wp_adv
     return S, w, w_eps
 
 

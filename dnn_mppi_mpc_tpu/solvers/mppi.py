@@ -1066,6 +1066,8 @@ def make_generic_fused_tick(
             )
         filter_t = jnp.asarray(F.T, jnp.float32)
 
+    rollout_carry = cfg.waypoint_carry == "rollout"
+
     def tick(
         params: MPPIParams,
         ctx: CostContext,
@@ -1075,9 +1077,26 @@ def make_generic_fused_tick(
         noise: Optional[jnp.ndarray],
     ):
         P = params.ref_path.shape[0]
-        Wlen = min(cfg.waypoint_search_len, P)
-        start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
-        window = jax.lax.dynamic_slice_in_dim(params.ref_path, start, Wlen, axis=0)
+        if rollout_carry:
+            # carry window: clamped gather from the tick anchor (see
+            # make_pallas_diffdrive_tick's rollout_carry branch)
+            span = min(cfg.waypoint_search_len, P)
+            Wlen = min(
+                cfg.carry_window_len
+                if cfg.carry_window_len is not None
+                else cfg.waypoint_search_len + cfg.horizon,
+                P,
+            )
+            start = jnp.clip(ctx.waypoint_start, 0, P - 1)
+            gidx = jnp.minimum(start + jnp.arange(Wlen, dtype=jnp.int32), P - 1)
+            window = jnp.take(params.ref_path, gidx, axis=0)
+        else:
+            span = 0
+            Wlen = min(cfg.waypoint_search_len, P)
+            start = jnp.clip(ctx.waypoint_start, 0, max(P - Wlen, 0))
+            window = jax.lax.dynamic_slice_in_dim(
+                params.ref_path, start, Wlen, axis=0
+            )
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
         if params.terminal_weight.shape[0] != params.stage_weight.shape[0]:
             raise ValueError(
@@ -1086,7 +1105,7 @@ def make_generic_fused_tick(
                 f"terminal_weight {params.terminal_weight.shape[0]}; "
                 "use the scan path for asymmetric weights"
             )
-        return generic_mppi_tick(
+        out = generic_mppi_tick(
             seed,
             u,
             a,
@@ -1121,9 +1140,18 @@ def make_generic_fused_tick(
             step_takes_t=cfg.time_varying_dynamics,
             collision=collision,
             fuse_epilogue=fuse_epilogue,
+            rollout_carry=rollout_carry,
+            carry_W=span,
         )
+        if not rollout_carry:
+            return out
+        out = list(out)
+        wp_adv = out.pop()
+        wp_global = jnp.minimum(start + wp_adv, P - 1)
+        return tuple(out) + (wp_global,)
 
     tick.fused_epilogue = fuse_epilogue
+    tick.supports_rollout_carry = rollout_carry
     return tick
 
 

@@ -201,6 +201,51 @@ def test_fused_tick_rollout_carry_matches_scan(persist, fuse_epilogue):
         assert int(st_s.waypoint_idx) > 5
 
 
+@pytest.mark.parametrize("carry_window_len", [30, 48])
+def test_generic_tick_rollout_carry_matches_scan(carry_window_len):
+    """Generic-tick carry parity (both the unrolled ≤32-row window and the
+    fori-loop SMEM path at 48 rows) against the scan engine."""
+    from dnn_mppi_mpc_tpu.models import unicycle_tile
+    from dnn_mppi_mpc_tpu.solvers.mppi import make_generic_fused_tick
+
+    cfg, params, solver, _, step_fn = _make(persist="max")
+    cfg = dataclasses.replace(
+        cfg, num_samples=128, carry_window_len=carry_window_len
+    )
+    stage, terminal = make_tracking_costs(cfg)
+    tick = make_generic_fused_tick(cfg, unicycle_tile(DT), interpret=True)
+    assert tick.supports_rollout_carry
+
+    rng = np.random.default_rng(4)
+    st_s = solver.init()
+    st_f = solver.init()
+    x_s = jnp.zeros(3)
+    x_f = jnp.zeros(3)
+    for t in range(8):
+        noise = jnp.asarray(
+            rng.multivariate_normal(
+                np.zeros(2), np.asarray(params.sigma), size=(128, T)
+            ),
+            jnp.float32,
+        )
+        u0_s, st_s, aux_s = mppi_step(
+            cfg, step_fn, stage, terminal, params, st_s, x_s, noise=noise
+        )
+        u0_f, st_f, aux_f = mppi_step(
+            cfg, step_fn, stage, terminal, params, st_f, x_f, noise=noise,
+            tick_fn=tick,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_s.costs), np.asarray(aux_f.costs), rtol=2e-4, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(u0_s), np.asarray(u0_f), rtol=1e-4, atol=2e-4
+        )
+        assert int(st_s.waypoint_idx) == int(st_f.waypoint_idx), t
+        x_s = step_fn(x_s, u0_s)
+        x_f = step_fn(x_f, u0_f)
+
+
 def test_rollout_carry_blocked_kernel_guard():
     from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver
 
