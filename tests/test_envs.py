@@ -486,3 +486,69 @@ def test_with_recovery_resets_wedged_controller():
     # after recovery the solver produces genuine (nonzero) controls again
     assert np.abs(us[-1]).sum() > 0
     assert bool(jnp.all(jnp.isfinite(rs.inner.u_prev)))
+
+
+# ---------------------------------------------------------------------------
+# WheelPlant — actuation-level diff-drive plant (envs/plants.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wheel_plant_matches_unicycle_for_ideal_wheels():
+    """gains=1, no lag/delay/slip: IK→FK roundtrip reduces to the unicycle
+    Euler step (the forward twin of kinematics.diff_drive_wheel_speeds)."""
+    from dnn_mppi_mpc_tpu.envs.plants import WheelPlant
+    from dnn_mppi_mpc_tpu.models import euler_step, unicycle
+
+    plant = WheelPlant(dt=0.1)
+    x0 = jnp.array([0.3, -0.2, 0.7])
+    u = jnp.array([1.2, 0.5])
+    ps = plant.step_body(plant.init(x0), u)
+    ref = euler_step(unicycle, x0, u, 0.1)
+    np.testing.assert_allclose(np.asarray(ps.x), np.asarray(ref), atol=1e-6)
+
+
+def test_wheel_plant_lag_delay_cap():
+    from dnn_mppi_mpc_tpu.envs.plants import WheelPlant
+
+    # delay: first command acts one tick late
+    plant = WheelPlant(dt=0.1, delay_steps=1)
+    ps = plant.step_body(plant.init(jnp.zeros(3)), jnp.array([2.0, 0.0]))
+    assert float(ps.x[0]) == 0.0  # buffered, nothing moved yet
+    ps = plant.step_body(ps, jnp.array([0.0, 0.0]))
+    np.testing.assert_allclose(float(ps.x[0]), 0.2, atol=1e-6)
+
+    # lag: one step moves only the first-order fraction of the command
+    plant = WheelPlant(dt=0.1, tau=0.1)
+    ps = plant.step_body(plant.init(jnp.zeros(3)), jnp.array([1.0, 0.0]))
+    import math
+
+    np.testing.assert_allclose(
+        float(ps.x[0]), 0.1 * (1 - math.exp(-1.0)), atol=1e-6
+    )
+
+    # cap: wheel speeds clip before FK
+    plant = WheelPlant(dt=0.1, wheel_speed_cap=1.0)
+    ps = plant.step_body(plant.init(jnp.zeros(3)), jnp.array([5.0, 0.0]))
+    np.testing.assert_allclose(float(ps.x[0]), 0.1, atol=1e-6)
+
+
+def test_wheel_plant_wraps_yaw():
+    """PyBullet reports wrapped yaw (getEulerFromQuaternion); so does the
+    plant — an integrated yaw walking past ±π re-enters (−π, π]."""
+    from dnn_mppi_mpc_tpu.envs.plants import WheelPlant
+
+    plant = WheelPlant(dt=0.1)
+    ps = plant.init(jnp.array([0.0, 0.0, 3.1]))
+    ps = plant.step_body(ps, jnp.array([0.0, 1.0]))  # yaw 3.1+0.1 → wraps
+    assert float(ps.x[2]) < 0.0
+
+
+def test_wheel_plant_diff_gain_calibration():
+    """common/diff execution gains scale the two FK modes independently
+    (the recorded-run calibration handles of tests/test_golden_nmpc.py)."""
+    from dnn_mppi_mpc_tpu.envs.plants import WheelPlant
+
+    plant = WheelPlant(dt=0.1, common_gain=2.0, diff_gain=0.5)
+    ps = plant.step_body(plant.init(jnp.zeros(3)), jnp.array([1.0, 1.0]))
+    np.testing.assert_allclose(float(ps.x[0]), 0.2, atol=1e-5)  # 2×
+    np.testing.assert_allclose(float(ps.x[2]), 0.05, atol=1e-5)  # 0.5×

@@ -24,6 +24,7 @@ _CASES = [
     ("mppi_diffdrive.py", ["--ticks", "4", "--samples", "128", "--horizon", "10"]),
     ("mppi_racecar_obstacle.py", ["--ticks", "4", "--samples", "128"]),
     ("nmpc_obstacle_avoidance.py", ["--ticks", "4"]),
+    ("nmpc_wheel_plant.py", ["--ticks", "4"]),
     (
         "nmpc_fleet_serving.py",
         ["--fleet", "3", "--horizon", "8", "--ticks", "4", "--bench"],
