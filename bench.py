@@ -4,19 +4,24 @@ Prints ONE JSON line with the driver-defined primary metric (BASELINE.json).
 ``vs_baseline`` is the ratio of achieved control rate to the 50 Hz real-time
 budget (the reference publishes no absolute numbers — BASELINE.md).
 
-Methodology (docs/PERF.md "Measuring through the remote-attach tunnel"):
-on this runtime a device→host fetch costs a flat ~25–30 ms and
-``block_until_ready`` alone is untrustworthy, so *any* per-call timing is
-dominated by fixed overhead. The only clean estimator is the **slope**: run
-the full control tick chained on-device (``lax.scan`` over ``mppi_step``, the
+Methodology (docs/PERF.md): two complementary measurements.
+
+**Throughput** (the headline solves/s) uses the **slope** estimator: run the
+full control tick chained on-device (``lax.scan`` over ``mppi_step``, the
 solver's real closed-loop shape) at two chain lengths and take
 
     per_solve = (wall(n2) − wall(n1)) / (n2 − n1)
 
-which cancels every fixed cost (fetch, dispatch, sync). The distribution over
-repeated chains gives p50/p99 of the *sustained* per-solve time; per-chain
-estimates amortize tunnel jitter over the chain length, so the reported p99
-is an upper bound on device-side variation (see PERF.md).
+which cancels every fixed cost (fetch, dispatch, sync) and measures the
+sustained pipelined rate.
+
+**Latency** (``call_p50_ms``/``call_p99_ms``) is the TRUE per-call number: one
+``solver.step`` dispatched and blocked to completion per measurement — the
+exact per-tick cost a 50 Hz deployment loop pays. Rounds 1–3 could not report
+this honestly because a jit-captured device-array constant degraded every
+process sync to ~30 ms (the "closure-constant sync cliff", docs/PERF.md);
+with all device arrays passed as jit arguments the fully-synced flagship
+solve measures ~0.15 ms and per-call timing is trustworthy again.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dnn_mppi_mpc_tpu.utils.platform import (
     enable_compilation_cache,
@@ -45,12 +51,20 @@ def _sync(*arrays) -> None:
 
 
 def _make_chain(solver, params, n):
-    """n control ticks chained on-device: state and plant state both carried."""
+    """n control ticks chained on-device: state and plant state both carried.
+
+    ``params`` (device arrays) is passed as a jit ARGUMENT, never captured:
+    a jit-compiled program with a captured device-array constant permanently
+    degrades every subsequent host↔device sync in the process to ~30 ms
+    through the remote-attach tunnel (docs/PERF.md "closure-constant sync
+    cliff"). Binding it here as a closure was what made per-call timing
+    untrustworthy in rounds 1–3.
+    """
     step_fn = solver.dynamics_step
     core = solver._step
 
     @jax.jit
-    def chain(state, x):
+    def chain(params, state, x):
         def body(carry, _):
             state, x = carry
             u0, state, aux = core(params, state, x, None)
@@ -59,7 +73,7 @@ def _make_chain(solver, params, n):
         (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
         return x, ys
 
-    return chain
+    return lambda state, x: chain(params, state, x)
 
 
 def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
@@ -210,12 +224,30 @@ def main() -> None:
         return run
 
     # Chain lengths sized so the n2−n1 device-time delta (≈50 ms at the
-    # flagship rate) clearly dominates the ~25–30 ms tunnel fetch jitter —
-    # at (40, 200) the 10 ms delta made the slope estimate noisy (round 3).
+    # flagship rate) clearly dominates per-call dispatch jitter — at
+    # (40, 200) the 10 ms delta made the slope estimate noisy (round 3).
     n1, n2 = (200, 1000) if on_tpu else (4, 12)
     timing = slope_timing(make_runner, n1, n2, reps=20 if on_tpu else 5)
     tau, p50, p99 = timing.tau, timing.p50, timing.p99
     solves_per_s = timing.ticks_per_s
+
+    # TRUE per-call latency: one solve dispatched + blocked per sample (the
+    # per-tick cost a deployment loop pays). Trustworthy only because no
+    # compiled program in this process captures a device-array constant
+    # (closure-constant sync cliff, docs/PERF.md).
+    import time as _time
+
+    def one_call():
+        u0, _st, _aux = solver.step(params, st0, x0)
+        jax.block_until_ready(u0)
+
+    one_call()
+    call_ts = []
+    for _ in range(200 if on_tpu else 20):
+        t0 = _time.perf_counter()
+        one_call()
+        call_ts.append(_time.perf_counter() - t0)
+    call_ts = np.asarray(call_ts)
 
     budget_hz = 50.0
     # The metric id names the measured configuration; the CPU smoke path
@@ -234,11 +266,17 @@ def main() -> None:
         "per_solve_ms_best": round(tau * 1e3, 4),
         "p50_ms": round(p50 * 1e3, 4),
         "p99_ms": round(p99 * 1e3, 4),
-        "meets_50hz_budget": bool(p99 < 1.0 / budget_hz),
+        "call_p50_ms": round(float(np.percentile(call_ts, 50)) * 1e3, 4),
+        "call_p99_ms": round(float(np.percentile(call_ts, 99)) * 1e3, 4),
+        "meets_50hz_budget": bool(
+            p99 < 1.0 / budget_hz
+            and np.percentile(call_ts, 99) < 1.0 / budget_hz
+        ),
         "K": K,
         "pallas_fused_tick": bool(on_tpu),
         "device": str(jax.devices()[0]),
-        "sync": "two-length on-device chains, slope estimator (docs/PERF.md)",
+        "sync": "slope estimator for throughput; call_p* = one fully-synced "
+        "solve per sample (docs/PERF.md)",
     }
     print(json.dumps(result))
 

@@ -45,6 +45,7 @@ class RealtimeLoop:
         hz: float = 50.0,
         telemetry_capacity: int = 1 << 14,
         convert_arrays: bool = True,
+        warmup_apply: bool = False,
     ) -> None:
         self.controller = controller
         self.read_state = read_state
@@ -52,12 +53,17 @@ class RealtimeLoop:
         self.hz = hz
         self.telemetry_capacity = telemetry_capacity
         # convert_arrays=False keeps state/control as opaque handles (e.g.
-        # jax.Arrays resident on a remote-attached TPU, where a device→host
-        # fetch costs ~25 ms through the tunnel — runtime/realtime_bench.py).
+        # jax.Arrays resident on a remote-attached TPU — skipping a per-tick
+        # device→host fetch that the loop itself never needs).
         # Telemetry then records timing only; the controller wrapper is
         # responsible for blocking until its result is actually ready so
         # solve_ns measures dispatch+compute+ready, not the async enqueue.
         self.convert_arrays = convert_arrays
+        # warmup_apply=True also exercises apply_control once before pacing
+        # begins, so a jitted plant/actuator bridge compiles outside the
+        # deadline window. Leave False when apply_control actuates real
+        # hardware — the warmup control WOULD be applied.
+        self.warmup_apply = warmup_apply
         self.pacer: Optional[RatePacer] = None
         self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
 
@@ -66,6 +72,8 @@ class RealtimeLoop:
         conv = np.asarray if self.convert_arrays else (lambda a: a)
         x = conv(self.read_state())
         u = conv(self.controller(x))  # warm-up / compile
+        if self.warmup_apply:
+            self.apply_control(u)  # compile the plant path too (opt-in)
         self.pacer = RatePacer(self.hz)
         rec = np.zeros((), dtype=TELEMETRY_DTYPE)
         for tick in range(num_ticks):

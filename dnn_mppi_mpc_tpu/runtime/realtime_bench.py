@@ -13,12 +13,13 @@ opposite). Replaces the reference's deployment loop
 simulation/bullet_differential_drive_dnn.py:419-467 (read state → solve →
 actuate → sleep).
 
-Remote-attach caveat (measured, this machine): every dispatch through the
-axon tunnel costs ~0.4-0.5 ms and a device→host fetch ~25 ms, so state and
-control stay ON DEVICE (RealtimeLoop(convert_arrays=False)); the controller
-wrapper blocks until its result is ready so ``solve_ns`` is genuine
-dispatch+compute+ready latency. On locally attached hardware the same
-pipeline runs without the tunnel tax.
+Remote-attach note: state and control stay ON DEVICE
+(RealtimeLoop(convert_arrays=False) — the loop never needs a host copy);
+the controller wrapper blocks until its result is ready so ``solve_ns`` is
+genuine dispatch+compute+ready latency. Rounds 1–3 believed per-call syncs
+cost a flat ~25–30 ms through the tunnel; that was the closure-constant
+sync cliff (docs/PERF.md) — with every device array passed as a jit
+argument, a fully synced flagship solve measures ~0.15 ms.
 
 Outputs one JSON-able dict (see ``run_realtime_e2e``), persisted by
 ``python -m dnn_mppi_mpc_tpu realtime`` and checked in under docs/assets/.
@@ -99,6 +100,7 @@ def run_realtime_e2e(
     loop = RealtimeLoop(
         controller, read_state, apply_control, hz=hz,
         telemetry_capacity=cap, convert_arrays=False,
+        warmup_apply=True,  # plant is a simulator — compile it pre-pacing
     )
     try:
         pacer_stats = loop.run(ticks)

@@ -750,7 +750,12 @@ def make_pallas_diffdrive_tick(
             F = filter_matrix(
                 cfg.filter.value, cfg.horizon, cfg.filter_window, cfg.savgol_polyorder
             )
-        filter_t = jnp.asarray(F.T, jnp.float32)
+        # Keep Fᵀ as a HOST (numpy) constant: a jit-captured *device* array
+        # constant permanently degrades every host↔device sync in the process
+        # to ~30 ms through the remote-attach tunnel (measured, docs/PERF.md
+        # "closure-constant sync cliff"); a numpy constant folds into the
+        # executable with no such cost.
+        filter_t = _np.asarray(F.T, _np.float32)
 
     rollout_carry = cfg.waypoint_carry == "rollout"
 
@@ -1064,7 +1069,8 @@ def make_generic_fused_tick(
                 cfg.filter.value, cfg.horizon, cfg.filter_window,
                 cfg.savgol_polyorder,
             )
-        filter_t = jnp.asarray(F.T, jnp.float32)
+        # numpy, NOT jnp — see make_pallas_diffdrive_tick (sync cliff).
+        filter_t = _np.asarray(F.T, _np.float32)
 
     rollout_carry = cfg.waypoint_carry == "rollout"
 

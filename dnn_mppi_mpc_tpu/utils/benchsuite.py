@@ -89,8 +89,11 @@ def _mppi_workload(
     core, step_fn = solver._step, solver.dynamics_step
 
     def make_runner(n):
+        # params is a jit ARGUMENT — a captured device-array constant would
+        # trip the closure-constant sync cliff (docs/PERF.md) and poison
+        # every later per-call measurement in this process.
         @jax.jit
-        def chain(state, x):
+        def chain(params, state, x):
             def body(carry, _):
                 state, x = carry
                 u0, state, aux = core(params, state, x, None)
@@ -100,7 +103,7 @@ def _mppi_workload(
             (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
             return x, ys
 
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
 
     return Workload(name, make_runner, n1, n2, 1, meta)
 
@@ -257,7 +260,7 @@ def _build_mppi_fleet(on_tpu: bool) -> Workload:
 
     def make_runner(n):
         @jax.jit
-        def chain(st, x):
+        def chain(params, st, x):
             def body(carry, _):
                 st, x = carry
                 u0s, st, auxs = fleet(params, st, x)
@@ -267,7 +270,7 @@ def _build_mppi_fleet(on_tpu: bool) -> Workload:
             (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
             return x, ys
 
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
 
     n1, n2 = (50, 250) if on_tpu else (2, 6)
     return Workload(
@@ -286,7 +289,7 @@ def _nmpc_chain_workload(
 
     def make_runner(n):
         @jax.jit
-        def chain(st, x):
+        def chain(params, st, x):
             def body(carry, _):
                 st, x = carry
                 u0, st, _ = core(params, st, x)
@@ -296,7 +299,7 @@ def _nmpc_chain_workload(
             (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
             return x, ys
 
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
 
     return Workload(name, make_runner, n1, n2, solves_per_tick, meta)
 
@@ -400,7 +403,7 @@ def _build_sharded_tick(on_tpu: bool) -> Workload:
 
     def make_runner(n):
         @jax.jit
-        def chain(state, x):
+        def chain(params, state, x):
             def body(carry, _):
                 state, x = carry
                 u0, state, aux = step(params, state, x)
@@ -411,7 +414,7 @@ def _build_sharded_tick(on_tpu: bool) -> Workload:
             (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
             return x, ys
 
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
 
     n1, n2 = (200, 1000) if on_tpu else (2, 6)
     return Workload(
@@ -465,7 +468,7 @@ def _build_sharded_mppi_fleet(on_tpu: bool) -> Workload:
 
     def make_runner(n):
         @jax.jit
-        def chain(st, x):
+        def chain(params, st, x):
             def body(carry, _):
                 st, x = carry
                 u0s, st, auxs = fleet(params, st, x)
@@ -475,7 +478,7 @@ def _build_sharded_mppi_fleet(on_tpu: bool) -> Workload:
             (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
             return x, ys
 
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
 
     n1, n2 = (50, 250) if on_tpu else (2, 6)
     return Workload(
