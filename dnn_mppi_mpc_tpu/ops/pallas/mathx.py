@@ -1,0 +1,73 @@
+"""Polynomial math helpers for Pallas-TPU kernels.
+
+Mosaic lowers ``jnp.sin``/``jnp.cos`` to the VPU's transcendental path; for
+kernels that need BOTH on the same angle every rollout step (all the vehicle
+dynamics tiles), one shared Cody–Waite range reduction plus two short
+minimax polynomials can beat two native evaluations. Opt in per kernel via
+``sincos="poly"`` (A/B rows in docs/PERF.md); numerically |err| ≤ ~2 ulp
+over |x| ≤ 100 rad, parity-tested against the XLA scan path in
+tests/test_mppi_tick.py.
+
+The reference has no analogue (CUDA ``sincosf`` does this in hardware); the
+pattern follows the existing ``models/tile.py::atan_tile`` (Mosaic has no
+atan lowering at all).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+import numpy as _np
+
+# 3-term Cody–Waite split of pi/2, all f32: A has only 7 significand bits so
+# k·A is EXACT for |k| ≤ ~2000; B and C mop up the residual. Everything is
+# f32 because Mosaic has no f64. Max reduction error ≈ 1 ulp of r.
+_PIO2_A = float(_np.float32(1.5703125))
+_PIO2_B = float(_np.float32(_np.pi / 2 - _PIO2_A))
+_PIO2_C = float(_np.float32(_np.pi / 2 - _PIO2_A - _PIO2_B))
+_TWO_OVER_PI = 0.6366197723675814
+
+_SIN_C = (-1.6666654611e-01, 8.3321608736e-03, -1.9515295891e-04)
+# Cephes cosf kernel: cos r = 1 − r²/2 + r⁴·P(r²)
+_COS_C = (4.166664568298827e-2, -1.388731625493765e-3, 2.443315711809948e-5)
+
+
+def sincos_poly(x: jnp.ndarray):
+    """(sin x, cos x) with one shared quadrant reduction, VPU-only ops.
+
+    Quadrant index k = round(x·2/π); r = x − k·π/2 (Cody–Waite two-step);
+    then (sin, cos) of r are mapped through the quadrant by two selects and
+    a sign flip each — no table, no gather, fully vectorizable on (8, 128)
+    tiles.
+    """
+    x = x.astype(jnp.float32)
+    kf = jnp.round(x * jnp.float32(_TWO_OVER_PI))
+    r = x - kf * jnp.float32(_PIO2_A)
+    r = r - kf * jnp.float32(_PIO2_B)
+    r = r - kf * jnp.float32(_PIO2_C)
+    r2 = r * r
+
+    # sin(r): r·(1 + c1 r² + c2 r⁴ + c3 r⁶)
+    sp = jnp.float32(_SIN_C[2])
+    sp = sp * r2 + jnp.float32(_SIN_C[1])
+    sp = sp * r2 + jnp.float32(_SIN_C[0])
+    sin_r = r + r * r2 * sp
+
+    # cos(r): 1 − r²/2 + r⁴·P(r²)  (Cephes cosf)
+    cp = jnp.float32(_COS_C[2])
+    cp = cp * r2 + jnp.float32(_COS_C[1])
+    cp = cp * r2 + jnp.float32(_COS_C[0])
+    cos_r = 1.0 - 0.5 * r2 + r2 * r2 * cp
+
+    # quadrant map: k mod 4 ∈ {0: (s, c), 1: (c, −s), 2: (−s, −c), 3: (−c, s)}
+    k = kf.astype(jnp.int32)
+    swap = (k & 1) == 1
+    s_abs = jnp.where(swap, cos_r, sin_r)
+    c_abs = jnp.where(swap, sin_r, cos_r)
+    k2 = k & 2
+    sin_sign = jnp.where(k2 == 2, -1.0, 1.0).astype(jnp.float32)
+    cos_sign = jnp.where((k2 == 2) ^ swap, -1.0, 1.0).astype(jnp.float32)
+    return s_abs * sin_sign, c_abs * cos_sign
+
+
+__all__ = ["sincos_poly"]

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mathx import sincos_poly
+
 LANES = 128
 _TWO_PI = 6.283185307179586
 
@@ -195,6 +197,7 @@ def _tick_kernel(
     rollout_carry: bool = False,  # per-sample monotone waypoint-window carry
     carry_W: int = 0,  # per-step search span in carry mode (the scan path's
     # waypoint_search_len; W is then the larger pre-gathered window)
+    sincos: str = "native",  # "native" VPU transcendentals | "poly" (mathx)
 ):
     rest = list(rest)
     if fuse_epilogue:
@@ -358,8 +361,12 @@ def _tick_kernel(
             v0 = jnp.clip(v0, umin0, umax0)
             v1 = jnp.clip(v1, umin1, umax1)
 
-            x = x + v0 * jnp.cos(yaw) * dt
-            y = y + v0 * jnp.sin(yaw) * dt
+            if sincos == "poly":
+                sin_y, cos_y = sincos_poly(yaw)
+            else:
+                sin_y, cos_y = jnp.sin(yaw), jnp.cos(yaw)
+            x = x + v0 * cos_y * dt
+            y = y + v0 * sin_y * dt
             yaw = yaw + v1 * dt
 
             if rollout_carry:
@@ -474,6 +481,7 @@ def _tick_kernel(
         "iso_xy",
         "rollout_carry",
         "carry_W",
+        "sincos",
     ),
 )
 def diffdrive_mppi_tick(
@@ -510,6 +518,7 @@ def diffdrive_mppi_tick(
     iso_xy: bool = False,
     rollout_carry: bool = False,
     carry_W: int = 0,
+    sincos: str = "native",
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -529,6 +538,7 @@ def diffdrive_mppi_tick(
     """
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert collision in ("circle", "soft"), collision
+    assert sincos in ("native", "poly"), sincos
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
     R_BLK = pick_r_blk(R)
@@ -577,6 +587,7 @@ def diffdrive_mppi_tick(
         iso_xy=iso_xy,
         rollout_carry=rollout_carry,
         carry_W=carry_W,
+        sincos=sincos,
     )
 
     out_shape = [

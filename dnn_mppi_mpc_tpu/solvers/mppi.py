@@ -702,6 +702,7 @@ def make_pallas_diffdrive_tick(
     soft_weight: float = 100.0,
     fuse_epilogue: bool = False,
     iso_xy: bool = False,
+    sincos: str = "native",
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -825,6 +826,7 @@ def make_pallas_diffdrive_tick(
             iso_xy=iso_xy,
             rollout_carry=rollout_carry,
             carry_W=span,
+            sincos=sincos,
         )
         if not rollout_carry:
             return out

@@ -327,3 +327,47 @@ def test_tick_iso_xy_matches_scan():
         cfg, interpret=True, fuse_epilogue=True, iso_xy=True
     )
     _compare_tick_vs_scan(cfg, params, step_fn, stage, terminal, tick)
+
+
+def test_tick_sincos_poly_matches_native():
+    """sincos="poly" (ops/pallas/mathx.py) must agree with the native
+    transcendentals to f32 tolerance — same kernel, same injected ε. The
+    poly path is an opt-in A/B lever (docs/PERF.md: native won the A/B on
+    v5e, the option is kept for hardware where transcendental throughput
+    differs)."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
+    eps = _noise(cfg, params)
+    x0 = jnp.array([0.1, -0.05, 2.8], jnp.float32)  # yaw near the π/2·k seam
+    state = MPPIState.init(cfg)
+
+    outs = {}
+    for mode in ("native", "poly"):
+        tick = make_pallas_diffdrive_tick(
+            cfg, robot_radius=0.5, interpret=True, sincos=mode
+        )
+        outs[mode] = jax.jit(
+            lambda p, s, x, n, tick=tick: mppi_step(
+                cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+            )
+        )(params, state, x0, eps)
+
+    u0_n, st_n, aux_n = outs["native"]
+    u0_p, st_p, aux_p = outs["poly"]
+    np.testing.assert_allclose(
+        np.asarray(aux_p.costs), np.asarray(aux_n.costs), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(u0_p), np.asarray(u0_n), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_p.u_prev), np.asarray(st_n.u_prev), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sincos_poly_accuracy():
+    """Standalone |err| bound of the polynomial over ±100 rad (covers any
+    unwrapped-yaw rollout)."""
+    from dnn_mppi_mpc_tpu.ops.pallas.mathx import sincos_poly
+
+    x = np.random.default_rng(0).uniform(-100, 100, 100_000).astype(np.float32)
+    s, c = sincos_poly(jnp.asarray(x))
+    assert np.abs(np.asarray(s) - np.sin(x.astype(np.float64))).max() < 3e-7
+    assert np.abs(np.asarray(c) - np.cos(x.astype(np.float64))).max() < 3e-7
