@@ -179,7 +179,7 @@ def cmd_demo(args: argparse.Namespace) -> None:
     solver, params, kind, x0, obstacles = _DEMOS[args.name](args)
     dt = float(solver.cfg.dt)
     if kind == "mppi":
-        controller = mppi_controller(solver, params)
+        make_controller = lambda p: mppi_controller(solver, p)
         cs0 = solver.init(jax.random.PRNGKey(args.seed))
         ref_path = np.asarray(params.ref_path) if params.ref_path is not None else None
         # goal distance only makes sense for open courses (a circular course's
@@ -192,17 +192,22 @@ def cmd_demo(args: argparse.Namespace) -> None:
         ):
             target = ref_path[-1, :2]
     else:
-        controller = nmpc_controller(solver, params)
+        make_controller = lambda p: nmpc_controller(solver, p)
         cs0 = solver.init(x0)
         ref_path = None
         target = np.asarray(params.yref_e[:2])
 
     plant = solver.dynamics_step if kind == "mppi" else solver.dyn_step
-    run = jax.jit(lambda cs, x: run_closed_loop(controller, plant, cs, x, args.ticks))
-    episode, _ = run(cs0, x0)
+    # params rides through jit as an ARGUMENT and the controller factory
+    # binds the tracer — capturing the device arrays in the closure would
+    # trip the sync cliff (docs/PERF.md) and corrupt the timing below
+    run = jax.jit(
+        lambda p, cs, x: run_closed_loop(make_controller(p), plant, cs, x, args.ticks)
+    )
+    episode, _ = run(params, cs0, x0)
     _sync(episode)  # compile + warm-up
     t0 = time.perf_counter()
-    episode, _ = run(cs0, x0)
+    episode, _ = run(params, cs0, x0)
     _sync(episode)
     wall = time.perf_counter() - t0
 

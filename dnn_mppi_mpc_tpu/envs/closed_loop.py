@@ -215,7 +215,13 @@ def collect_residual_dataset_resumable(
 def mppi_controller(solver, params) -> Controller:
     """Adapt an MPPISolver into the (ctrl_state, x) -> (u, ctrl_state) shape
     run_closed_loop expects, so whole MPPI episodes run as one on-device scan
-    (zero per-tick host dispatch)."""
+    (zero per-tick host dispatch).
+
+    If you jit a function around the returned controller, call this factory
+    INSIDE the traced function with params as a jit argument
+    (``jit(lambda p, cs, x: run_closed_loop(mppi_controller(solver, p), …))``)
+    — binding concrete device arrays here and capturing the closure in a jit
+    trips the closure-constant sync cliff (docs/PERF.md)."""
 
     step = solver._step  # jitted partial of solvers.mppi.mppi_step
 

@@ -10,12 +10,53 @@ callable — MPPI or NMPC.
 
 from __future__ import annotations
 
+import contextlib
+import gc
+import os
 import time
 from typing import Callable, Optional
 
 import numpy as np
 
 from .native import RatePacer, TelemetryRing
+
+
+@contextlib.contextmanager
+def realtime_scheduling(priority: int = 10):
+    """Suppress the two dominant host-side tail sources inside a paced loop.
+
+    1. Python GC: a collection pause lands inside a control slot at random;
+       freeze the current heap and disable automatic collection (the loop
+       allocates only per-tick temporaries, so the young generation stays
+       tiny; everything is re-enabled + collected on exit).
+    2. CFS scheduling: promote to SCHED_FIFO so a busy host cannot preempt
+       the wake-up (needs CAP_SYS_NICE / root; silently skipped otherwise —
+       the stats tell you which world you measured via ``rt_scheduling``).
+
+    Yields a dict: {"rt_scheduling": bool} — whether FIFO was obtained.
+    """
+    info = {"rt_scheduling": False}
+    old_policy = old_param = None
+    try:
+        old_policy = os.sched_getscheduler(0)
+        old_param = os.sched_getparam(0)
+        os.sched_setscheduler(0, os.SCHED_FIFO, os.sched_param(priority))
+        info["rt_scheduling"] = True
+    except (OSError, PermissionError, AttributeError):
+        pass
+    gc_was_enabled = gc.isenabled()
+    gc.collect()
+    gc.freeze()
+    gc.disable()
+    try:
+        yield info
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+        gc.unfreeze()
+        gc.collect()
+        if info["rt_scheduling"]:
+            os.sched_setscheduler(0, old_policy, old_param)
 
 TELEMETRY_DTYPE = np.dtype(
     [
@@ -74,29 +115,32 @@ class RealtimeLoop:
         u = conv(self.controller(x))  # warm-up / compile
         if self.warmup_apply:
             self.apply_control(u)  # compile the plant path too (opt-in)
-        self.pacer = RatePacer(self.hz)
         rec = np.zeros((), dtype=TELEMETRY_DTYPE)
-        for tick in range(num_ticks):
-            late_ns = self.pacer.wait()
-            x = conv(self.read_state())
-            t0 = time.perf_counter_ns()
-            u = conv(self.controller(x))
-            solve_ns = time.perf_counter_ns() - t0
-            self.apply_control(u)
+        with realtime_scheduling() as rt:
+            self.pacer = RatePacer(self.hz)
+            for tick in range(num_ticks):
+                late_ns = self.pacer.wait()
+                x = conv(self.read_state())
+                t0 = time.perf_counter_ns()
+                u = conv(self.controller(x))
+                solve_ns = time.perf_counter_ns() - t0
+                self.apply_control(u)
 
-            rec["tick"] = tick
-            rec["t_wall_ns"] = time.perf_counter_ns()
-            rec["solve_ns"] = solve_ns
-            rec["late_ns"] = late_ns
-            if self.convert_arrays:
-                # slice by total size, not last-axis length — a (4, 2) state
-                # has x.shape[-1]=2 but 8 elements (round-2 review finding)
-                nx = min(8, x.size)
-                nu = min(4, u.size)
-                rec["state"][:nx] = x.ravel()[:nx]
-                rec["control"][:nu] = u.ravel()[:nu]
-            self.telemetry.push(rec)
-        stats = self.pacer.stats
+                rec["tick"] = tick
+                rec["t_wall_ns"] = time.perf_counter_ns()
+                rec["solve_ns"] = solve_ns
+                rec["late_ns"] = late_ns
+                if self.convert_arrays:
+                    # slice by total size, not last-axis length — a (4, 2)
+                    # state has x.shape[-1]=2 but 8 elements (round-2 review
+                    # finding)
+                    nx = min(8, x.size)
+                    nu = min(4, u.size)
+                    rec["state"][:nx] = x.ravel()[:nx]
+                    rec["control"][:nu] = u.ravel()[:nu]
+                self.telemetry.push(rec)
+            stats = dict(self.pacer.stats)
+            stats.update(rt)
         self.pacer.close()
         return stats
 

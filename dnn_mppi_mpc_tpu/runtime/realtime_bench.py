@@ -128,6 +128,10 @@ def run_realtime_e2e(
         "late_max_ms": round(float(late_ns.max()) / 1e6, 4),
         "misses_per_10k": round(misses * 10_000 / max(rec.shape[0], 1), 1),
         "pacer_overruns": int(pacer_stats["overruns"]),
+        "rt_scheduling": bool(pacer_stats.get("rt_scheduling", False)),
+        # diagnosis aid: where the >5 ms solve spikes landed (tick indices;
+        # a fixed spacing implicates a periodic host/tunnel event, not load)
+        "spike_ticks": [int(t) for t in rec["tick"][solve_ms > 5.0][:20]],
         "meets_budget_p99": bool(
             np.percentile(solve_ms, 99) < 1e3 / hz
             and np.percentile(late_ns, 99) < 0.1 * period_ns
