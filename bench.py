@@ -4,24 +4,25 @@ Prints ONE JSON line with the driver-defined primary metric (BASELINE.json).
 ``vs_baseline`` is the ratio of achieved control rate to the 50 Hz real-time
 budget (the reference publishes no absolute numbers — BASELINE.md).
 
-Methodology (docs/PERF.md): two complementary measurements.
+Methodology (docs/PERF.md "tunnel modes"): two measurements in two tunnel
+modes.
 
-**Throughput** (the headline solves/s) uses the **slope** estimator: run the
-full control tick chained on-device (``lax.scan`` over ``mppi_step``, the
-solver's real closed-loop shape) at two chain lengths and take
+**Phase 1 — dispatch ack** (``dispatch_ack_p*``, async mode, before the
+process's first device→host fetch): the host-side cost to enqueue one solve
+and receive the ack (~0.1 ms). NOT a completion wait — in async mode
+``block_until_ready`` returns at enqueue. This is what a deployment loop's
+host pays per tick.
+
+**Phase 2 — device throughput** (the headline solves/s, sync mode): after an
+explicit fetch switches the tunnel to synchronous mode (true completion
+waits), the **slope** estimator runs the full control tick chained on-device
+(``lax.scan`` over ``mppi_step``) at two chain lengths and takes
 
     per_solve = (wall(n2) − wall(n1)) / (n2 − n1)
 
-which cancels every fixed cost (fetch, dispatch, sync) and measures the
-sustained pipelined rate.
-
-**Latency** (``call_p50_ms``/``call_p99_ms``) is the TRUE per-call number: one
-``solver.step`` dispatched and blocked to completion per measurement — the
-exact per-tick cost a 50 Hz deployment loop pays. Rounds 1–3 could not report
-this honestly because a jit-captured device-array constant degraded every
-process sync to ~30 ms (the "closure-constant sync cliff", docs/PERF.md);
-with all device arrays passed as jit arguments the fully-synced flagship
-solve measures ~0.15 ms and per-call timing is trustworthy again.
+which cancels the constant tunnel RTT and measures real sustained device
+throughput (validated against the checked-in profiler trace: slope ~40–48 µs
+vs 54.5 µs single-shot program span).
 """
 
 from __future__ import annotations
@@ -45,9 +46,30 @@ enable_compilation_cache()
 
 
 def _sync(*arrays) -> None:
-    """Trustworthy barrier: device-side reduce + host fetch of one scalar."""
+    """Trustworthy barrier: device-side reduce + host fetch of one scalar.
+
+    The remote-attach tunnel has two modes (docs/PERF.md "tunnel modes",
+    round-4 bisection): before the process's first device→host data fetch,
+    ``block_until_ready`` is only a dispatch ACK (a 250-tick chain "blocks"
+    in 0.2 ms); after one fetch the tunnel switches to synchronous mode
+    permanently and blocks are true completion waits (+ up to one ~30 ms
+    RTT). A fetch is therefore BOTH the only true barrier and a deliberate
+    one-way switch — `_poison()` flips it explicitly before any slope
+    timing, and the slope cancels the constant RTT.
+    """
     total = sum(jnp.sum(a) for a in arrays)
     float(total)
+
+
+def _poison() -> None:
+    """Explicitly switch the tunnel to synchronous mode (docs/PERF.md).
+
+    Must run BEFORE any slope timing (true completion waits) and AFTER the
+    dispatch-ack measurement (which needs the initial async mode).
+    """
+    import numpy as _np
+
+    _np.asarray(jnp.zeros((1,)) + 1.0)
 
 
 def _make_chain(solver, params, n):
@@ -215,26 +237,11 @@ def main() -> None:
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)
 
-    def make_runner(n):
-        chain = _make_chain(solver, params, n)
-
-        def run():
-            _sync(*jax.tree.leaves(chain(st0, x0)))
-
-        return run
-
-    # Chain lengths sized so the n2−n1 device-time delta (≈50 ms at the
-    # flagship rate) clearly dominates per-call dispatch jitter — at
-    # (40, 200) the 10 ms delta made the slope estimate noisy (round 3).
-    n1, n2 = (200, 1000) if on_tpu else (4, 12)
-    timing = slope_timing(make_runner, n1, n2, reps=20 if on_tpu else 5)
-    tau, p50, p99 = timing.tau, timing.p50, timing.p99
-    solves_per_s = timing.ticks_per_s
-
-    # TRUE per-call latency: one solve dispatched + blocked per sample (the
-    # per-tick cost a deployment loop pays). Trustworthy only because no
-    # compiled program in this process captures a device-array constant
-    # (closure-constant sync cliff, docs/PERF.md).
+    # Phase 1 (async tunnel mode, BEFORE any fetch): per-call dispatch-ack —
+    # the host-side cost a deployment loop pays per tick to enqueue + get
+    # the ack. NOT a completion wait (docs/PERF.md "tunnel modes"); the
+    # device-side per-solve time is the slope below and the checked-in
+    # profiler trace (54.5 µs/solve program span).
     import time as _time
 
     def one_call():
@@ -248,6 +255,25 @@ def main() -> None:
         one_call()
         call_ts.append(_time.perf_counter() - t0)
     call_ts = np.asarray(call_ts)
+
+    # Phase 2 (sync tunnel mode): true-completion slope throughput.
+    _poison()
+
+    def make_runner(n):
+        chain = _make_chain(solver, params, n)
+
+        def run():
+            _sync(*jax.tree.leaves(chain(st0, x0)))
+
+        return run
+
+    # Chain lengths sized so the n2−n1 device-time delta (≈50 ms at the
+    # flagship rate) clearly dominates the constant tunnel RTT — at
+    # (40, 200) the 10 ms delta made the slope estimate noisy (round 3).
+    n1, n2 = (200, 1000) if on_tpu else (4, 12)
+    timing = slope_timing(make_runner, n1, n2, reps=20 if on_tpu else 5)
+    tau, p50, p99 = timing.tau, timing.p50, timing.p99
+    solves_per_s = timing.ticks_per_s
 
     budget_hz = 50.0
     # The metric id names the measured configuration; the CPU smoke path
@@ -266,8 +292,8 @@ def main() -> None:
         "per_solve_ms_best": round(tau * 1e3, 4),
         "p50_ms": round(p50 * 1e3, 4),
         "p99_ms": round(p99 * 1e3, 4),
-        "call_p50_ms": round(float(np.percentile(call_ts, 50)) * 1e3, 4),
-        "call_p99_ms": round(float(np.percentile(call_ts, 99)) * 1e3, 4),
+        "dispatch_ack_p50_ms": round(float(np.percentile(call_ts, 50)) * 1e3, 4),
+        "dispatch_ack_p99_ms": round(float(np.percentile(call_ts, 99)) * 1e3, 4),
         "meets_50hz_budget": bool(
             p99 < 1.0 / budget_hz
             and np.percentile(call_ts, 99) < 1.0 / budget_hz
@@ -275,8 +301,9 @@ def main() -> None:
         "K": K,
         "pallas_fused_tick": bool(on_tpu),
         "device": str(jax.devices()[0]),
-        "sync": "slope estimator for throughput; call_p* = one fully-synced "
-        "solve per sample (docs/PERF.md)",
+        "sync": "slope estimator (sync tunnel mode) for device throughput; "
+        "dispatch_ack_p* = per-call host enqueue cost (async mode); see "
+        "docs/PERF.md tunnel modes",
     }
     print(json.dumps(result))
 

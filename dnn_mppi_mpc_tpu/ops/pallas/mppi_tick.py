@@ -198,14 +198,21 @@ def _tick_kernel(
     carry_W: int = 0,  # per-step search span in carry mode (the scan path's
     # waypoint_search_len; W is then the larger pre-gathered window)
     sincos: str = "native",  # "native" VPU transcendentals | "poly" (mathx)
+    fold_anchor: bool = False,  # tick-level anchor search runs IN-kernel
+    P: int = 0,  # path length (fold_anchor mode: win_ref is the full path)
+    span: int = 0,  # anchor search span (ops/waypoints.nearest_waypoint)
 ):
     rest = list(rest)
+    if fold_anchor:
+        prev_ref = rest.pop(0)  # SMEM (1,) int32: previous tick anchor
     if fuse_epilogue:
         ft_ref = rest.pop(0)  # VMEM (T, T) transposed filter matrix Fᵀ
         urows_ref = rest.pop(0)  # VMEM (2, T) nominal controls, row layout
     if not gen_noise:
         eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) inputs
     S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if fold_anchor:
+        anchor_ref = rest.pop(0)  # SMEM (1,) int32: new tick anchor (wp_idx)
     if rollout_carry:
         wpadv_ref = rest.pop(0)  # SMEM (1,) int32: max carried advance over K
     if fuse_epilogue:
@@ -244,7 +251,38 @@ def _tick_kernel(
 
     # Hoist waypoint/obstacle scalars out of the T loop (VMEM scalar reads in
     # the loop cost thousands of scalar loads — docs/PERF.md Mosaic lessons).
-    win = [(win_ref[w, 0], win_ref[w, 1], win_ref[w, 2]) for w in range(W)]
+    if fold_anchor:
+        # The tick-level anchor advance (ops/waypoints.nearest_waypoint +
+        # the wrapper's window clip) runs HERE, killing two XLA ops + their
+        # launch gaps per tick (docs/PERF.md trace attribution). win_ref is
+        # the FULL (P, 3) path; ~ (span·2 + W·3) dynamic scalar reads once
+        # per launch. Semantics replicated exactly:
+        #   s0     = clip(prev, 0, max(P−span, 0))       [search window]
+        #   anchor = s0 + first-argmin d²(x0, path[s0+w]) (w < span)
+        #   wstart = clip(anchor, 0, max(P−W, 0))        [rollout window]
+        assert not rollout_carry, "fold_anchor is tick-anchored by definition"
+        prev = prev_ref[0]
+        s0 = jnp.clip(prev, jnp.int32(0), jnp.int32(max(P - span, 0)))
+        dx0 = x0 - win_ref[s0, 0]
+        dy0 = y0 - win_ref[s0, 1]
+        dbest = dx0 * dx0 + dy0 * dy0
+        local = jnp.int32(0)
+        for w in range(1, span):
+            dx = x0 - win_ref[s0 + w, 0]
+            dy = y0 - win_ref[s0 + w, 1]
+            d = dx * dx + dy * dy
+            better = d < dbest
+            dbest = jnp.where(better, d, dbest)
+            local = jnp.where(better, jnp.int32(w), local)
+        anchor = s0 + local
+        anchor_ref[0] = anchor
+        wstart = jnp.clip(anchor, jnp.int32(0), jnp.int32(max(P - W, 0)))
+        win = [
+            (win_ref[wstart + w, 0], win_ref[wstart + w, 1], win_ref[wstart + w, 2])
+            for w in range(W)
+        ]
+    else:
+        win = [(win_ref[w, 0], win_ref[w, 1], win_ref[w, 2]) for w in range(W)]
     obs = [
         (obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2], obs_ref[o, 3], obs_ref[o, 4])
         for o in range(n_obs)
@@ -482,6 +520,8 @@ def _tick_kernel(
         "rollout_carry",
         "carry_W",
         "sincos",
+        "fold_anchor",
+        "span",
     ),
 )
 def diffdrive_mppi_tick(
@@ -519,6 +559,9 @@ def diffdrive_mppi_tick(
     rollout_carry: bool = False,
     carry_W: int = 0,
     sincos: str = "native",
+    fold_anchor: bool = False,
+    span: int = 0,
+    prev_idx: Optional[jnp.ndarray] = None,  # () int32 (fold_anchor mode)
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
@@ -539,6 +582,10 @@ def diffdrive_mppi_tick(
     assert gaussian in ("popcount", "box_muller"), gaussian
     assert collision in ("circle", "soft"), collision
     assert sincos in ("native", "poly"), sincos
+    if fold_anchor:
+        # ``window`` is then the FULL (P, ≥3) path and ``W`` the rollout
+        # window length; the anchor search (span) + window clip run in-kernel.
+        assert not rollout_carry and prev_idx is not None and span > 0
     assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
     R = K // LANES
     R_BLK = pick_r_blk(R)
@@ -588,6 +635,9 @@ def diffdrive_mppi_tick(
         rollout_carry=rollout_carry,
         carry_W=carry_W,
         sincos=sincos,
+        fold_anchor=fold_anchor,
+        P=window.shape[0] if fold_anchor else 0,
+        span=span,
     )
 
     out_shape = [
@@ -596,6 +646,9 @@ def diffdrive_mppi_tick(
         jax.ShapeDtypeStruct((2, T), jnp.float32),  # w_eps (rows)
     ]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape]
+    if fold_anchor:
+        out_shape += [jax.ShapeDtypeStruct((1,), jnp.int32)]  # new anchor
+        out_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if rollout_carry:
         out_shape += [jax.ShapeDtypeStruct((1,), jnp.int32)]  # max carried idx
         out_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -637,6 +690,9 @@ def diffdrive_mppi_tick(
         window.astype(jnp.float32),
         obs,
     ]
+    if fold_anchor:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [jnp.reshape(prev_idx.astype(jnp.int32), (1,))]
     if fuse_epilogue:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Fᵀ
@@ -673,6 +729,7 @@ def diffdrive_mppi_tick(
     S = result.pop(0).reshape(K)
     w = result.pop(0).reshape(K)
     w_eps = result.pop(0).T  # (T, 2)
+    anchor = result.pop(0)[0] if fold_anchor else None
     wp_adv = result.pop(0)[0] if rollout_carry else None
     epi = None
     if fuse_epilogue:
@@ -680,23 +737,17 @@ def diffdrive_mppi_tick(
         u_shift = result.pop(0).T  # (T, 2)
         finite = result.pop(0)[0]
         epi = (u_new, u_shift, finite)
+    out = [S, w, w_eps]
+    if fuse_epilogue:
+        out.append(epi)
     if emit:
         eps_out = jnp.stack([result.pop(0), result.pop(0)], axis=1)  # (T, 2, R, L)
-        eps_out = jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, 2)
-        if fuse_epilogue:
-            if rollout_carry:
-                return S, w, w_eps, epi, eps_out, wp_adv
-            return S, w, w_eps, epi, eps_out
-        if rollout_carry:
-            return S, w, w_eps, eps_out, wp_adv
-        return S, w, w_eps, eps_out
-    if fuse_epilogue:
-        if rollout_carry:
-            return S, w, w_eps, epi, wp_adv
-        return S, w, w_eps, epi
+        out.append(jnp.transpose(eps_out, (2, 3, 0, 1)).reshape(K, T, 2))
     if rollout_carry:
-        return S, w, w_eps, wp_adv
-    return S, w, w_eps
+        out.append(wp_adv)
+    if fold_anchor:
+        out.append(anchor)
+    return tuple(out)
 
 
 __all__ = ["diffdrive_mppi_tick"]

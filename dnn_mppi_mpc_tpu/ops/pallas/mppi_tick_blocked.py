@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mathx import sincos_poly
 from .mppi_tick import LANES, pack_obstacles, pick_r_blk, standard_normal_pair
 
 _NEG_BIG = -3.0e38  # sentinel for "no rho yet" (−inf-free: inf−inf traps)
@@ -80,6 +81,7 @@ def _gen_eps_block(seed, block_id, T, RB, chol, gaussian, eps0, eps1):
 def _rollout_block(
     sc, u_at, a_at, win, obs, eps0, eps1, k_base,
     *, T, RB, R_BLK, n_obs, last_only, obs_mode, moving_obs, iso_xy=False,
+    sincos="native",
 ):
     """Roll out one (RB, 128) sample block, returning its cost surface S.
 
@@ -154,8 +156,12 @@ def _rollout_block(
             v1 = jnp.where(exploit, u_at(t, 1) + e1, e1)
             v0 = jnp.clip(v0, sc["umin0"], sc["umax0"])
             v1 = jnp.clip(v1, sc["umin1"], sc["umax1"])
-            x = x + v0 * jnp.cos(yaw) * sc["dt"]
-            y = y + v0 * jnp.sin(yaw) * sc["dt"]
+            if sincos == "poly":
+                sin_y, cos_y = sincos_poly(yaw)
+            else:
+                sin_y, cos_y = jnp.sin(yaw), jnp.cos(yaw)
+            x = x + v0 * cos_y * sc["dt"]
+            y = y + v0 * sin_y * sc["dt"]
             yaw = yaw + v1 * sc["dt"]
             if iso_xy:
                 dmin, ryaw = window_refs(x, y)
@@ -200,7 +206,7 @@ def _blocked_kernel(
     S_ref, stat_ref, weps_ref,
     eps0, eps1, acc_ref, neg_rho_ref, eta_ref,
     *, T, W, RB, R_BLK, NB, n_obs, last_only, gaussian, obs_mode, moving_obs,
-    s_only, iso_xy,
+    s_only, iso_xy, sincos="native",
 ):
     b = pl.program_id(0)
     sc = _read_scalars(scal_ref)
@@ -222,6 +228,7 @@ def _blocked_kernel(
         win, obs, eps0, eps1, k_base,
         T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
         obs_mode=obs_mode, moving_obs=moving_obs, iso_xy=iso_xy,
+        sincos=sincos,
     )
     for i, S in enumerate(S_parts):
         S_ref[i * R_BLK : (i + 1) * R_BLK, :] = S
@@ -291,7 +298,7 @@ def _pack_scalars(
     jax.jit,
     static_argnames=(
         "K", "T", "W", "K_BLK", "last_only", "s_only", "interpret", "gaussian",
-        "collision", "iso_xy",
+        "collision", "iso_xy", "sincos",
     ),
 )
 def diffdrive_mppi_tick_blocked(
@@ -326,6 +333,7 @@ def diffdrive_mppi_tick_blocked(
     gaussian: str = "popcount",
     collision: str = "circle",
     iso_xy: bool = False,
+    sincos: str = "native",
 ):
     """Fused MPPI tick for K beyond the single-block VMEM budget.
 
@@ -362,7 +370,7 @@ def diffdrive_mppi_tick_blocked(
         T=T, W=W, RB=RB, R_BLK=R_BLK, NB=NB, n_obs=n_obs,
         last_only=last_only, gaussian=gaussian, obs_mode=collision,
         moving_obs=obstacle_velocities is not None, s_only=s_only,
-        iso_xy=iso_xy,
+        iso_xy=iso_xy, sincos=sincos,
     )
 
     grid = (NB,)
@@ -543,7 +551,7 @@ def _fleet_kernel(
     S_ref, w_ref, weps_ref,
     eps0, eps1,
     *, T, W, RB, R_BLK, n_obs, last_only, gaussian, obs_mode, moving_obs,
-    iso_xy,
+    iso_xy, sincos="native",
 ):
     """One fleet member per grid step: complete tick (gen ε → rollout →
     softmax → weighted reduce) on member b's own u/x0/window/obstacles.
@@ -569,6 +577,7 @@ def _fleet_kernel(
         win, obs, eps0, eps1, jnp.float32(0.0),
         T=T, RB=RB, R_BLK=R_BLK, n_obs=n_obs, last_only=last_only,
         obs_mode=obs_mode, moving_obs=moving_obs, iso_xy=iso_xy,
+        sincos=sincos,
     )
     for i, S in enumerate(S_parts):
         S_ref[0, i * R_BLK : (i + 1) * R_BLK, :] = S
@@ -588,7 +597,7 @@ def _fleet_kernel(
     jax.jit,
     static_argnames=(
         "B", "K", "T", "W", "last_only", "interpret", "gaussian", "collision",
-        "iso_xy",
+        "iso_xy", "sincos",
     ),
 )
 def fleet_mppi_tick(
@@ -620,6 +629,7 @@ def fleet_mppi_tick(
     gaussian: str = "popcount",
     collision: str = "circle",
     iso_xy: bool = False,
+    sincos: str = "native",
 ):
     """Lane-batched MPPI fleet tick: B independent controllers, one Pallas
     launch — the MPPI analog of the lane-batched NMPC QP fleet (round-2
@@ -667,6 +677,7 @@ def fleet_mppi_tick(
         T=T, W=W, RB=RB, R_BLK=R_BLK, n_obs=n_obs,
         last_only=last_only, gaussian=gaussian, obs_mode=collision,
         moving_obs=obstacle_velocities is not None, iso_xy=iso_xy,
+        sincos=sincos,
     )
     result = pl.pallas_call(
         kernel,

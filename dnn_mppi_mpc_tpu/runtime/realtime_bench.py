@@ -13,13 +13,22 @@ opposite). Replaces the reference's deployment loop
 simulation/bullet_differential_drive_dnn.py:419-467 (read state → solve →
 actuate → sleep).
 
-Remote-attach note: state and control stay ON DEVICE
-(RealtimeLoop(convert_arrays=False) — the loop never needs a host copy);
-the controller wrapper blocks until its result is ready so ``solve_ns`` is
-genuine dispatch+compute+ready latency. Rounds 1–3 believed per-call syncs
-cost a flat ~25–30 ms through the tunnel; that was the closure-constant
-sync cliff (docs/PERF.md) — with every device array passed as a jit
-argument, a fully synced flagship solve measures ~0.15 ms.
+Remote-attach note (docs/PERF.md "tunnel modes"): the loop runs fetch-free,
+so the tunnel stays in ASYNC mode — ``block_until_ready`` is a dispatch
+ACK, and the tunnel BUFFERS dispatches, executing them on the device in
+deferred bursts (measured: 24 ms host dispatch gaps → 0.43 ms device
+execution gaps). On-tunnel realtime *device* execution is therefore not
+demonstrable from this machine; the artifact decomposes what IS measurable:
+
+* ``ack_p*``/``late_*``/``misses_per_10k`` — the host realtime loop: pacer
+  wake-up discipline and per-tick enqueue cost (real);
+* ``device_pace`` — a profiler-traced paced segment: every tick executes on
+  the device (``device_ticks``), each costing ``device_tick_us`` (~46 µs,
+  0.2% of the 50 Hz period) — the device-side budget claim (real);
+* ``tunnel_defers_execution`` — flags the burst pattern so nobody reads
+  this artifact as an on-tunnel end-to-end realtime demonstration. On
+  co-located hardware dispatch→execute is immediate and the same loop is
+  realtime with ~400× device margin.
 
 Outputs one JSON-able dict (see ``run_realtime_e2e``), persisted by
 ``python -m dnn_mppi_mpc_tpu realtime`` and checked in under docs/assets/.
@@ -30,6 +39,73 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+
+
+def _traced_pace_check(loop, hz: float, n: int) -> dict:
+    """Profile ``n`` paced ticks and read the DEVICE timeline.
+
+    Returns device-side evidence that the control loop executes in real
+    time: the number of device executions of the solve program during the
+    window and the p50 spacing between their start timestamps (should equal
+    the control period). This is the only pace check that works through the
+    async tunnel — host-side blocking is an ack, and a fetch would switch
+    modes and replay history (docs/PERF.md tunnel modes).
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import jax
+
+    by_name = collections.defaultdict(lambda: ([], []))  # name -> starts, durs
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            loop.run(n)
+        for path in glob.glob(
+            _os.path.join(td, "plugins", "profile", "*", "*.trace.json.gz")
+        ):
+            with gzip.open(path) as fh:
+                data = _json.load(fh)
+            ev = data.get("traceEvents", [])
+            pids = {
+                e["pid"]: e["args"].get("name", "")
+                for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+            }
+            for e in ev:
+                if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+                    s, d = by_name[e.get("name", "")]
+                    s.append(e["ts"])  # µs
+                    d.append(e.get("dur", 0.0))
+    # each paced tick dispatches solve + plant; the solve program is the
+    # per-tick-frequency event with the largest median duration
+    candidates = [
+        (float(np.median(d)), name)
+        for name, (s, d) in by_name.items()
+        if len(s) >= 0.5 * n
+    ]
+    if not candidates:
+        return {
+            "expected_ticks": int(n),
+            "device_ticks": 0,
+            "device_period_p50_ms": None,
+            "device_tick_us": None,
+        }
+    _, solve_name = max(candidates)
+    starts, durs = by_name[solve_name]
+    starts = np.sort(np.asarray(starts, np.float64))
+    gaps_ms = np.diff(starts) / 1e3 if starts.size > 1 else np.asarray([])
+    return {
+        "expected_ticks": int(n),
+        "device_ticks": int(starts.size),
+        "device_period_p50_ms": (
+            round(float(np.percentile(gaps_ms, 50)), 3) if gaps_ms.size else None
+        ),
+        "device_tick_us": round(float(np.median(np.asarray(durs))), 1),
+    }
 
 
 def run_realtime_e2e(
@@ -105,13 +181,39 @@ def run_realtime_e2e(
     try:
         pacer_stats = loop.run(ticks)
         rec = loop.drain_telemetry()
+        # Device-pace integrity check WITHOUT a fetch (a fetch flips the
+        # tunnel to sync mode and retires the queued history at ~1 RTT/op —
+        # it measures history length, not pace): profile a short paced
+        # segment and read the DEVICE timeline — every tick must appear as
+        # a device execution, spaced at the control period.
+        pace = _traced_pace_check(loop, hz, min(200, ticks)) if on_tpu else None
     finally:
         loop.close()
 
     period_ns = 1e9 / hz
-    solve_ms = rec["solve_ns"] / 1e6
+    ack_ms = rec["solve_ns"] / 1e6
     late_ns = rec["late_ns"]
     misses = int(np.sum(late_ns > 0.1 * period_ns))
+    # Through the remote-attach tunnel, dispatches are buffered and the
+    # device executes them in deferred bursts (measured: host dispatch gaps
+    # 24 ms, device execution gaps 0.43 ms) — on-tunnel realtime DEVICE
+    # execution is not demonstrable from here. The honest decomposition:
+    # all ticks execute (device_ticks == expected), each costs
+    # device_tick_us (≪ the period), and the host loop is paced/real-time;
+    # on co-located hardware dispatch→execute is immediate, so the loop is
+    # realtime with device_tick_us/period of margin.
+    all_executed = pace is None or (
+        pace["device_ticks"] >= 0.98 * pace["expected_ticks"]
+    )
+    device_fits = pace is None or (
+        pace["device_tick_us"] is not None
+        and pace["device_tick_us"] * 1e3 < 0.1 * period_ns
+    )
+    defers = bool(
+        pace is not None
+        and pace["device_period_p50_ms"] is not None
+        and pace["device_period_p50_ms"] < 0.5 * 1e3 / hz
+    )
     return {
         "metric": "realtime_e2e",
         "hz": hz,
@@ -120,21 +222,30 @@ def run_realtime_e2e(
         "T": T,
         "device": str(jax.devices()[0]),
         "solver_path": "pallas_fused_tick" if on_tpu else "xla_scan",
-        "e2e_p50_ms": round(float(np.percentile(solve_ms, 50)), 4),
-        "e2e_p99_ms": round(float(np.percentile(solve_ms, 99)), 4),
-        "e2e_max_ms": round(float(solve_ms.max()), 4),
+        # host enqueue cost per tick (dispatch ACK — docs/PERF.md tunnel
+        # modes; device time per tick is the traced 54.5 µs, ≪ the period)
+        "ack_p50_ms": round(float(np.percentile(ack_ms, 50)), 4),
+        "ack_p99_ms": round(float(np.percentile(ack_ms, 99)), 4),
+        "ack_max_ms": round(float(ack_ms.max()), 4),
         "late_p50_ms": round(float(np.percentile(late_ns, 50)) / 1e6, 4),
         "late_p99_ms": round(float(np.percentile(late_ns, 99)) / 1e6, 4),
         "late_max_ms": round(float(late_ns.max()) / 1e6, 4),
         "misses_per_10k": round(misses * 10_000 / max(rec.shape[0], 1), 1),
         "pacer_overruns": int(pacer_stats["overruns"]),
         "rt_scheduling": bool(pacer_stats.get("rt_scheduling", False)),
-        # diagnosis aid: where the >5 ms solve spikes landed (tick indices;
+        # device-timeline evidence from the traced segment (None on CPU)
+        "device_pace": pace,
+        "all_ticks_executed": bool(all_executed),
+        "device_fits_budget": bool(device_fits),
+        "tunnel_defers_execution": defers,
+        # diagnosis aid: where the >5 ms ack spikes landed (tick indices;
         # a fixed spacing implicates a periodic host/tunnel event, not load)
-        "spike_ticks": [int(t) for t in rec["tick"][solve_ms > 5.0][:20]],
+        "spike_ticks": [int(t) for t in rec["tick"][ack_ms > 5.0][:20]],
         "meets_budget_p99": bool(
-            np.percentile(solve_ms, 99) < 1e3 / hz
+            np.percentile(ack_ms, 99) < 1e3 / hz
             and np.percentile(late_ns, 99) < 0.1 * period_ns
+            and all_executed
+            and device_fits
         ),
     }
 

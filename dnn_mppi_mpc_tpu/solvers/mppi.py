@@ -267,10 +267,18 @@ def mppi_step(
     params = unify_float_dtype(params, u.dtype)
 
     # Advance the waypoint window to the vehicle position (tick-level, pure).
-    wp_idx, _ = nearest_waypoint(
-        params.ref_path, x0[:2], state.waypoint_idx, cfg.waypoint_search_len
-    )
-    ctx = CostContext(params=params, waypoint_start=wp_idx)
+    # A tick_fn with ``folds_anchor`` runs this search INSIDE its kernel
+    # (make_pallas_diffdrive_tick fold_anchor mode): it gets the previous
+    # anchor and returns the advanced one as an extra output.
+    folds_anchor = tick_fn is not None and getattr(tick_fn, "folds_anchor", False)
+    if folds_anchor:
+        wp_idx = None
+        ctx = CostContext(params=params, waypoint_start=state.waypoint_idx)
+    else:
+        wp_idx, _ = nearest_waypoint(
+            params.ref_path, x0[:2], state.waypoint_idx, cfg.waypoint_search_len
+        )
+        ctx = CostContext(params=params, waypoint_start=wp_idx)
 
     if cfg.waypoint_carry not in ("tick", "rollout"):
         raise ValueError(f"waypoint_carry must be 'tick' or 'rollout': {cfg.waypoint_carry!r}")
@@ -319,6 +327,9 @@ def mppi_step(
             # Kernel already applied filter + update + finite-hold + shift;
             # only diagnostics and the waypoint/status carry remain in XLA.
             out = tick_fn(params, ctx, u, x0, seed, noise)
+            if folds_anchor:
+                out = list(out)
+                wp_idx = out.pop()  # the in-kernel-advanced anchor
             if kernel_carry:
                 S, w, _, (u_new, u_shift, finite), wp_carried = out
             else:
@@ -334,6 +345,10 @@ def mppi_step(
                 S, w, u_new, u_shift, finite, status_idx=status_idx,
             )
         out = tick_fn(params, ctx, u, x0, seed, noise)
+        if folds_anchor:
+            out = list(out)
+            wp_idx = out.pop()
+            ctx = CostContext(params=params, waypoint_start=wp_idx)
         if kernel_carry:
             S, w, w_eps, wp_carried = out
         else:
@@ -702,9 +717,16 @@ def make_pallas_diffdrive_tick(
     soft_weight: float = 100.0,
     fuse_epilogue: bool = False,
     iso_xy: bool = False,
-    sincos: str = "native",
+    sincos: str = "poly",
+    fold_anchor: Optional[bool] = None,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
+
+    ``sincos="poly"`` (default) evaluates the rollout's sin/cos pair via one
+    shared-reduction polynomial (ops/pallas/mathx.py, |err| ≤ 9e-8): measured
+    ~21% faster per solve than the native transcendentals at the flagship
+    shape (interleaved slope A/B, docs/PERF.md). "native" restores
+    ``jnp.sin/cos``.
 
     One kernel per tick: on-chip ε ~ N(0, Σ), rollout + cost, softmax,
     weighted-noise reduce — the ε tensor never exists in HBM. Only valid for
@@ -759,6 +781,20 @@ def make_pallas_diffdrive_tick(
         filter_t = _np.asarray(F.T, _np.float32)
 
     rollout_carry = cfg.waypoint_carry == "rollout"
+    # fold_anchor moves the tick-level anchor search + window gather INTO
+    # the kernel (one XLA op per tick). Measured A/B at the flagship shape
+    # (docs/PERF.md): ~10 µs/solve SLOWER than the XLA prologue — the ~100
+    # dynamically-indexed scalar VMEM reads cost more than the op-launch
+    # overhead they remove — so the default is OFF; the mode is kept
+    # (parity-tested) for problems with much larger K where the fixed
+    # prologue amortizes differently. ``mppi_step`` detects it via
+    # ``tick.folds_anchor`` and passes the PREVIOUS anchor through ctx.
+    fold_anchor = False if fold_anchor is None else fold_anchor
+    if fold_anchor and rollout_carry:
+        raise ValueError(
+            "fold_anchor is tick-anchored; waypoint_carry='rollout' carries "
+            "in-kernel already"
+        )
 
     def tick(
         params: MPPIParams,
@@ -786,6 +822,14 @@ def make_pallas_diffdrive_tick(
                 start + jnp.arange(Wlen, dtype=jnp.int32), P - 1
             )
             window = jnp.take(params.ref_path, gidx, axis=0)
+        elif fold_anchor:
+            # the kernel runs the whole tick-level anchor advance itself:
+            # ctx.waypoint_start is the PREVIOUS tick's anchor and the full
+            # path goes in; the new anchor comes back as an extra output
+            # (mppi_step cooperates via tick.folds_anchor)
+            span = min(cfg.waypoint_search_len, P)
+            Wlen = min(cfg.waypoint_search_len, P)
+            window = params.ref_path
         else:
             span = 0
             Wlen = min(cfg.waypoint_search_len, P)
@@ -825,8 +869,11 @@ def make_pallas_diffdrive_tick(
             fuse_epilogue=fuse_epilogue,
             iso_xy=iso_xy,
             rollout_carry=rollout_carry,
-            carry_W=span,
+            carry_W=0 if fold_anchor else span,
             sincos=sincos,
+            fold_anchor=fold_anchor,
+            span=span if fold_anchor else 0,
+            prev_idx=ctx.waypoint_start if fold_anchor else None,
         )
         if not rollout_carry:
             return out
@@ -839,6 +886,7 @@ def make_pallas_diffdrive_tick(
 
     tick.fused_epilogue = fuse_epilogue
     tick.supports_rollout_carry = rollout_carry
+    tick.folds_anchor = fold_anchor
     return tick
 
 
@@ -850,6 +898,7 @@ def make_pallas_diffdrive_tick_blocked(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     iso_xy: bool = False,
+    sincos: str = "poly",
 ):
     """Bind the K-blocked fused tick (ops/pallas/mppi_tick_blocked.py) as
     tick_fn — pod-scale sample counts (K ≥ ~40k at T=50) on one chip.
@@ -923,6 +972,7 @@ def make_pallas_diffdrive_tick_blocked(
             last_only=(cfg.accumulation == CostAccumulation.LAST),
             collision=collision,
             iso_xy=iso_xy,
+            sincos=sincos,
         )
         # per-sample weights: one cheap elementwise pass over S in XLA
         inv_t = jnp.asarray(cfg.inv_temperature, S.dtype)
@@ -1338,6 +1388,7 @@ def make_fleet_fused_mppi_step(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     iso_xy: bool = False,
+    sincos: str = "poly",
 ):
     """Lane-batched MPPI fleet: B independent controllers per Pallas launch.
 
@@ -1429,6 +1480,7 @@ def make_fleet_fused_mppi_step(
             obstacle_velocities=obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
+            sincos=sincos,
             B=B, K=cfg.num_samples, T=T,
             W=windows.shape[1],
             last_only=(cfg.accumulation == CostAccumulation.LAST),

@@ -61,8 +61,10 @@ ROWS = (
 
 def _sync(*arrays) -> None:
     """Trustworthy barrier: device-side reduce + host fetch of one scalar."""
+    # fetch-free: ONE device→host fetch poisons every later sync in the
+    # process to ~30 ms (docs/PERF.md sync cliff) — block, never fetch.
     total = sum(jnp.sum(a) for a in arrays)
-    float(total)
+    total.block_until_ready()
 
 
 @dataclasses.dataclass
@@ -157,7 +159,9 @@ def _build_racecar(on_tpu: bool) -> Workload:
         obstacles=jnp.array([[5.0, 5.0, 1.0], [7.0, 7.0, 1.0]]),
         fused_tick=on_tpu,
     )
-    x0 = jnp.asarray(np.asarray(ref[0], np.float32))
+    # device-side cast: np.asarray(ref[0]) here was a device→host fetch,
+    # poisoning every later sync in the suite process (docs/PERF.md)
+    x0 = ref[0].astype(jnp.float32)
     n1, n2 = (50, 250) if on_tpu else (2, 6)
     return _mppi_workload(
         "racecar", solver, params, x0, n1, n2,

@@ -1,16 +1,21 @@
-"""Two-length chained-tick slope estimator — the repo's one timing protocol.
+"""Two-length chained-tick slope estimator — the throughput timing protocol.
 
-Through the remote-attach tunnel a device→host fetch costs a flat ~25–30 ms
-and ``block_until_ready`` alone is untrustworthy (docs/PERF.md "Measuring
-through the remote-attach tunnel"), so any per-call timing is dominated by
-fixed overhead. The only clean estimator is the **slope**: run the full
-control tick chained on-device (``lax.scan`` over the tick) at two chain
-lengths n1 < n2 and take
+The slope cancels all fixed per-call costs: run the full control tick
+chained on-device (``lax.scan`` over the tick) at two chain lengths
+n1 < n2 and take
 
     per_tick = (wall(n2) − wall(n1)) / (n2 − n1)
 
-which cancels every fixed cost (fetch, dispatch, sync). The distribution of
-per-chain walls gives p50/p99 of the *sustained* per-tick time.
+The distribution of per-chain walls gives p50/p99 of the *sustained*
+per-tick time. This measures pipelined throughput; TRUE per-call latency is
+measured separately (one blocked solve per sample — bench.py call_p*).
+
+Fetch-free discipline (docs/PERF.md "sync cliff", round 4): runners must
+sync with ``block_until_ready`` on a device-side reduction, NEVER a fetch
+(``float``/``np.asarray``) — one data fetch permanently degrades every later
+sync in the process to ~30 ms through the remote-attach tunnel. (Rounds 1–3
+believed block_until_ready was untrustworthy and fetches cost a flat tax;
+both observations were this cliff.)
 
 This module is the single implementation used by ``bench.py``,
 ``examples/scaling_run.py`` and ``examples/dnn_mppi.py`` — protocol fixes
@@ -50,8 +55,8 @@ def slope_timing(
     """Estimate sustained per-tick time from two on-device chain lengths.
 
     ``make_runner(n)`` must return a zero-argument callable that executes an
-    n-tick chain to completion, **including a trustworthy sync** (fetch a
-    device-side reduction of the output — not just ``block_until_ready``).
+    n-tick chain to completion, syncing with ``block_until_ready`` on a
+    device-side reduction of the output — NEVER a fetch (module docstring).
     Each runner is invoked once for compile + warm-up, then ``reps`` times
     for timing.
     """

@@ -50,8 +50,12 @@ def test_cli_info(tmp_path):
         ("goal-seeking-mppi", ["--samples", "128", "--horizon", "25"]),
         ("racecar-mppi", ["--samples", "128", "--ticks", "10"]),
         ("diff-drive-nmpc", ["--ticks", "30"]),
-        ("racecar-nmpc", ["--ticks", "10"]),
-        ("four-wheel-nmpc", ["--ticks", "30"]),
+        # the heavier NMPC demos stay in the slow set (~10 s subprocess
+        # compile each; presets covered in-process by tests/test_nmpc.py)
+        pytest.param("racecar-nmpc", ["--ticks", "10"], marks=pytest.mark.slow),
+        pytest.param(
+            "four-wheel-nmpc", ["--ticks", "30"], marks=pytest.mark.slow
+        ),
     ],
 )
 def test_cli_demo_runs_finite(name, extra, tmp_path):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from dnn_mppi_mpc_tpu.config import SQPConfig
@@ -62,6 +63,7 @@ def _closed_loop_loss(solver, cfg, theta, x0, ticks=10):
     return jnp.sum(track) + 0.01 * jnp.sum(effort)
 
 
+@pytest.mark.slow
 def test_weight_gradients_match_finite_differences():
     solver, cfg = _solver()
     x0 = jnp.array([0.2, -0.1, 0.0], jnp.float32)
@@ -101,6 +103,7 @@ def test_x0_gradient_matches_finite_differences():
         )
 
 
+@pytest.mark.slow
 def test_pallas_backend_gradients_match_xla():
     """jax.grad through a qp_backend="pallas" tick (the custom_vjp recompute
     rule in ops/pallas/riccati_qp.py) matches the all-XLA graph's gradient —

@@ -40,21 +40,37 @@ _CASES = [
     ),
     ("pacer_characterization.py", ["--seconds", "0.5"]),
     ("custom_model_mppi.py", ["--ticks", "3", "--samples", "128", "--horizon", "8"]),
-    (
+    pytest.param(
         "dnn_mppi.py",
         ["--series", "2", "--epochs", "2", "--samples", "128", "--horizon", "8"],
+        marks=pytest.mark.slow,
     ),
-    ("dnn_nmpc_pipeline.py", ["--series", "2", "--epochs", "2"]),
+    pytest.param(
+        "dnn_nmpc_pipeline.py", ["--series", "2", "--epochs", "2"],
+        marks=pytest.mark.slow,
+    ),
     ("fleet_collection.py", ["--scenarios", "2", "--samples", "64", "--ticks", "5"]),
-    ("nmpc_autotune.py", ["--iters", "3", "--ticks", "6", "--horizon", "5"]),
-    ("ppo_point_goal.py", ["--iters", "2", "--envs", "4"]),
-    ("ppo_pixel_goal.py", ["--iters", "1", "--envs", "2", "--size", "16"]),
+    pytest.param(
+        "nmpc_autotune.py", ["--iters", "3", "--ticks", "6", "--horizon", "5"],
+        marks=pytest.mark.slow,
+    ),
+    pytest.param(
+        "ppo_point_goal.py", ["--iters", "2", "--envs", "4"],
+        marks=pytest.mark.slow,
+    ),
+    pytest.param(
+        "ppo_pixel_goal.py", ["--iters", "1", "--envs", "2", "--size", "16"],
+        marks=pytest.mark.slow,
+    ),
     ("realtime_loop.py", ["--hz", "100", "--ticks", "5", "--samples", "128"]),
     ("sharded_mppi.py", ["--ticks", "2", "--samples", "64", "--horizon", "6"]),
 ]
 
 
-@pytest.mark.parametrize("script,args", _CASES, ids=[c[0] for c in _CASES])
+@pytest.mark.parametrize(
+    "script,args", _CASES,
+    ids=[getattr(c, "values", c)[0] for c in _CASES],
+)
 def test_example_runs(script, args, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -324,6 +324,7 @@ def test_soft_h_constraints_trade_violation_for_tracking():
     assert err_soft < err_hard - 0.2, (err_soft, err_hard)
 
 
+@pytest.mark.slow
 def test_nmpc_racecar_learned_residual():
     """Race-car NMPC over bicycle + MLP residual (mpc_racecar_dnn.py:40-96):
     the learned-dynamics path on the 4-state bicycle."""

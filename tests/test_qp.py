@@ -267,7 +267,12 @@ def test_barrier_qp_fuzz_vs_scipy(seed):
     np.testing.assert_allclose(np.asarray(dX), want_X, atol=1e-2)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize(
+    "seed",
+    # 2 seeds in the fast set; the full sweep stays in the slow suite
+    # (each case costs ~20-30 s of CPU compile — verdict r3 #9)
+    [0, 3] + [pytest.param(s, marks=pytest.mark.slow) for s in (1, 2, 4, 5)],
+)
 def test_parallel_riccati_matches_sequential(seed):
     """Associative-scan LQR (O(log N) depth) vs the sequential Riccati sweep:
     identical minimizer on random horizons/dimensions (incl. N=1)."""

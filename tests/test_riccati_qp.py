@@ -89,6 +89,7 @@ def test_kernel_four_wheel_dims():
     )
 
 
+@pytest.mark.slow
 def test_kernel_fuzz_many_seeds():
     for seed in range(5):
         rng = np.random.default_rng(100 + seed)
@@ -337,6 +338,7 @@ def test_batched_solve_differentiable_escape_hatch():
     assert float(jnp.max(jnp.abs(g))) > 0.0
 
 
+@pytest.mark.slow
 def test_batched_kernel_fuzz_dims():
     """Randomized dims fuzz for the lane-batched kernel: per-member parity
     with the per-problem kernel across (nx, nu, n_h, S, N, B) combinations."""
