@@ -64,7 +64,17 @@ def atan_tile(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x < 0.0, -r, r)
 
 
-def unicycle_tile(dt: float) -> TileStep:
+def _sincos(yaw, sincos: str):
+    """sin/cos pair for tile steps: "poly" (default — ~21% faster fused
+    ticks, ops/pallas/mathx.py, |err| ≤ 9e-8) or "native" transcendentals."""
+    if sincos == "poly":
+        from ..ops.pallas.mathx import sincos_poly
+
+        return sincos_poly(yaw)
+    return jnp.sin(yaw), jnp.cos(yaw)
+
+
+def unicycle_tile(dt: float, sincos: str = "poly") -> TileStep:
     """Euler diff-drive: state (x, y, yaw); control (v, ω).
 
     Matches euler_step(unicycle, ·, ·, dt) — the update of
@@ -75,16 +85,19 @@ def unicycle_tile(dt: float) -> TileStep:
     def step(xs, vs):
         x, y, yaw = xs
         v, w = vs
+        sin_y, cos_y = _sincos(yaw, sincos)
         return (
-            x + v * jnp.cos(yaw) * dt,
-            y + v * jnp.sin(yaw) * dt,
+            x + v * cos_y * dt,
+            y + v * sin_y * dt,
             yaw + w * dt,
         )
 
     return step
 
 
-def kinematic_bicycle_tile(dt: float, wheel_base: float = 2.5) -> TileStep:
+def kinematic_bicycle_tile(
+    dt: float, wheel_base: float = 2.5, sincos: str = "poly"
+) -> TileStep:
     """Euler kinematic bicycle: state (x, y, yaw, v); control (δ, a).
 
     Matches euler_step(kinematic_bicycle, ·, ·, dt) — the update of
@@ -95,10 +108,16 @@ def kinematic_bicycle_tile(dt: float, wheel_base: float = 2.5) -> TileStep:
     def step(xs, vs):
         x, y, yaw, v = xs
         steer, accel = vs
+        sin_y, cos_y = _sincos(yaw, sincos)
+        if sincos == "poly":
+            sin_s, cos_s = _sincos(steer, sincos)
+            tan_s = sin_s / cos_s  # steer bounded inside (−π/2, π/2)
+        else:
+            tan_s = jnp.tan(steer)
         return (
-            x + v * jnp.cos(yaw) * dt,
-            y + v * jnp.sin(yaw) * dt,
-            yaw + v * jnp.tan(steer) * inv_L * dt,
+            x + v * cos_y * dt,
+            y + v * sin_y * dt,
+            yaw + v * tan_s * inv_L * dt,
             v + accel * dt,
         )
 
@@ -106,7 +125,7 @@ def kinematic_bicycle_tile(dt: float, wheel_base: float = 2.5) -> TileStep:
 
 
 def four_wheel_torque_tile(
-    dt: float, params: Optional[FourWheelParams] = None
+    dt: float, params: Optional[FourWheelParams] = None, sincos: str = "poly"
 ) -> TileStep:
     """Euler four-wheel torque model: state (x, y, θ, v, ω); control
     (τ_fr, τ_fl, τ_rr, τ_rl).
@@ -125,9 +144,10 @@ def four_wheel_torque_tile(
     def step(xs, vs):
         x, y, theta, v, omega = xs
         t_fr, t_fl, t_rr, t_rl = vs
+        sin_t, cos_t = _sincos(theta, sincos)
         return (
-            x + v * jnp.cos(theta) * dt,
-            y + v * jnp.sin(theta) * dt,
+            x + v * cos_t * dt,
+            y + v * sin_t * dt,
             theta + omega * dt,
             v + cv * (t_fr + t_fl + t_rr + t_rl) * dt,
             omega + cw * ((t_fr + t_rr) - (t_fl + t_rl)) * dt,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mathx import sincos_poly
 from .mppi_tick import _TWO_PI, LANES, pick_r_blk, standard_normal_pair
 
 # canonical body-frame vehicle outline (order per
@@ -67,6 +68,7 @@ def _bicycle_tick_kernel(
     emit_eps: bool,
     gaussian: str,
     iso_xy: bool,
+    sincos: str = "native",
 ):
     rest = list(rest)
     if not gen_noise:
@@ -210,23 +212,37 @@ def _bicycle_tick_kernel(
             st = jnp.clip(st, smin0, smax0)
             ac = jnp.clip(ac, smin1, smax1)
 
-            cos_y = jnp.cos(yaw)
-            sin_y = jnp.sin(yaw)
+            if sincos == "poly":
+                sin_y, cos_y = sincos_poly(yaw)
+                # tan(steer) = sin/cos via the same polynomial pair — the
+                # steer is clipped well inside (−π/2, π/2), no pole risk
+                sin_s, cos_s = sincos_poly(st)
+                tan_s = sin_s / cos_s
+            else:
+                cos_y = jnp.cos(yaw)
+                sin_y = jnp.sin(yaw)
+                tan_s = jnp.tan(st)
             x = x + v * cos_y * dt
             y = y + v * sin_y * dt
-            yaw = yaw + v * inv_L * jnp.tan(st) * dt
+            yaw = yaw + v * inv_L * tan_s * dt
             v = v + ac * dt
 
-            cos_n = jnp.cos(yaw)
-            sin_n = jnp.sin(yaw)
+            if sincos == "poly":
+                sin_n, cos_n = sincos_poly(yaw)
+            else:
+                cos_n = jnp.cos(yaw)
+                sin_n = jnp.sin(yaw)
             c = cost(x, y, yaw, v, sw, cos_n, sin_n)
             c = c + a_ref[t, 0] * st + a_ref[t, 1] * ac
             return x, y, yaw, v, S + c
 
         init = (zero_l + x0, zero_l + y0, zero_l + yaw0, zero_l + v0, zero_l)
         x, y, yaw, v, S = jax.lax.fori_loop(0, T, body, init)
-        cos_y = jnp.cos(yaw)
-        sin_y = jnp.sin(yaw)
+        if sincos == "poly":
+            sin_y, cos_y = sincos_poly(yaw)
+        else:
+            cos_y = jnp.cos(yaw)
+            sin_y = jnp.sin(yaw)
         S_ref[r0 : r0 + R_BLK, :] = S + cost(x, y, yaw, v, tw, cos_y, sin_y)
 
     # Softmax weights with ρ = min S (mppi_race_car_obstacle.py:216-226).
@@ -244,7 +260,9 @@ def _bicycle_tick_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "W", "emit_eps", "interpret", "gaussian", "iso_xy"),
+    static_argnames=(
+        "K", "T", "W", "emit_eps", "interpret", "gaussian", "iso_xy", "sincos"
+    ),
 )
 def bicycle_mppi_tick(
     seed: jnp.ndarray,  # () int32 — ignored when eps is given
@@ -275,6 +293,7 @@ def bicycle_mppi_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     iso_xy: bool = False,
+    sincos: str = "native",
 ):
     """One fused race-car MPPI tick → ``(S (K,), w (K,), w_eps (T, 2))``
     (plus ``eps (K, T, 2)`` when ``emit_eps``). ``gaussian`` as in
@@ -335,6 +354,7 @@ def bicycle_mppi_tick(
         emit_eps=emit,
         gaussian=gaussian,
         iso_xy=iso_xy,
+        sincos=sincos,
     )
 
     out_shape = [

@@ -145,6 +145,7 @@ def racecar_mppi(
     fused_tick: bool = False,
     gaussian: str = "popcount",
     iso_xy: Optional[bool] = None,
+    sincos: str = "poly",
     **overrides,
 ) -> Tuple[MPPISolver, MPPIParams]:
     """Race-car MPPI (kinematic bicycle) with optional polygon collision.
@@ -205,7 +206,8 @@ def racecar_mppi(
                 "iso_xy=True requires symmetric x/y tracking weights"
             )
         tick_fn = make_pallas_bicycle_tick(
-            cfg, wheel_base=wheel_base, gaussian=gaussian, iso_xy=iso_xy
+            cfg, wheel_base=wheel_base, gaussian=gaussian, iso_xy=iso_xy,
+            sincos=sincos,
         )
     elif use_pallas:
         from .solvers.mppi import make_pallas_bicycle_rollout

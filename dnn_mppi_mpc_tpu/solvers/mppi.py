@@ -991,6 +991,7 @@ def make_pallas_bicycle_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     iso_xy: bool = False,
+    sincos: str = "poly",
 ):
     """Bind the fully-fused race-car tick kernel (ops/pallas/bicycle_tick.py).
 
@@ -1063,6 +1064,7 @@ def make_pallas_bicycle_tick(
             interpret=interpret,
             gaussian=gaussian,
             iso_xy=iso_xy,
+            sincos=sincos,
         )
 
     return tick

@@ -19,20 +19,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_cli(args, tmp_path):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    env["MPLBACKEND"] = "Agg"
-    proc = subprocess.run(
-        [sys.executable, "-m", "dnn_mppi_mpc_tpu"] + args,
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
-    assert proc.returncode == 0, f"cli {args} failed:\n{proc.stdout}\n{proc.stderr}"
-    last = proc.stdout.strip().splitlines()[-1]
+    # In-process (NOT a subprocess): each subprocess paid ~5 s of fresh jax
+    # import before any work — 9 CLI tests made this file one of the most
+    # expensive in the suite (verdict r3 #9). cli.main(argv) is a plain
+    # function; the conftest already pins the CPU mesh for this process.
+    import contextlib
+    import io
+
+    from dnn_mppi_mpc_tpu.cli import main as cli_main
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    buf = io.StringIO()
+    cwd = os.getcwd()
+    try:
+        os.chdir(REPO)
+        with contextlib.redirect_stdout(buf):
+            cli_main(args)
+    except SystemExit as e:
+        assert not e.code, f"cli {args} exited with {e.code}:\n{buf.getvalue()}"
+    finally:
+        os.chdir(cwd)
+    out = buf.getvalue().strip()
+    assert out, f"cli {args} produced no output"
+    last = out.splitlines()[-1]
     return json.loads(last)
 
 
@@ -88,11 +97,11 @@ def test_cli_collect_then_train_roundtrip(tmp_path):
     data = str(tmp_path / "data.npz")
     ckpt = str(tmp_path / "ckpt")
     out = _run_cli(
-        ["collect", "--series", "3", "--ticks", "40", "--samples", "128",
+        ["collect", "--series", "2", "--ticks", "25", "--samples", "96",
          "--out", data],
         tmp_path,
     )
-    assert out["rows"] == 3 * 40
+    assert out["rows"] == 2 * 25
     assert out["mean_abs_residual"] > 0  # plant ≠ nominal → nonzero residuals
     out = _run_cli(
         ["train", "--data", data, "--model", "mlp", "--hidden", "32",

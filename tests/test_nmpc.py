@@ -29,13 +29,13 @@ from dnn_mppi_mpc_tpu.solvers.sqp import (
 )
 
 
-def _diff_drive_params(N, with_obstacles=False):
+def _diff_drive_params(N, with_obstacles=False, goal=None):
     """Weights/bounds from the reference main
     (mpc_differential_drive_obstacle_static.py:383-410 ballpark)."""
     Q = jnp.diag(jnp.array([10.0, 10.0, 0.1]))
     R = jnp.diag(jnp.array([0.5, 0.05]))
     Qe = jnp.diag(jnp.array([10.0, 10.0, 0.1]))
-    goal = jnp.array([3.0, 2.0, 0.0])
+    goal = jnp.array([3.0, 2.0, 0.0]) if goal is None else goal
     yref = jnp.concatenate([goal, jnp.zeros(2)])[None, :].repeat(N, axis=0)
     p = (
         jnp.array([[1.5, 1.0, 0.45]])  # (ox, oy, r+safe) on the straight-line path
@@ -187,14 +187,18 @@ def test_nmpc_learned_residual_dynamics():
 
     cfg = SQPConfig(N=N, dim_x=3, dim_u=2, dt=dt, sqp_iters=2, qp_iters=10)
     solver = NMPCSolver(cfg, dyn)
-    params = _diff_drive_params(N)
+    # nearer goal + fewer ticks than the original (3, 2)/80: each tick is an
+    # f64 CPU jacfwd through the MLP (~0.24 s) and convergence is decided in
+    # the first ~20 (verdict r3 #9 suite-time work)
+    goal = jnp.array([1.2, 0.8, 0.0])
+    params = _diff_drive_params(N, goal=goal)
     x = jnp.array([0.0, 0.0, 0.0])
     state = solver.init(x)
-    for _ in range(80):
+    for _ in range(32):
         u0, state, aux = solver.solve(params, state, x)
         # plant = the same perturbed dynamics (model-matched case)
         x = erk_step(dyn, x, u0, dt, num_steps=3)
-    err = float(jnp.linalg.norm(x[:2] - jnp.array([3.0, 2.0])))
+    err = float(jnp.linalg.norm(x[:2] - goal[:2]))
     assert err < 0.1, f"DNN-NMPC error {err:.3f}"
 
 

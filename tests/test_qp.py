@@ -271,7 +271,7 @@ def test_barrier_qp_fuzz_vs_scipy(seed):
     "seed",
     # 2 seeds in the fast set; the full sweep stays in the slow suite
     # (each case costs ~20-30 s of CPU compile — verdict r3 #9)
-    [0, 3] + [pytest.param(s, marks=pytest.mark.slow) for s in (1, 2, 4, 5)],
+    [0] + [pytest.param(s, marks=pytest.mark.slow) for s in (1, 2, 3, 4, 5)],
 )
 def test_parallel_riccati_matches_sequential(seed):
     """Associative-scan LQR (O(log N) depth) vs the sequential Riccati sweep:

@@ -149,6 +149,7 @@ def test_resnet18_residual_through_nmpc_sqp():
     assert err < 0.15, f"ResNet-NMPC goal error {err:.3f}"
 
 
+@pytest.mark.slow
 def test_resnet50_residual_mppi_step_runs():
     """ResNet-50 (bottleneck ×[3,4,6,3]) as MPPI dynamics: one engine step
     over the K-batched conv net is finite and shape-correct."""
