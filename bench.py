@@ -200,7 +200,7 @@ def main() -> None:
     ap.add_argument(
         "--suite", nargs="?", const="all", default=None,
         help="measure every docs/PERF.md headline row in one session (one "
-        "JSON line per row; artifact docs/assets/bench_suite_r3.json). "
+        "JSON line per row; artifact docs/assets/bench_suite_r4.json). "
         "Optionally a comma-separated subset, e.g. --suite racecar,nmpc_rti "
         "(subsets print rows but do not write the artifact)",
     )

@@ -2,7 +2,7 @@
 
 ``python bench.py --suite`` measures each headline workload in a single
 process/session and checks the raw rows in as a JSON artifact
-(docs/assets/bench_suite_r3.json), so cross-row comparisons are not
+(docs/assets/bench_suite_r4.json), so cross-row comparisons are not
 session-to-session tunnel artifacts and every number the docs claim is
 reproducible from the repo (the round-2 advisor finding about unreproducible
 fleet-serving claims, generalized to the whole table).
@@ -60,11 +60,16 @@ ROWS = (
 
 
 def _sync(*arrays) -> None:
-    """Trustworthy barrier: device-side reduce + host fetch of one scalar."""
-    # fetch-free: ONE device→host fetch poisons every later sync in the
-    # process to ~30 ms (docs/PERF.md sync cliff) — block, never fetch.
+    """Trustworthy barrier: device-side reduce + host fetch of one scalar.
+
+    The fetch is REQUIRED: in the tunnel's initial async mode
+    ``block_until_ready`` is only a dispatch ack, so a block-only barrier
+    yields meaningless slopes; the first fetch switches the process to sync
+    mode (true completion waits) and the slope cancels the constant RTT —
+    docs/PERF.md "tunnel modes".
+    """
     total = sum(jnp.sum(a) for a in arrays)
-    total.block_until_ready()
+    float(total)
 
 
 @dataclasses.dataclass
@@ -515,7 +520,7 @@ def run_suite(
     """Measure the selected rows; print one JSON line each; return the rows.
 
     On TPU the full-row run also writes ``artifact`` (default
-    docs/assets/bench_suite_r3.json). CPU runs never touch the artifact.
+    docs/assets/bench_suite_r4.json). CPU runs never touch the artifact.
     """
     on_tpu = jax.devices()[0].platform != "cpu"
     if reps is None:
@@ -554,7 +559,7 @@ def run_suite(
             artifact = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))),
-                "docs", "assets", "bench_suite_r3.json",
+                "docs", "assets", "bench_suite_r4.json",
             )
         out = {
             "device": str(jax.devices()[0]),

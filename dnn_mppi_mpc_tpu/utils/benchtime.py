@@ -7,15 +7,15 @@ n1 < n2 and take
     per_tick = (wall(n2) − wall(n1)) / (n2 − n1)
 
 The distribution of per-chain walls gives p50/p99 of the *sustained*
-per-tick time. This measures pipelined throughput; TRUE per-call latency is
-measured separately (one blocked solve per sample — bench.py call_p*).
+per-tick time.
 
-Fetch-free discipline (docs/PERF.md "sync cliff", round 4): runners must
-sync with ``block_until_ready`` on a device-side reduction, NEVER a fetch
-(``float``/``np.asarray``) — one data fetch permanently degrades every later
-sync in the process to ~30 ms through the remote-attach tunnel. (Rounds 1–3
-believed block_until_ready was untrustworthy and fetches cost a flat tax;
-both observations were this cliff.)
+Runners MUST sync with a device→host **fetch** of a device-side reduction
+(``float(jnp.sum(...))``), not bare ``block_until_ready``: in the tunnel's
+initial async mode a block is only a dispatch ack (docs/PERF.md "tunnel
+modes") and slopes would be meaningless. The first fetch switches the
+process to sync mode permanently — true completion waits plus a constant
+~30 ms RTT, which the slope cancels. Host dispatch cost is measured
+separately in async mode (bench.py ``dispatch_ack_p*``).
 
 This module is the single implementation used by ``bench.py``,
 ``examples/scaling_run.py`` and ``examples/dnn_mppi.py`` — protocol fixes
@@ -55,10 +55,10 @@ def slope_timing(
     """Estimate sustained per-tick time from two on-device chain lengths.
 
     ``make_runner(n)`` must return a zero-argument callable that executes an
-    n-tick chain to completion, syncing with ``block_until_ready`` on a
-    device-side reduction of the output — NEVER a fetch (module docstring).
-    Each runner is invoked once for compile + warm-up, then ``reps`` times
-    for timing.
+    n-tick chain to completion, syncing with a FETCH of a device-side
+    reduction of the output (module docstring — a bare block is only an ack
+    in the tunnel's async mode). Each runner is invoked once for compile +
+    warm-up, then ``reps`` times for timing.
     """
     if not (0 < n1 < n2):
         raise ValueError(f"need 0 < n1 < n2, got n1={n1} n2={n2}")

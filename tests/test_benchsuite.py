@@ -1,6 +1,6 @@
 """bench.py --suite: every PERF.md headline row reproducible in one command.
 
-The suite rows are measured on TPU (docs/assets/bench_suite_r3.json); on the
+The suite rows are measured on TPU (docs/assets/bench_suite_r4.json); on the
 CPU test mesh they shrink to smoke shapes and must be labeled as such. These
 tests exercise the row builders in-process (the CLI surface itself is covered
 by test_cli.py's bench smoke) — the point is that every builder constructs,
