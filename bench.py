@@ -72,30 +72,20 @@ def _poison() -> None:
     _np.asarray(jnp.zeros((1,)) + 1.0)
 
 
-def _make_chain(solver, params, n):
-    """n control ticks chained on-device: state and plant state both carried.
+def _make_runner(solver, params, st0, x0, n):
+    """n control ticks chained on-device, via the one shared chain builder
+    (utils/benchtime.scan_chain_runner — params rides through jit as an
+    argument; the sync is the fetch barrier `_sync`)."""
+    from dnn_mppi_mpc_tpu.utils.benchtime import scan_chain_runner
 
-    ``params`` (device arrays) is passed as a jit ARGUMENT, never captured:
-    a jit-compiled program with a captured device-array constant permanently
-    degrades every subsequent host↔device sync in the process to ~30 ms
-    through the remote-attach tunnel (docs/PERF.md "closure-constant sync
-    cliff"). Binding it here as a closure was what made per-call timing
-    untrustworthy in rounds 1–3.
-    """
     step_fn = solver.dynamics_step
     core = solver._step
 
-    @jax.jit
-    def chain(params, state, x):
-        def body(carry, _):
-            state, x = carry
-            u0, state, aux = core(params, state, x, None)
-            x = step_fn(x, u0)
-            return (state, x), aux.costs[0]
-        (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
-        return x, ys
+    def body(params, state, x):
+        u0, state, aux = core(params, state, x, None)
+        return (state, step_fn(x, u0)), aux.costs[0]
 
-    return lambda state, x: chain(params, state, x)
+    return scan_chain_runner(body, params, st0, x0, n, _sync)
 
 
 def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
@@ -113,8 +103,7 @@ def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
     x0 = jnp.zeros((3,), jnp.float32)
 
     def make_runner(n):
-        chain = _make_chain(solver, params, n)
-        return lambda: _sync(*jax.tree.leaves(chain(st0, x0)))
+        return _make_runner(solver, params, st0, x0, n)
 
     # keep the measured device-time delta well above tunnel jitter at every
     # K: ~0.05 ms/solve at K=10k scales ≈ linearly with K
@@ -260,12 +249,7 @@ def main() -> None:
     _poison()
 
     def make_runner(n):
-        chain = _make_chain(solver, params, n)
-
-        def run():
-            _sync(*jax.tree.leaves(chain(st0, x0)))
-
-        return run
+        return _make_runner(solver, params, st0, x0, n)
 
     # Chain lengths sized so the n2−n1 device-time delta (≈50 ms at the
     # flagship rate) clearly dominates the constant tunnel RTT — at

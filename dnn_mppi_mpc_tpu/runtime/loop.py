@@ -87,6 +87,7 @@ class RealtimeLoop:
         telemetry_capacity: int = 1 << 14,
         convert_arrays: bool = True,
         warmup_apply: bool = False,
+        rt_scheduling: bool = True,
     ) -> None:
         self.controller = controller
         self.read_state = read_state
@@ -105,6 +106,14 @@ class RealtimeLoop:
         # deadline window. Leave False when apply_control actuates real
         # hardware — the warmup control WOULD be applied.
         self.warmup_apply = warmup_apply
+        # rt_scheduling wraps the paced run in realtime_scheduling() —
+        # PROCESS-GLOBAL side effects (gc.freeze+disable for the run's
+        # duration, SCHED_FIFO promotion when permitted). Right for a
+        # dedicated control process; set False when embedding the loop in a
+        # larger application (a controller that allocates reference cycles
+        # would otherwise accumulate uncollected garbage for the whole run,
+        # and FIFO priority can starve sibling CFS threads on the core).
+        self.rt_scheduling = rt_scheduling
         self.pacer: Optional[RatePacer] = None
         self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
 
@@ -116,7 +125,12 @@ class RealtimeLoop:
         if self.warmup_apply:
             self.apply_control(u)  # compile the plant path too (opt-in)
         rec = np.zeros((), dtype=TELEMETRY_DTYPE)
-        with realtime_scheduling() as rt:
+        sched = (
+            realtime_scheduling()
+            if self.rt_scheduling
+            else contextlib.nullcontext({"rt_scheduling": False})
+        )
+        with sched as rt:
             self.pacer = RatePacer(self.hz)
             for tick in range(num_ticks):
                 late_ns = self.pacer.wait()

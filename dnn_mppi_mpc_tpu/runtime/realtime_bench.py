@@ -41,7 +41,7 @@ from typing import Optional
 import numpy as np
 
 
-def _traced_pace_check(loop, hz: float, n: int) -> dict:
+def _traced_pace_check(loop, n: int) -> dict:
     """Profile ``n`` paced ticks and read the DEVICE timeline.
 
     Returns device-side evidence that the control loop executes in real
@@ -186,7 +186,7 @@ def run_realtime_e2e(
         # it measures history length, not pace): profile a short paced
         # segment and read the DEVICE timeline — every tick must appear as
         # a device execution, spaced at the control period.
-        pace = _traced_pace_check(loop, hz, min(200, ticks)) if on_tpu else None
+        pace = _traced_pace_check(loop, min(200, ticks)) if on_tpu else None
     finally:
         loop.close()
 

@@ -786,7 +786,9 @@ def make_pallas_diffdrive_tick(
     # (docs/PERF.md): ~10 µs/solve SLOWER than the XLA prologue — the ~100
     # dynamically-indexed scalar VMEM reads cost more than the op-launch
     # overhead they remove — so the default is OFF; the mode is kept
-    # (parity-tested) for problems with much larger K where the fixed
+    # (parity-tested: tests/test_mppi_tick.py::
+    # test_tick_fold_anchor_matches_baseline) for problems with larger K
+    # where the fixed
     # prologue amortizes differently. ``mppi_step`` detects it via
     # ``tick.folds_anchor`` and passes the PREVIOUS anchor through ctx.
     fold_anchor = False if fold_anchor is None else fold_anchor

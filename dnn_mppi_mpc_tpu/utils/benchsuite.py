@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .benchtime import slope_timing
+from .benchtime import scan_chain_runner, slope_timing
 
 ROWS = (
     "flagship",
@@ -95,22 +95,12 @@ def _mppi_workload(
     st0 = solver.init()
     core, step_fn = solver._step, solver.dynamics_step
 
+    def body(params, state, x):
+        u0, state, aux = core(params, state, x, None)
+        return (state, step_fn(x, u0)), aux.costs[0]
+
     def make_runner(n):
-        # params is a jit ARGUMENT — a captured device-array constant would
-        # trip the closure-constant sync cliff (docs/PERF.md) and poison
-        # every later per-call measurement in this process.
-        @jax.jit
-        def chain(params, state, x):
-            def body(carry, _):
-                state, x = carry
-                u0, state, aux = core(params, state, x, None)
-                x = step_fn(x, u0)
-                return (state, x), aux.costs[0]
-
-            (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
-            return x, ys
-
-        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
+        return scan_chain_runner(body, params, st0, x0, n, _sync)
 
     return Workload(name, make_runner, n1, n2, 1, meta)
 
@@ -267,19 +257,12 @@ def _build_mppi_fleet(on_tpu: bool) -> Workload:
     st0 = jax.vmap(lambda k: MPPIState.init(cfg, k))(keys)
     x0 = jnp.zeros((B, 3), jnp.float32)
 
+    def body(params, st, x):
+        u0s, st, auxs = fleet(params, st, x)
+        return (st, jax.vmap(step_fn)(x, u0s)), auxs.costs[:, 0]
+
     def make_runner(n):
-        @jax.jit
-        def chain(params, st, x):
-            def body(carry, _):
-                st, x = carry
-                u0s, st, auxs = fleet(params, st, x)
-                x = jax.vmap(step_fn)(x, u0s)
-                return (st, x), auxs.costs[:, 0]
-
-            (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
-            return x, ys
-
-        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
+        return scan_chain_runner(body, params, st0, x0, n, _sync)
 
     n1, n2 = (50, 250) if on_tpu else (2, 6)
     return Workload(
@@ -296,19 +279,12 @@ def _nmpc_chain_workload(
     core = jax.vmap(solver._core) if fleet else solver._core
     plant = jax.vmap(solver.dyn_step) if fleet else solver.dyn_step
 
+    def body(params, st, x):
+        u0, st, _ = core(params, st, x)
+        return (st, plant(x, u0)), (u0[0, 0] if fleet else u0[0])
+
     def make_runner(n):
-        @jax.jit
-        def chain(params, st, x):
-            def body(carry, _):
-                st, x = carry
-                u0, st, _ = core(params, st, x)
-                x = plant(x, u0)
-                return (st, x), (u0[0, 0] if fleet else u0[0])
-
-            (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
-            return x, ys
-
-        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
+        return scan_chain_runner(body, params, st0, x0, n, _sync)
 
     return Workload(name, make_runner, n1, n2, solves_per_tick, meta)
 
@@ -410,20 +386,13 @@ def _build_sharded_tick(on_tpu: bool) -> Workload:
     x0 = jax.device_put(jnp.zeros(3, jnp.float32), rep)
     params = jax.device_put(params, rep)
 
+    def body(params, state, x):
+        u0, state, aux = step(params, state, x)
+        # state-dependent chaining so ticks cannot be overlapped
+        return (state, x.at[0].add(u0[0] * 1e-6)), aux.costs.min()
+
     def make_runner(n):
-        @jax.jit
-        def chain(params, state, x):
-            def body(carry, _):
-                state, x = carry
-                u0, state, aux = step(params, state, x)
-                # state-dependent chaining so ticks cannot be overlapped
-                x = x.at[0].add(u0[0] * 1e-6)
-                return (state, x), aux.costs.min()
-
-            (state, x), ys = jax.lax.scan(body, (state, x), None, length=n)
-            return x, ys
-
-        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
+        return scan_chain_runner(body, params, st0, x0, n, _sync)
 
     n1, n2 = (200, 1000) if on_tpu else (2, 6)
     return Workload(
@@ -475,19 +444,12 @@ def _build_sharded_mppi_fleet(on_tpu: bool) -> Workload:
     st0 = jax.vmap(lambda k: MPPIState.init(cfg, k))(keys)
     x0 = jnp.zeros((B, 3), jnp.float32)
 
+    def body(params, st, x):
+        u0s, st, auxs = fleet(params, st, x)
+        return (st, jax.vmap(step_fn)(x, u0s)), auxs.costs[:, 0]
+
     def make_runner(n):
-        @jax.jit
-        def chain(params, st, x):
-            def body(carry, _):
-                st, x = carry
-                u0s, st, auxs = fleet(params, st, x)
-                x = jax.vmap(step_fn)(x, u0s)
-                return (st, x), auxs.costs[:, 0]
-
-            (st, x), ys = jax.lax.scan(body, (st, x), None, length=n)
-            return x, ys
-
-        return lambda: _sync(*jax.tree.leaves(chain(params, st0, x0)))
+        return scan_chain_runner(body, params, st0, x0, n, _sync)
 
     n1, n2 = (50, 250) if on_tpu else (2, 6)
     return Workload(

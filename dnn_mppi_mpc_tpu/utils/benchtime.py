@@ -95,3 +95,28 @@ def slope_timing(
         walls_short=w1,
         walls_long=w2,
     )
+
+
+def scan_chain_runner(body, params, st0, x0, n, sync):
+    """Build the standard timed runner: n ticks of ``body`` chained on-device.
+
+    ``body(params, state, x) -> ((state, x), y)`` is the per-tick step; this
+    helper owns the jit/scan/sync plumbing so every workload gets the two
+    invariants exactly once (previously copy-pasted six times — bench.py +
+    five benchsuite workloads — and a fix had to touch every copy):
+
+    * ``params`` rides through jit as an ARGUMENT, never a captured closure
+      constant (compiling a captured device constant performs a fetch and
+      flips the tunnel into sync mode — docs/PERF.md "tunnel modes");
+    * ``sync`` is the caller's barrier (a fetch-based one for slope timing).
+    """
+    import jax
+
+    @jax.jit
+    def chain(params, state, x):
+        (state, x), ys = jax.lax.scan(
+            lambda carry, _: body(params, *carry), (state, x), None, length=n
+        )
+        return x, ys
+
+    return lambda: sync(*jax.tree.leaves(chain(params, st0, x0)))

@@ -28,7 +28,9 @@ def _run_cli(args, tmp_path):
 
     from dnn_mppi_mpc_tpu.cli import main as cli_main
 
-    os.environ.setdefault("MPLBACKEND", "Agg")
+    # force (not setdefault): an interactive MPLBACKEND exported in the
+    # developer env must not leak a GUI backend into the test process
+    os.environ["MPLBACKEND"] = "Agg"
     buf = io.StringIO()
     cwd = os.getcwd()
     try:

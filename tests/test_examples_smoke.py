@@ -77,6 +77,10 @@ def test_example_runs(script, args, tmp_path, monkeypatch, capsys):
     # the single most expensive one in the suite (verdict r3 #9). The
     # examples only read argv/env, so argv-patching in-process is faithful;
     # the conftest already pins the CPU mesh platform for this process.
+    # Caveat: the test session runs with jax_enable_x64=True (oracle
+    # tolerances), which production `python examples/foo.py` does not —
+    # test_example_subprocess_production_config below keeps ONE example
+    # running under the real production config as a canary.
     import runpy
 
     monkeypatch.setenv("MPLBACKEND", "Agg")
@@ -92,3 +96,25 @@ def test_example_runs(script, args, tmp_path, monkeypatch, capsys):
         runpy.run_path(path, run_name="__main__")
     except SystemExit as e:  # argparse --help or explicit exit(0) are fine
         assert not e.code, f"{script} exited with {e.code}"
+
+
+def test_example_subprocess_production_config(tmp_path):
+    """ONE example still runs as a true subprocess with production defaults
+    (f32, no x64, fresh interpreter) — the canary for bugs the in-process
+    smokes above cannot see because they inherit the test session's
+    x64/matmul-precision config."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["MPLBACKEND"] = "Agg"
+    cmd = [
+        sys.executable, os.path.join(REPO, "examples", "mppi_diffdrive.py"),
+        "--ticks", "4", "--samples", "128", "--horizon", "10",
+        "--out", str(tmp_path / "out"),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )

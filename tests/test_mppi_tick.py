@@ -331,10 +331,10 @@ def test_tick_iso_xy_matches_scan():
 
 def test_tick_sincos_poly_matches_native():
     """sincos="poly" (ops/pallas/mathx.py) must agree with the native
-    transcendentals to f32 tolerance — same kernel, same injected ε. The
-    poly path is an opt-in A/B lever (docs/PERF.md: native won the A/B on
-    v5e, the option is kept for hardware where transcendental throughput
-    differs)."""
+    transcendentals to f32 tolerance — same kernel, same injected ε. Poly is
+    the DEFAULT (sync-mode interleaved A/B measured it ~21% faster at the
+    flagship shape, docs/PERF.md); "native" remains available for hardware
+    where the balance differs."""
     cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
     eps = _noise(cfg, params)
     x0 = jnp.array([0.1, -0.05, 2.8], jnp.float32)  # yaw near the π/2·k seam
@@ -371,3 +371,50 @@ def test_sincos_poly_accuracy():
     s, c = sincos_poly(jnp.asarray(x))
     assert np.abs(np.asarray(s) - np.sin(x.astype(np.float64))).max() < 3e-7
     assert np.abs(np.asarray(c) - np.cos(x.astype(np.float64))).max() < 3e-7
+
+
+def test_tick_fold_anchor_matches_baseline():
+    """fold_anchor=True (in-kernel tick-level anchor search + window gather,
+    an off-by-default A/B mode — docs/PERF.md) must match the baseline tick
+    per tick AND advance state.waypoint_idx identically, including the
+    path-end window clip. Pins the flag-dependent positional output protocol
+    (prev SMEM input / anchor SMEM output) against silent reorders."""
+    cfg, params, step_fn, stage, terminal = _setup(obstacles=True)
+    eps = _noise(cfg, params)
+    state = MPPIState.init(cfg)
+
+    def run(fold, x0, wp0):
+        tick = make_pallas_diffdrive_tick(
+            cfg, robot_radius=0.5, interpret=True, fold_anchor=fold
+        )
+        st = MPPIState(
+            u_prev=state.u_prev, waypoint_idx=jnp.int32(wp0), key=state.key
+        )
+        return jax.jit(
+            lambda p, s, x, n, tick=tick: mppi_step(
+                cfg, step_fn, stage, terminal, p, s, x, n, tick_fn=tick
+            )
+        )(params, st, x0, eps)
+
+    # mid-path anchor and a state near the path end (window start clips to
+    # P - W; nearest_waypoint clips the SEARCH start to P - span too)
+    P = params.ref_path.shape[0]
+    cases = [
+        (jnp.array([0.6, 0.35, 0.1], jnp.float32), 3),
+        (jnp.asarray(params.ref_path[-1, :3]), P - 2),
+    ]
+    for x0, wp0 in cases:
+        u0_f, st_f, aux_f = run(True, x0, wp0)
+        u0_b, st_b, aux_b = run(False, x0, wp0)
+        np.testing.assert_array_equal(
+            np.asarray(st_f.waypoint_idx), np.asarray(st_b.waypoint_idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_f.costs), np.asarray(aux_b.costs), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(u0_f), np.asarray(u0_b), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_f.u_prev), np.asarray(st_b.u_prev), rtol=1e-5, atol=1e-6
+        )

@@ -170,10 +170,35 @@ def test_pacer_jitter_p99_within_50hz_period():
     shared CI host shows ~80 µs p50 with multi-ms tail spikes
     (examples/pacer_characterization.py records the full percentiles in
     docs/PERF.md)."""
-    pacer = RatePacer(hz=50.0)
-    n = 100
-    late = np.array([pacer.wait() for _ in range(n)], dtype=np.int64)
-    pacer.close()
+    from dnn_mppi_mpc_tpu.runtime.loop import realtime_scheduling
+
+    # RT scheduling (when permitted) + GC freeze stabilizes the measurement
+    # against concurrent load — without it this test flaked when another
+    # suite hogged the host (lateness is a property of the scheduler, not
+    # the pacer)
+    with realtime_scheduling():
+        pacer = RatePacer(hz=50.0)
+        n = 100
+        late = np.array([pacer.wait() for _ in range(n)], dtype=np.int64)
+        pacer.close()
     p99 = np.percentile(late, 99)
     assert p99 < 20e6, f"p99 lateness {p99/1e6:.2f} ms exceeds the 20 ms period"
     assert np.median(late) < 2e6, f"median lateness {np.median(late)/1e6:.2f} ms"
+
+
+def test_realtime_e2e_cpu_smoke():
+    """The realtime artifact generator runs on CPU and emits the full honest
+    output contract (ack/lateness/device-pace fields — runtime/realtime_bench.py;
+    the device_pace trace segment is TPU-only and None here)."""
+    from dnn_mppi_mpc_tpu.runtime.realtime_bench import run_realtime_e2e
+
+    out = run_realtime_e2e(hz=200.0, ticks=40, K=256, T=10)
+    for key in (
+        "ack_p50_ms", "ack_p99_ms", "late_p99_ms", "misses_per_10k",
+        "rt_scheduling", "device_pace", "all_ticks_executed",
+        "device_fits_budget", "tunnel_defers_execution", "meets_budget_p99",
+    ):
+        assert key in out, key
+    assert out["ticks"] == 40
+    assert out["device_pace"] is None  # CPU: no traced pace segment
+    assert out["solver_path"] == "xla_scan"
