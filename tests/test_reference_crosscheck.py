@@ -150,3 +150,100 @@ def test_closed_loop_progress_matches_reference_code():
     for x in (x_ref, x_roll):
         cte = abs(float(x[1]) + 0.5 * float(x[0])) / np.sqrt(1.25)
         assert cte < 1.0, (x, cte)
+
+
+def test_per_tick_strict_equality_goal_pose():
+    """STRICT per-tick numeric agreement with the reference's own class.
+
+    A single-row reference path makes the reference's stateful
+    ``prev_way_point_idx`` mutation provably inert (``_get_nearest_waypoint``
+    always returns row 0 — :200-218), so the one obstacle to exact agreement
+    for the diff-drive class disappears and everything else — rollout
+    dynamics, LAST-overwrite stage cost (:124), exploration split,
+    energy term, 1/exploration softmax, edge-rescaled moving-average filter,
+    in-place update + shift — is pinned to float tolerance against the
+    reference's own code with identical injected noise.
+
+    Forensic note (verified empirically here): the reference's ``u`` ALIASES
+    ``self.u_prev`` (:90), so the in-place left shift (:163-164) happens
+    BEFORE ``return u[0]`` — the reference demo applies the optimizer's
+    SECOND control U*[1], and its returned sequence is the shifted one. The
+    framework returns the textbook U*[0] and carries the shifted sequence in
+    ``state.u_prev``; therefore ``state.u_prev`` must equal the reference's
+    returned ``u`` exactly, and the reference-applied control equals
+    ``state.u_prev[0]`` (MIGRATION.md "control-application quirk").
+    """
+    import jax.numpy as jnp
+
+    from dnn_mppi_mpc_tpu.config import (
+        CostAccumulation,
+        MPPIConfig,
+        MPPIParams,
+        SmoothingFilter,
+        Temperature,
+    )
+    from dnn_mppi_mpc_tpu.models import euler_step, unicycle
+    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs
+
+    MPPIAlgorithms, _ = _load_reference_class()
+    Kk, Tt, exploration = 64, 12, 0.1
+    ref_path = np.array([[2.0, 1.0, 0.3]])
+    sigma = np.array([[0.1, 0.0], [0.0, 0.01]])
+    mppi = MPPIAlgorithms(
+        DT, ref_path, 5.0, 3.14, Kk, Tt, exploration, 1.0, 0.2,
+        sigma.copy(),
+        np.array([5.0, 5.0, 10.0]), np.array([5.0, 5.0, 10.0]),
+    )
+
+    cfg = MPPIConfig(
+        num_samples=Kk, horizon=Tt, dim_x=3, dim_u=2, dt=DT,
+        lam=1.0, alpha=0.2, exploration=exploration,
+        temperature=Temperature.EXPLORATION,
+        accumulation=CostAccumulation.LAST,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE, filter_window=10,
+        waypoint_search_len=20,
+        compute_optimal_traj=False,
+    )
+    params = MPPIParams(
+        sigma=jnp.asarray(sigma),
+        stage_weight=jnp.array([5.0, 5.0, 10.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 10.0]),
+        u_min=jnp.array([-5.0, -3.14]),
+        u_max=jnp.array([5.0, 3.14]),
+        ref_path=jnp.asarray(ref_path),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    solver = MPPISolver(cfg, step_fn, *make_tracking_costs(cfg))
+    state = solver.init()
+
+    rng = np.random.default_rng(7)
+    x = np.zeros(3)
+    mvn = np.random.multivariate_normal
+    try:
+        for tick in range(25):
+            eps = rng.multivariate_normal(np.zeros(2), sigma, size=(Kk, Tt))
+            np.random.multivariate_normal = lambda *a, **k: eps
+            u0_ref, useq_ref, _, _ = mppi._calc_input_control(x.copy())
+            _, state, _ = solver.step(
+                params, state, jnp.asarray(x), noise=jnp.asarray(eps)
+            )
+            # f32 engine hot path vs the reference's f64 numpy: agreement
+            # to f32 resolution (measured per-stage: S to 1e-5 abs on O(60)
+            # costs, weights to 8e-7, sequences to ~1e-7)
+            np.testing.assert_allclose(
+                np.asarray(state.u_prev), np.asarray(useq_ref),
+                rtol=1e-5, atol=2e-6,
+                err_msg=f"tick {tick}: shifted sequences diverge",
+            )
+            # both sides apply the control the REFERENCE applies (the
+            # post-shift first element — see the forensic note above)
+            np.testing.assert_allclose(
+                np.asarray(state.u_prev[0]), u0_ref, rtol=1e-5, atol=2e-6
+            )
+            x = x + np.array(
+                [u0_ref[0] * np.cos(x[2]), u0_ref[0] * np.sin(x[2]), u0_ref[1]]
+            ) * DT
+    finally:
+        np.random.multivariate_normal = mvn
+    # sanity: the shared closed loop actually moved toward the goal pose
+    assert np.linalg.norm(x[:2] - ref_path[0, :2]) < np.linalg.norm(ref_path[0, :2])
