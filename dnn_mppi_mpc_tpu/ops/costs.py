@@ -52,7 +52,10 @@ def circle_robot_collision(
     """1.0 where a circular robot overlaps any circular obstacle, else 0.0.
 
     ``obstacles`` is (n_obs, 3) = (ox, oy, r). Mirrors the circle test of
-    controllers/mppi_differential_drive_obs.py:301-313 (robot_radius=0.5).
+    controllers/mppi_differential_drive_obs.py:301-313; pass the EFFECTIVE
+    radius — the reference inflates the 0.5 m robot by its safety margin
+    (×1.5 → 0.75), which the cost/kernel binders apply before calling here
+    (round-4 strict crosscheck finding).
     """
     d2 = jnp.sum((xy[..., None, :2] - obstacles[..., :, :2]) ** 2, axis=-1)
     hit = d2 < (obstacles[..., :, 2] + robot_radius) ** 2

@@ -140,6 +140,7 @@ def make_sharded_fused_mppi_step(
     mesh: Mesh,
     axis: str = "k",
     robot_radius: float = 0.5,
+    safety_margin_rate: float = 1.5,
     collision: str = "circle",
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
@@ -209,7 +210,9 @@ def make_sharded_fused_mppi_step(
                 params.u_min, params.u_max, cfg.dt,
                 (1.0 - cfg.exploration) * K, cfg.inv_temperature,
                 obstacles=params.obstacles,
-                robot_radius=robot_radius,
+                # reference rule: circle test inflates the robot radius by
+                # the margin (mppi_differential_drive_obs.py:303-305)
+                robot_radius=robot_radius * safety_margin_rate,
                 obstacle_velocities=params.obstacle_velocities,
                 soft_safety_distance=soft_safety_distance,
                 soft_weight=soft_weight,

@@ -170,7 +170,16 @@ def make_tracking_costs(
                 * (t.astype(x.dtype) * cfg.dt)
             )
         if collision == "circle":
-            return circle_robot_collision(x[..., :2], obs, robot_radius) * COLLISION_PENALTY
+            # the reference's circle test inflates the ROBOT radius by the
+            # safety margin (mppi_differential_drive_obs.py:303-305) — a
+            # round-4 strict crosscheck against that class caught this
+            # factor missing here (tests/test_reference_crosscheck.py)
+            return (
+                circle_robot_collision(
+                    x[..., :2], obs, robot_radius * safety_margin_rate
+                )
+                * COLLISION_PENALTY
+            )
         if collision == "polygon":
             return (
                 vehicle_polygon_collision(
@@ -620,7 +629,12 @@ def sampled_trajectories(
     return jnp.take(trajs, order[:n_top], axis=0)
 
 
-def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, interpret: bool = False):
+def make_pallas_diffdrive_rollout(
+    cfg: MPPIConfig,
+    robot_radius: float = 0.5,
+    interpret: bool = False,
+    safety_margin_rate: float = 1.5,
+):
     """Bind the fused Pallas rollout kernel as the engine's rollout_fn.
 
     Only valid for the diff-drive tracking problem (unicycle Euler dynamics +
@@ -679,7 +693,7 @@ def make_pallas_diffdrive_rollout(cfg: MPPIConfig, robot_radius: float = 0.5, in
             cfg.dt,
             (1.0 - cfg.exploration) * cfg.num_samples,
             obstacles=params.obstacles,
-            robot_radius=robot_radius,
+            robot_radius=robot_radius * safety_margin_rate,
             k_offset=k_offset,
             T=cfg.horizon,
             W=Wlen,
@@ -719,6 +733,7 @@ def make_pallas_diffdrive_tick(
     iso_xy: bool = False,
     sincos: str = "poly",
     fold_anchor: Optional[bool] = None,
+    safety_margin_rate: float = 1.5,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -855,7 +870,9 @@ def make_pallas_diffdrive_tick(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            robot_radius=robot_radius,
+            # reference rule: circle test uses robot_radius × margin
+            # (mppi_differential_drive_obs.py:303-305)
+            robot_radius=robot_radius * safety_margin_rate,
             eps=noise,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
@@ -901,6 +918,7 @@ def make_pallas_diffdrive_tick_blocked(
     soft_weight: float = 100.0,
     iso_xy: bool = False,
     sincos: str = "poly",
+    safety_margin_rate: float = 1.5,
 ):
     """Bind the K-blocked fused tick (ops/pallas/mppi_tick_blocked.py) as
     tick_fn — pod-scale sample counts (K ≥ ~40k at T=50) on one chip.
@@ -963,7 +981,7 @@ def make_pallas_diffdrive_tick_blocked(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            robot_radius=robot_radius,
+            robot_radius=robot_radius * safety_margin_rate,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
@@ -1085,6 +1103,7 @@ def make_generic_fused_tick(
     interpret: bool = False,
     gaussian: str = "popcount",
     fuse_epilogue: bool = False,
+    safety_margin_rate: float = 1.5,
 ):
     """Bind the generic fused tick kernel (ops/pallas/generic_tick.py) as
     tick_fn for *arbitrary* dynamics.
@@ -1182,7 +1201,9 @@ def make_generic_fused_tick(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            robot_radius=robot_radius,
+            # reference rule: circle test uses robot_radius × margin
+            # (mppi_differential_drive_obs.py:303-305)
+            robot_radius=robot_radius * safety_margin_rate,
             eps=noise,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
@@ -1228,6 +1249,7 @@ def make_generic_pallas_rollout(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     interpret: bool = False,
+    safety_margin_rate: float = 1.5,
 ):
     """Bind the generic rollout+cost kernel as rollout_fn for *arbitrary*
     dynamics — the sample-sharded counterpart of ``make_generic_fused_tick``.
@@ -1283,7 +1305,7 @@ def make_generic_pallas_rollout(
             cfg.dt,
             (1.0 - cfg.exploration) * cfg.num_samples,
             obstacles=params.obstacles,
-            robot_radius=robot_radius,
+            robot_radius=robot_radius * safety_margin_rate,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
@@ -1393,6 +1415,7 @@ def make_fleet_fused_mppi_step(
     soft_weight: float = 100.0,
     iso_xy: bool = False,
     sincos: str = "poly",
+    safety_margin_rate: float = 1.5,
 ):
     """Lane-batched MPPI fleet: B independent controllers per Pallas launch.
 
@@ -1480,7 +1503,7 @@ def make_fleet_fused_mppi_step(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=obstacles,
-            robot_radius=robot_radius,
+            robot_radius=robot_radius * safety_margin_rate,
             obstacle_velocities=obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
@@ -1554,6 +1577,7 @@ class MPPISolver:
         terminal_cost: TerminalCost,
         use_pallas: Optional[bool] = None,
         robot_radius: float = 0.5,
+        safety_margin_rate: float = 1.5,
         rollout_fn: Optional[Callable] = None,
         fused_tick: bool = False,
         tick_fn: Optional[Callable] = None,
@@ -1598,6 +1622,7 @@ class MPPISolver:
                     soft_weight=soft_weight,
                     gaussian=gaussian,
                     fuse_epilogue=fuse_epilogue,
+                    safety_margin_rate=safety_margin_rate,
                 )
             elif (
                 _EPS_BYTES_PER_SAMPLE_STEP * cfg.horizon * cfg.num_samples
@@ -1621,6 +1646,7 @@ class MPPISolver:
                     soft_safety_distance=soft_safety_distance,
                     soft_weight=soft_weight,
                     iso_xy=iso_xy,
+                    safety_margin_rate=safety_margin_rate,
                 )
             else:
                 # collision/soft settings must reach the kernel — dropping
@@ -1635,9 +1661,12 @@ class MPPISolver:
                     soft_weight=soft_weight,
                     fuse_epilogue=fuse_epilogue,
                     iso_xy=iso_xy,
+                    safety_margin_rate=safety_margin_rate,
                 )
         if rollout_fn is None and use_pallas and tick_fn is None:
-            rollout_fn = make_pallas_diffdrive_rollout(cfg, robot_radius)
+            rollout_fn = make_pallas_diffdrive_rollout(
+                cfg, robot_radius, safety_margin_rate=safety_margin_rate
+            )
         self._step = jax.jit(
             functools.partial(
                 mppi_step,

@@ -299,9 +299,15 @@ def test_generic_rollout_matches_scan_four_wheel():
         obstacles=jnp.array([[1.0, 0.4, 0.3]], jnp.float32),
     )
     step_fn = lambda x, u: euler_step(four_wheel_torque, x, u, DT)
-    stage, terminal = make_tracking_costs(cfg, collision="circle", robot_radius=0.5)
+    # margin pinned to 1.0 on BOTH sides: this test checks kernel-vs-scan
+    # parity, and the default 1.5 margin happens to put one sample within
+    # f32 rounding of the collision boundary for this RNG draw
+    stage, terminal = make_tracking_costs(
+        cfg, collision="circle", robot_radius=0.5, safety_margin_rate=1.0
+    )
     rollout = make_generic_pallas_rollout(
-        cfg, four_wheel_torque_tile(DT), collision="circle", interpret=True
+        cfg, four_wheel_torque_tile(DT), collision="circle", interpret=True,
+        safety_margin_rate=1.0,
     )
     eps = _noise(cfg, params)
     state = _state(cfg)

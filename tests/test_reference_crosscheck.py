@@ -183,7 +183,11 @@ def test_per_tick_strict_equality_goal_pose():
         Temperature,
     )
     from dnn_mppi_mpc_tpu.models import euler_step, unicycle
-    from dnn_mppi_mpc_tpu.solvers.mppi import MPPISolver, make_tracking_costs
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        MPPISolver,
+        MPPIState,
+        make_tracking_costs,
+    )
 
     MPPIAlgorithms, _ = _load_reference_class()
     Kk, Tt, exploration = 64, 12, 0.1
@@ -214,7 +218,15 @@ def test_per_tick_strict_equality_goal_pose():
     )
     step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
     solver = MPPISolver(cfg, step_fn, *make_tracking_costs(cfg))
+    # f64 carry ⇒ the whole engine step runs f64 (mppi_step unifies dtypes
+    # to u_prev's), matching the reference's numpy f64 exactly — needed for
+    # bit-stable agreement of boundary-sensitive terms
     state = solver.init()
+    state = MPPIState(
+        u_prev=jnp.zeros((Tt, 2), jnp.float64),
+        waypoint_idx=state.waypoint_idx,
+        key=state.key,
+    )
 
     rng = np.random.default_rng(7)
     x = np.zeros(3)
@@ -227,18 +239,15 @@ def test_per_tick_strict_equality_goal_pose():
             _, state, _ = solver.step(
                 params, state, jnp.asarray(x), noise=jnp.asarray(eps)
             )
-            # f32 engine hot path vs the reference's f64 numpy: agreement
-            # to f32 resolution (measured per-stage: S to 1e-5 abs on O(60)
-            # costs, weights to 8e-7, sequences to ~1e-7)
             np.testing.assert_allclose(
                 np.asarray(state.u_prev), np.asarray(useq_ref),
-                rtol=1e-5, atol=2e-6,
+                rtol=1e-9, atol=1e-11,
                 err_msg=f"tick {tick}: shifted sequences diverge",
             )
             # both sides apply the control the REFERENCE applies (the
             # post-shift first element — see the forensic note above)
             np.testing.assert_allclose(
-                np.asarray(state.u_prev[0]), u0_ref, rtol=1e-5, atol=2e-6
+                np.asarray(state.u_prev[0]), u0_ref, rtol=1e-9, atol=1e-11
             )
             x = x + np.array(
                 [u0_ref[0] * np.cos(x[2]), u0_ref[0] * np.sin(x[2]), u0_ref[1]]
@@ -247,3 +256,109 @@ def test_per_tick_strict_equality_goal_pose():
         np.random.multivariate_normal = mvn
     # sanity: the shared closed loop actually moved toward the goal pose
     assert np.linalg.norm(x[:2] - ref_path[0, :2]) < np.linalg.norm(ref_path[0, :2])
+
+
+def test_per_tick_strict_equality_obstacles():
+    """Same strict construction for the OBSTACLE class
+    (controllers/mppi_differential_drive_obs.py): single-row path + circle
+    obstacles pins the robot-circle collision indicator (radius 0.5 ×
+    safety_margin_rate + obstacle radius, :301-313) against the reference's
+    own code per tick. The penalty CONSTANT deliberately differs (reference
+    1e10, engine 1e7 for f32 headroom — ops/costs.py): with the
+    1/exploration softmax both flush collided samples' weights to exactly
+    0.0, so the weights — and therefore the control sequences — agree to
+    f32 resolution as long as the indicator geometry matches, which is
+    precisely what this gates."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from dnn_mppi_mpc_tpu.config import (
+        CostAccumulation,
+        MPPIConfig,
+        MPPIParams,
+        SmoothingFilter,
+        Temperature,
+    )
+    from dnn_mppi_mpc_tpu.models import euler_step, unicycle
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        MPPISolver,
+        MPPIState,
+        make_tracking_costs,
+    )
+
+    _load_reference_class()  # sets up sys.path + Agg
+    obs_mod = importlib.import_module("controllers.mppi_differential_drive_obs")
+
+    Kk, Tt, exploration = 64, 12, 0.1
+    ref_path = np.array([[2.0, 1.0, 0.3]])
+    sigma = np.array([[0.1, 0.0], [0.0, 0.01]])
+    obstacles = np.array([[0.9, 0.55, 0.15], [1.5, 0.7, 0.2]])
+    margin = 1.5
+    mppi = obs_mod.MPPIAlgorithms(
+        DT, ref_path, 5.0, 3.14, Kk, Tt, exploration, 1.0, 0.2,
+        sigma.copy(),
+        np.array([5.0, 5.0, 10.0]), np.array([5.0, 5.0, 10.0]),
+        obstacles.copy(), margin,
+    )
+
+    cfg = MPPIConfig(
+        num_samples=Kk, horizon=Tt, dim_x=3, dim_u=2, dt=DT,
+        lam=1.0, alpha=0.2, exploration=exploration,
+        temperature=Temperature.EXPLORATION,
+        accumulation=CostAccumulation.LAST,
+        filter=SmoothingFilter.MOVING_AVERAGE_EDGE, filter_window=10,
+        waypoint_search_len=20,
+        compute_optimal_traj=False,
+    )
+    params = MPPIParams(
+        sigma=jnp.asarray(sigma),
+        stage_weight=jnp.array([5.0, 5.0, 10.0]),
+        terminal_weight=jnp.array([5.0, 5.0, 10.0]),
+        u_min=jnp.array([-5.0, -3.14]),
+        u_max=jnp.array([5.0, 3.14]),
+        ref_path=jnp.asarray(ref_path),
+        obstacles=jnp.asarray(obstacles),
+    )
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    stage, terminal = make_tracking_costs(
+        cfg, collision="circle", robot_radius=0.5, safety_margin_rate=margin
+    )
+    solver = MPPISolver(cfg, step_fn, stage, terminal)
+    # f64 engine run (see the goal-pose test): boundary-exact collision
+    # indicators vs the reference's f64 numpy
+    state = solver.init()
+    state = MPPIState(
+        u_prev=jnp.zeros((Tt, 2), jnp.float64),
+        waypoint_idx=state.waypoint_idx,
+        key=state.key,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.zeros(3)
+    mvn = np.random.multivariate_normal
+    saw_collision_tick = False
+    try:
+        for tick in range(25):
+            eps = rng.multivariate_normal(np.zeros(2), sigma, size=(Kk, Tt))
+            np.random.multivariate_normal = lambda *a, **k: eps
+            u0_ref, useq_ref, _, _ = mppi._calc_input_control(x.copy())
+            _, state, aux = solver.step(
+                params, state, jnp.asarray(x), noise=jnp.asarray(eps)
+            )
+            if float(np.asarray(aux.costs).max()) > 1e6:
+                saw_collision_tick = True
+            # atol floor 1e-9: the deliberate penalty-constant difference
+            # (1e7 vs 1e10) perturbs ρ/η rounding order at the ulp level
+            np.testing.assert_allclose(
+                np.asarray(state.u_prev), np.asarray(useq_ref),
+                rtol=1e-9, atol=1e-9,
+                err_msg=f"tick {tick}: shifted sequences diverge",
+            )
+            x = x + np.array(
+                [u0_ref[0] * np.cos(x[2]), u0_ref[0] * np.sin(x[2]), u0_ref[1]]
+            ) * DT
+    finally:
+        np.random.multivariate_normal = mvn
+    # the construction must actually exercise the collision indicator
+    assert saw_collision_tick, "no rollout ever collided — move the obstacles"
