@@ -161,6 +161,12 @@ class MPPIParams:
     obstacles: Optional[jnp.ndarray] = None  # (n_obs, 3): x, y, radius
     obstacle_velocities: Optional[jnp.ndarray] = None  # (n_obs, 2): moving obstacles
     model_params: Optional[object] = None  # extra params for the dynamics fn
+    # optional (nu,) diagonal action-cost weights: adds Σⱼ rⱼ·vⱼ² of the
+    # CLAMPED per-step action to every stage cost — the ``control_cost``
+    # term of the pytorch_mppi spec (test/test_mppi_diff_obs.py:48,
+    # R = diag(0.1, 0.1)), which the engine's γ·uᵀΣ⁻¹v energy term does
+    # not cover. None = no action cost (every other reference config).
+    control_weight: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         children = (
@@ -173,6 +179,7 @@ class MPPIParams:
             self.obstacles,
             self.obstacle_velocities,
             self.model_params,
+            self.control_weight,
         )
         return children, None
 

@@ -175,7 +175,7 @@ def pick_r_blk(R: int, target: int = 40) -> int:
 
 def _tick_kernel(
     seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
-    scal_ref,  # SMEM (24,) packed f32 scalars (layout below)
+    scal_ref,  # SMEM (26,) packed f32 scalars (layout below)
     u_ref,  # VMEM (T, 2) nominal controls
     a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
     win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)
@@ -198,6 +198,7 @@ def _tick_kernel(
     carry_W: int = 0,  # per-step search span in carry mode (the scan path's
     # waypoint_search_len; W is then the larger pre-gathered window)
     sincos: str = "native",  # "native" VPU transcendentals | "poly" (mathx)
+    control_cost: bool = False,  # + Σⱼ rcⱼ·vⱼ² per stage (pytorch_mppi spec)
     fold_anchor: bool = False,  # tick-level anchor search runs IN-kernel
     P: int = 0,  # path length (fold_anchor mode: win_ref is the full path)
     span: int = 0,  # anchor search span (ops/waypoints.nearest_waypoint)
@@ -236,6 +237,7 @@ def _tick_kernel(
     inv_temp = scal_ref[17]
     l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ), nu=2
     soft_dist, soft_w = scal_ref[21], scal_ref[22]  # soft obstacle params
+    rc0, rc1 = scal_ref[23], scal_ref[24]  # diag action-cost weights
 
     if gen_noise:
         # On-chip ε ~ N(0, Σ): standard normals colored by the
@@ -429,6 +431,10 @@ def _tick_kernel(
                     + sw2 * (yaw - ryaw) * (yaw - ryaw)
                 )
             c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
+            if control_cost:
+                # pytorch_mppi spec: + vᵀRv of the clamped action
+                # (test/test_mppi_diff_obs.py:48-53)
+                c = c + rc0 * v0 * v0 + rc1 * v1 * v1
             if n_obs > 0:
                 c = c + obstacle_penalty(x, y, t.astype(jnp.float32) * dt)
             if last_only:
@@ -545,6 +551,7 @@ def diffdrive_mppi_tick(
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
     filter_t: Optional[jnp.ndarray] = None,  # (T, T) Fᵀ — fused-epilogue mode
+    control_weight: Optional[jnp.ndarray] = None,  # (2,) diag action cost
     *,
     K: int,
     T: int,
@@ -609,6 +616,11 @@ def diffdrive_mppi_tick(
                 jnp.asarray([0, 2, 3])
             ],  # l00, l10, l11
             jnp.asarray([soft_safety_distance, soft_weight], jnp.float32),
+            (
+                jnp.zeros((2,), jnp.float32)
+                if control_weight is None
+                else jnp.reshape(control_weight.astype(jnp.float32), (2,))
+            ),  # diag action-cost weights (pytorch_mppi spec)
             jnp.zeros((1,), jnp.float32),  # pad
         ]
     )
@@ -635,6 +647,7 @@ def diffdrive_mppi_tick(
         rollout_carry=rollout_carry,
         carry_W=carry_W,
         sincos=sincos,
+        control_cost=control_weight is not None,
         fold_anchor=fold_anchor,
         P=window.shape[0] if fold_anchor else 0,
         span=span,

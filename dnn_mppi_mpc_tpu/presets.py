@@ -263,6 +263,10 @@ def goal_seeking_mppi(
         sigma=jnp.array([[0.5, 0.0], [0.0, 0.3]]),  # bullet_mppi_… :316-337
         stage_weight=jnp.array([30.0, 5.0, 9.0]),  # test_mppi_diff_obs.py:47
         terminal_weight=jnp.array([30.0, 5.0, 9.0]),
+        # the spec's control_cost = aᵀ·diag(0.1, 0.1)·a on the clamped
+        # action (test_mppi_diff_obs.py:48-53) — added in round 4; the
+        # engine's γ·uᵀΣ⁻¹v energy term does not cover it
+        control_weight=jnp.array([0.1, 0.1]),
         u_min=jnp.array([-2.0, -2.0]),
         u_max=jnp.array([2.0, 2.0]),
         ref_path=jnp.asarray(goal)[None, :],

@@ -299,6 +299,15 @@ def mppi_step(
             "rollout_fn path (per-lane carry is kernel-local; the persisted "
             "max would need an extra collective) — use the fused tick or scan"
         )
+    if params.control_weight is not None and (
+        rollout_fn is not None
+        or (tick_fn is not None and not getattr(tick_fn, "supports_control_cost", False))
+    ):
+        raise ValueError(
+            "params.control_weight (the pytorch_mppi action-cost term) is "
+            "implemented in the scan path and the single-block diff-drive "
+            "fused tick — this rollout_fn/tick_fn does not support it"
+        )
     if (
         cfg.waypoint_carry == "rollout"
         and tick_fn is not None
@@ -430,6 +439,11 @@ def mppi_step(
             else:
                 ctx_t = ctx
             c = stage_cost(x, t, ctx_t) + e_t
+            if params.control_weight is not None:
+                # pytorch_mppi spec action cost aᵀRa on the CLAMPED action
+                # (test/test_mppi_diff_obs.py:48-53; pytorch_mppi passes the
+                # bounded perturbed action into running_cost)
+                c = c + jnp.sum(params.control_weight * v_t * v_t, axis=-1)
             if M > 1:
                 disc = jnp.asarray(cfg.rollout_var_discount, u.dtype) ** t.astype(u.dtype)
                 var = var + jnp.var(c, axis=0) * disc
@@ -890,6 +904,7 @@ def make_pallas_diffdrive_tick(
             rollout_carry=rollout_carry,
             carry_W=0 if fold_anchor else span,
             sincos=sincos,
+            control_weight=params.control_weight,
             fold_anchor=fold_anchor,
             span=span if fold_anchor else 0,
             prev_idx=ctx.waypoint_start if fold_anchor else None,
@@ -906,6 +921,7 @@ def make_pallas_diffdrive_tick(
     tick.fused_epilogue = fuse_epilogue
     tick.supports_rollout_carry = rollout_carry
     tick.folds_anchor = fold_anchor
+    tick.supports_control_cost = True
     return tick
 
 

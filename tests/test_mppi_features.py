@@ -263,3 +263,62 @@ def test_mppi_step_accepts_non_array_model_params():
     solver = MPPISolver(cfg, step_fn, stage, terminal)
     u0, st, aux = solver.step(params, solver.init(), jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(u0)))
+
+
+def test_control_weight_adds_exact_action_cost():
+    """params.control_weight adds EXACTLY Σ_t Σ_j r_j·v²_{k,t,j} of the
+    clamped action to each sample's cost — the pytorch_mppi spec's
+    control_cost = aᵀ·diag(R)·a (test/test_mppi_diff_obs.py:48-53). Verified
+    against a hand-computed term (parity between engine paths alone would
+    cancel a shared sign/factor error), on both the scan path and the fused
+    tick (interpret mode)."""
+    import dataclasses as _dc
+
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        MPPIState,
+        make_pallas_diffdrive_tick,
+        mppi_step,
+    )
+
+    cfg, params = _base(exploration=0.25)
+    stage, terminal = make_tracking_costs(cfg)
+    rng = np.random.default_rng(5)
+    eps = jnp.asarray(rng.normal(0, 0.8, (K, T, 2)), jnp.float32)
+    x0 = jnp.array([0.0, 0.3, 0.1], jnp.float32)
+    step_fn = lambda x, u: euler_step(unicycle, x, u, DT)
+    cw = jnp.array([0.1, 0.07], jnp.float32)
+    params_cw = _dc.replace(params, control_weight=cw)
+
+    state = MPPIState.init(cfg)
+    state = _dc.replace(
+        state,
+        u_prev=jnp.asarray(rng.normal(0, 0.4, (T, 2)), jnp.float32),
+    )
+
+    # hand-computed clamped actions and the exact expected term
+    u_np = np.asarray(state.u_prev)
+    eps_np = np.asarray(eps)
+    k_idx = np.arange(K)
+    exploit = (k_idx < (1.0 - cfg.exploration) * K)[:, None, None]
+    v = np.where(exploit, u_np[None] + eps_np, eps_np)
+    v = np.clip(v, np.asarray(params.u_min), np.asarray(params.u_max))
+    expected = np.einsum("ktj,j->k", v.astype(np.float64) ** 2, np.asarray(cw))
+
+    for maker in ("scan", "tick"):
+        tick = (
+            make_pallas_diffdrive_tick(cfg, interpret=True)
+            if maker == "tick"
+            else None
+        )
+        run = lambda p: mppi_step(
+            cfg, step_fn, stage, terminal, p, state, x0, eps, tick_fn=tick
+        )
+        _, _, aux_base = jax.jit(run)(params)
+        _, _, aux_cw = jax.jit(run)(params_cw)
+        got = np.asarray(aux_cw.costs, np.float64) - np.asarray(
+            aux_base.costs, np.float64
+        )
+        np.testing.assert_allclose(
+            got, expected, rtol=1e-4, atol=1e-3,
+            err_msg=f"action-cost term wrong on the {maker} path",
+        )
