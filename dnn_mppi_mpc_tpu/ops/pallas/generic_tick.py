@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mppi_tick import (
+    effective_robot_radius,
     _TWO_PI,
     LANES,
     fused_epilogue_block,
@@ -453,7 +454,8 @@ def generic_mppi_tick(
     n_exploit: float,
     inv_temperature: jnp.ndarray,
     obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 2|3)
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied in-wrapper
+    safety_margin_rate: float = 1.5,
     eps: Optional[jnp.ndarray] = None,  # (K, T, nu) injected ε (parity mode)
     obstacle_velocities: Optional[jnp.ndarray] = None,  # (n_obs, 2)
     soft_safety_distance: float = 2.0,
@@ -503,7 +505,7 @@ def generic_mppi_tick(
         dt,
         n_exploit,
         inv_temperature,
-        robot_radius,
+        effective_robot_radius(robot_radius, safety_margin_rate),
         soft_safety_distance,
         soft_weight,
         u_min,
@@ -674,7 +676,8 @@ def generic_rollout_costs(
     dt: float,
     n_exploit: float,
     obstacles: Optional[jnp.ndarray] = None,
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied in-wrapper
+    safety_margin_rate: float = 1.5,
     obstacle_velocities: Optional[jnp.ndarray] = None,
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
@@ -713,7 +716,7 @@ def generic_rollout_costs(
         dt,
         n_exploit,
         0.0,  # inv_temperature unused in rollout-only mode
-        robot_radius,
+        effective_robot_radius(robot_radius, safety_margin_rate),
         soft_safety_distance,
         soft_weight,
         u_min,

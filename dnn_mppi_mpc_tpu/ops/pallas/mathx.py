@@ -60,13 +60,18 @@ def sincos_poly(x: jnp.ndarray):
     cos_r = 1.0 - 0.5 * r2 + r2 * r2 * cp
 
     # quadrant map: k mod 4 ∈ {0: (s, c), 1: (c, −s), 2: (−s, −c), 3: (−c, s)}
+    # Signs are computed arithmetically from the two low bits — a boolean
+    # XOR here compiles fine in f32 mode but SIGABRTs the Mosaic compiler
+    # when jax_enable_x64 is on (round-4 hardware bisection; the x64 test
+    # suite drives every kernel through this path).
     k = kf.astype(jnp.int32)
-    swap = (k & 1) == 1
+    b0 = (k & 1).astype(jnp.float32)  # swap bit
+    b1 = ((k >> 1) & 1).astype(jnp.float32)  # sin-sign bit
+    swap = b0 > 0.5
     s_abs = jnp.where(swap, cos_r, sin_r)
     c_abs = jnp.where(swap, sin_r, cos_r)
-    k2 = k & 2
-    sin_sign = jnp.where(k2 == 2, -1.0, 1.0).astype(jnp.float32)
-    cos_sign = jnp.where((k2 == 2) ^ swap, -1.0, 1.0).astype(jnp.float32)
+    sin_sign = 1.0 - 2.0 * b1
+    cos_sign = 1.0 - 2.0 * (b0 + b1 - 2.0 * b0 * b1)  # b0 XOR b1
     return s_abs * sin_sign, c_abs * cos_sign
 
 

@@ -99,6 +99,18 @@ def standard_normal_pair(shape, gaussian: str):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+
+
+def effective_robot_radius(robot_radius, safety_margin_rate):
+    """The reference's circle-collision rule: the ROBOT radius is inflated by
+    the safety margin (mppi_differential_drive_obs.py:303-305; 0.5 × 1.5 =
+    0.75 effective). Defined ONCE here; every circle-mode kernel wrapper
+    applies it so a caller passing the physical radius gets the reference
+    semantics by default (round-4 margin-bug class). Works on python floats
+    and traced values alike."""
+    return robot_radius * safety_margin_rate
+
+
 def pack_obstacles(obstacles, obstacle_velocities):
     """(n_obs, 2|3) centers(+radii) + optional velocities → (n_obs, 5) rows.
 
@@ -545,7 +557,8 @@ def diffdrive_mppi_tick(
     n_exploit: float,
     inv_temperature: jnp.ndarray,
     obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 3) or None
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied below
+    safety_margin_rate: float = 1.5,
     eps: Optional[jnp.ndarray] = None,  # (K, T, 2) injected ε (parity mode)
     obstacle_velocities: Optional[jnp.ndarray] = None,  # (n_obs, 2) drift
     soft_safety_distance: float = 2.0,
@@ -608,7 +621,12 @@ def diffdrive_mppi_tick(
             term_w.astype(jnp.float32),
             x0.astype(jnp.float32),
             jnp.asarray(
-                [robot_radius if obstacles is not None else -1.0], jnp.float32
+                [
+                    effective_robot_radius(robot_radius, safety_margin_rate)
+                    if obstacles is not None
+                    else -1.0
+                ],
+                jnp.float32
             ),
             jnp.asarray([0.0], jnp.float32),  # k_offset (single-device: 0)
             jnp.reshape(jnp.asarray(inv_temperature, jnp.float32), (1,)),

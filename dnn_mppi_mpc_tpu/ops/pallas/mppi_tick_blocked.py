@@ -41,7 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mathx import sincos_poly
-from .mppi_tick import LANES, pack_obstacles, pick_r_blk, standard_normal_pair
+from .mppi_tick import (
+    LANES,
+    effective_robot_radius,
+    pack_obstacles,
+    pick_r_blk,
+    standard_normal_pair,
+)
 
 _NEG_BIG = -3.0e38  # sentinel for "no rho yet" (−inf-free: inf−inf traps)
 
@@ -316,7 +322,8 @@ def diffdrive_mppi_tick_blocked(
     n_exploit: float,
     inv_temperature,
     obstacles: Optional[jnp.ndarray] = None,
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied in-wrapper
+    safety_margin_rate: float = 1.5,
     obstacle_velocities: Optional[jnp.ndarray] = None,
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
@@ -359,7 +366,8 @@ def diffdrive_mppi_tick_blocked(
     R_BLK = pick_r_blk(RB)
 
     scal = _pack_scalars(
-        u_min, u_max, n_exploit, stage_w, term_w, x0, robot_radius, obstacles,
+        u_min, u_max, n_exploit, stage_w, term_w, x0,
+        effective_robot_radius(robot_radius, safety_margin_rate), obstacles,
         k_offset, inv_temperature, chol_sigma, soft_safety_distance,
         soft_weight, dt,
     )
@@ -615,7 +623,8 @@ def fleet_mppi_tick(
     n_exploit: float,  # per-member exploration split over K
     inv_temperature,
     obstacles: Optional[jnp.ndarray] = None,  # (B, n_obs, 3) per-member
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied in-wrapper
+    safety_margin_rate: float = 1.5,
     obstacle_velocities: Optional[jnp.ndarray] = None,  # (B, n_obs, 2)
     soft_safety_distance: float = 2.0,
     soft_weight: float = 100.0,
@@ -652,7 +661,8 @@ def fleet_mppi_tick(
     scal = _pack_scalars(
         u_min, u_max, n_exploit, stage_w, term_w,
         jnp.zeros((3,), jnp.float32),  # x0 slot unused (per-member input)
-        robot_radius, obstacles, 0.0, inv_temperature, chol_sigma,
+        effective_robot_radius(robot_radius, safety_margin_rate), obstacles,
+        0.0, inv_temperature, chol_sigma,
         soft_safety_distance, soft_weight, dt,
     )
     if obstacles is None:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mppi_tick import LANES
+from .mppi_tick import effective_robot_radius, LANES
 
 
 
@@ -156,7 +156,8 @@ def diffdrive_rollout_costs(
     dt: float,
     n_exploit: float,
     obstacles: Optional[jnp.ndarray] = None,  # (n_obs, 3) or None
-    robot_radius: float = 0.5,
+    robot_radius: float = 0.5,  # PHYSICAL radius; margin applied in-wrapper
+    safety_margin_rate: float = 1.5,
     k_offset: jnp.ndarray | float = 0.0,
     *,
     T: int,
@@ -192,7 +193,14 @@ def diffdrive_rollout_costs(
             stage_w.astype(jnp.float32),
             term_w.astype(jnp.float32),
             x0.astype(jnp.float32),
-            jnp.asarray([robot_radius if obstacles is not None else -1.0], jnp.float32),
+            jnp.asarray(
+                [
+                    effective_robot_radius(robot_radius, safety_margin_rate)
+                    if obstacles is not None
+                    else -1.0
+                ],
+                jnp.float32,
+            ),
             jnp.reshape(jnp.asarray(k_offset, jnp.float32), (1,)),
         ]
     )

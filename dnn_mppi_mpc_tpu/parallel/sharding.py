@@ -210,9 +210,8 @@ def make_sharded_fused_mppi_step(
                 params.u_min, params.u_max, cfg.dt,
                 (1.0 - cfg.exploration) * K, cfg.inv_temperature,
                 obstacles=params.obstacles,
-                # reference rule: circle test inflates the robot radius by
-                # the margin (mppi_differential_drive_obs.py:303-305)
-                robot_radius=robot_radius * safety_margin_rate,
+                robot_radius=robot_radius,
+                safety_margin_rate=safety_margin_rate,
                 obstacle_velocities=params.obstacle_velocities,
                 soft_safety_distance=soft_safety_distance,
                 soft_weight=soft_weight,
@@ -232,6 +231,12 @@ def make_sharded_fused_mppi_step(
         blocks_per_shard = 1  # injected stand-ins define their own layout
 
     def inner(params: MPPIParams, state: MPPIState, x0: jnp.ndarray):
+        if getattr(params, "control_weight", None) is not None:
+            raise ValueError(
+                "params.control_weight (pytorch_mppi action cost) is not "
+                "implemented in the sharded two-phase tick — use the scan "
+                "path (make_sharded_mppi_step) or the single-block fused tick"
+            )
         u = state.u_prev
         x0f = x0.astype(u.dtype)
         params_f = unify_float_dtype(params, u.dtype)

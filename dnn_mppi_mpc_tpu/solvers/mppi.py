@@ -707,7 +707,8 @@ def make_pallas_diffdrive_rollout(
             cfg.dt,
             (1.0 - cfg.exploration) * cfg.num_samples,
             obstacles=params.obstacles,
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             k_offset=k_offset,
             T=cfg.horizon,
             W=Wlen,
@@ -884,9 +885,8 @@ def make_pallas_diffdrive_tick(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            # reference rule: circle test uses robot_radius × margin
-            # (mppi_differential_drive_obs.py:303-305)
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             eps=noise,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
@@ -997,7 +997,8 @@ def make_pallas_diffdrive_tick_blocked(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
@@ -1217,9 +1218,8 @@ def make_generic_fused_tick(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=params.obstacles,
-            # reference rule: circle test uses robot_radius × margin
-            # (mppi_differential_drive_obs.py:303-305)
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             eps=noise,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
@@ -1321,7 +1321,8 @@ def make_generic_pallas_rollout(
             cfg.dt,
             (1.0 - cfg.exploration) * cfg.num_samples,
             obstacles=params.obstacles,
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             obstacle_velocities=params.obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
@@ -1464,6 +1465,12 @@ def make_fleet_fused_mppi_step(
 
     @jax.jit
     def step(params: MPPIParams, states: MPPIState, x0s: jnp.ndarray):
+        if params.control_weight is not None:
+            raise ValueError(
+                "params.control_weight (pytorch_mppi action cost) is not "
+                "implemented in the fleet tick — use per-member MPPISolver "
+                "steps (scan path / single-block tick)"
+            )
         B = x0s.shape[0]
         u = states.u_prev  # (B, T, nu)
         x0s_f = x0s.astype(u.dtype)
@@ -1519,7 +1526,8 @@ def make_fleet_fused_mppi_step(
             (1.0 - cfg.exploration) * cfg.num_samples,
             cfg.inv_temperature,
             obstacles=obstacles,
-            robot_radius=robot_radius * safety_margin_rate,
+            robot_radius=robot_radius,
+            safety_margin_rate=safety_margin_rate,
             obstacle_velocities=obstacle_velocities,
             soft_safety_distance=soft_safety_distance,
             soft_weight=soft_weight,
