@@ -405,6 +405,18 @@ def cmd_collect(args: argparse.Namespace) -> None:
 # train
 
 
+def cmd_realtime(args) -> None:
+    """The BASELINE latency metric as a CLI command (the docstring of
+    runtime/realtime_bench.py promised this entry point — round-4 review)."""
+    from .runtime.realtime_bench import main as realtime_main
+
+    argv = ["--hz", str(args.hz), "--ticks", str(args.ticks),
+            "--k", str(args.k), "--t", str(args.t)]
+    if args.json_out:
+        argv += ["--json-out", args.json_out]
+    realtime_main(argv)
+
+
 def cmd_train(args: argparse.Namespace) -> None:
     from .models.learned import MLP, ResNet1D
     from .train.training import TrainConfig, train_residual_model
@@ -510,6 +522,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--out", default="residual_dataset.npz")
     c.set_defaults(fn=cmd_collect)
+
+    r = sub.add_parser(
+        "realtime",
+        help="one-process realtime pipeline measurement (pacer + solver + "
+        "plant; runtime/realtime_bench.py)",
+    )
+    r.add_argument("--hz", type=float, default=50.0)
+    r.add_argument("--ticks", type=int, default=10_000)
+    r.add_argument("--k", type=int, default=10_240)
+    r.add_argument("--t", type=int, default=50)
+    r.add_argument("--json-out", type=str, default=None)
+    r.set_defaults(fn=cmd_realtime)
 
     t = sub.add_parser("train", help="train a residual model from a collected .npz")
     t.add_argument("--data", required=True)

@@ -176,10 +176,14 @@ class WheelPlant:
         self.common_gain = common_gain
         self.diff_gain = diff_gain
         self.process_noise_std = process_noise_std
-        # PyBullet reports yaw via getEulerFromQuaternion — always wrapped to
-        # (-pi, pi] (train/bullet_mpc_differential_drive.py:64-67). Matching
+        # PyBullet reports yaw via getEulerFromQuaternion — wrapped to
+        # (-pi, pi] (train/bullet_mpc_differential_drive.py:64-67); this
+        # plant uses the [-pi, pi) mod form (see the wrap comment). Matching
         # that matters in closed loop: an unbounded integrated yaw walks out
         # of the controller's +-3.14 yaw box and the qp barrier's quadratic
+        # extension then dominates. (Wrapped yaw in (3.14, pi] still grazes
+        # the box by <2e-3 rad — inherent to the reference's own protocol,
+        # whose bounds are +-3.14 against PyBullet's +-pi yaw.) The barrier's
         # extension then dominates every solve.
         self.wrap_yaw = wrap_yaw
         self.step = jax.jit(self._step_impl)
@@ -220,6 +224,14 @@ class WheelPlant:
             [v * jnp.cos(yaw), v * jnp.sin(yaw), omega], axis=-1
         )
         if self.wrap_yaw:
+            # [-π, π): one boundary point differs from PyBullet's (-π, π]
+            # (measure zero — yaw lands exactly on ±π with probability 0).
+            # Deliberately NOT the algebraically-equivalent π−mod(π−x, 2π)
+            # form: the two differ by ~1 ulp per wrap, and the golden
+            # protocol's closed loop is chaotic enough that the calibrated
+            # setpoint-convergence gate (test_golden_nmpc) swings 42 → 21
+            # converged under that ulp-level perturbation (round-4 review
+            # follow-up — doc fixed instead of the formula).
             wrapped = jnp.mod(x[..., 2] + jnp.pi, 2.0 * jnp.pi) - jnp.pi
             x = x.at[..., 2].set(wrapped)
         key = state.key

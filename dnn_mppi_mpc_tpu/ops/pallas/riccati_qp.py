@@ -711,6 +711,7 @@ def make_vmappable_pallas_qp(
     h_slope: float,
     interpret: bool,
     backward: str = "ift",
+    delta: float = 1.0e-3,
 ):
     """The fused QP solve as a ``custom_vmap``- and ``custom_vjp``-wrapped
     callable.
@@ -743,6 +744,7 @@ def make_vmappable_pallas_qp(
         kappa=kappa,
         h_stiffness=h_stiffness,
         h_slope=h_slope,
+        delta=delta,
     )
 
     @custom_vmap

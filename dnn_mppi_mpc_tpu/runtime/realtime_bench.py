@@ -6,10 +6,10 @@ The BASELINE latency metric measured for real: a single process drives
       → flagship MPPI tick (fused Pallas on TPU, XLA scan on CPU)
       → JAX plant step (the AcadosSim/PyBullet role)
 
-for N ticks at a fixed rate, recording TRUE per-tick end-to-end solve
-latency and per-deadline lateness — not chain slopes (docs/PERF.md's slope
-estimator deliberately averages away per-tick tails; this module does the
-opposite). Replaces the reference's deployment loop
+for N ticks at a fixed rate, recording per-tick host cost and per-deadline
+lateness — not chain slopes (docs/PERF.md's slope estimator deliberately
+averages away per-tick tails; this module does the opposite). Replaces the
+reference's deployment loop
 simulation/bullet_differential_drive_dnn.py:419-467 (read state → solve →
 actuate → sleep).
 
@@ -136,7 +136,6 @@ def run_realtime_e2e(
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    import importlib.util
     import os
     import sys
 
@@ -156,7 +155,9 @@ def run_realtime_e2e(
 
     plant_step = jax.jit(step_fn)
 
-    state_holder = [solver.init()]
+    import jax.random as jrandom
+
+    state_holder = [solver.init(jrandom.PRNGKey(seed))]
     x_holder = [jnp.zeros((3,), jnp.float32)]
 
     def read_state():
@@ -165,7 +166,7 @@ def run_realtime_e2e(
     def controller(x):
         u0, st, _ = solver.step(params, state_holder[0], x)
         state_holder[0] = st
-        u0.block_until_ready()  # solve_ns = dispatch + compute + ready
+        u0.block_until_ready()  # ack: enqueue + dispatch-ack (tunnel modes)
         return u0
 
     def apply_control(u):

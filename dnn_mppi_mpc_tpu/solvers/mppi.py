@@ -1618,13 +1618,19 @@ class MPPISolver:
         self.dynamics_step = dynamics_step
         use_pallas = cfg.use_pallas if use_pallas is None else use_pallas
         if cfg.time_varying_dynamics and (use_pallas or fused_tick) and (
-            tile_dynamics is None and tick_fn is None
+            tile_dynamics is None and tick_fn is None and rollout_fn is None
         ):
+            # a caller-supplied rollout_fn (e.g. make_generic_pallas_rollout,
+            # which threads step_takes_t) handles t itself — only the
+            # model-specialized diff-drive kernels, whose dynamics compile
+            # in, cannot (round-4 review: the old guard also rejected valid
+            # rollout_fn configs and named a non-existent lift_dynamics kwarg)
             raise ValueError(
-                "time_varying_dynamics needs the scan path or the generic "
-                "tick (pass tile_dynamics built with lift_dynamics(..., "
-                "time_varying=True)); the model-specialized diff-drive "
-                "kernels compile their dynamics in"
+                "time_varying_dynamics needs the scan path, a generic "
+                "rollout_fn, or the generic tick (pass tile_dynamics built "
+                "with models.tile.lift_dynamics_time_varying); the "
+                "model-specialized diff-drive kernels compile their "
+                "dynamics in"
             )
         if tile_dynamics is not None and not fused_tick and tick_fn is None:
             raise ValueError(

@@ -311,6 +311,9 @@ def sqp_solve(
                 cfg.slack_weight_l2 if cfg.soft_h else None,
                 cfg.slack_weight_l1 if cfg.soft_h else 0.0,
                 jax.default_backend() == "cpu",
+                # cfg.ip_delta was silently ignored on this backend (round-4
+                # review finding) — the accuracy knob must reach the kernel
+                delta=cfg.ip_delta,
             )
             dX, dU, kkt = qp_solve(qp, x0 - X[0])
             dX = dX.astype(dtype)
@@ -383,7 +386,13 @@ def sqp_solve(
             pen = jnp.asarray(1.0e3, dtype=dtype)
             m = cost + pen * (defect + viol)
             if h_fn is not None and params.p is not None:
-                hvals = jax.vmap(lambda x: h_fn(x, params.p))(Xc)
+                # honor cfg.h_terminal: when the terminal node's h rows are
+                # excluded from the QP, the merit must not penalize terminal
+                # violations either, or the line search silently steers the
+                # iterates toward a DIFFERENT OCP than the flags define
+                # (round-4 review finding)
+                Xh = Xc if cfg.h_terminal else Xc[:-1]
+                hvals = jax.vmap(lambda x: h_fn(x, params.p))(Xh)
                 m = m + pen * jnp.sum(jnp.maximum(-hvals, 0.0))
             return m
 

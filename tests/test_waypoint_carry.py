@@ -153,7 +153,8 @@ def test_rollout_carry_rejects_tick_anchored_tick_fn():
 
 @pytest.mark.parametrize("persist", ["none", "max"])
 @pytest.mark.parametrize("fuse_epilogue", [False, True])
-def test_fused_tick_rollout_carry_matches_scan(persist, fuse_epilogue):
+@pytest.mark.parametrize("iso_xy", [False, True])
+def test_fused_tick_rollout_carry_matches_scan(persist, fuse_epilogue, iso_xy):
     """The kernel's per-lane carried window == the scan path, tick for tick:
     costs, u0, carried waypoint index and status all agree over a closed
     loop that advances well past the initial window."""
@@ -162,8 +163,11 @@ def test_fused_tick_rollout_carry_matches_scan(persist, fuse_epilogue):
     cfg, params, solver, _, step_fn = _make(persist=persist)
     cfg = dataclasses.replace(cfg, num_samples=128)  # kernel lane constraint
     stage, terminal = make_tracking_costs(cfg)
+    # iso_xy is exact here (stage/terminal weights are x/y-symmetric) and
+    # its rollout_carry combination was previously an untested kernel branch
+    # (round-4 review finding)
     tick = make_pallas_diffdrive_tick(
-        cfg, interpret=True, fuse_epilogue=fuse_epilogue
+        cfg, interpret=True, fuse_epilogue=fuse_epilogue, iso_xy=iso_xy
     )
     assert tick.supports_rollout_carry
 
