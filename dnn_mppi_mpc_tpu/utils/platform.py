@@ -31,6 +31,35 @@ def honor_jax_platforms_env() -> None:
         pass
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short stable fingerprint of this host's CPU feature set.
+
+    XLA:CPU cache entries are AOT executables specialized to the compile
+    machine's features; the cache key does NOT include them. An entry
+    compiled on host A is *loaded then rejected* on a host B with different
+    features ("Machine type used for XLA:CPU compilation doesn't match...")
+    — and because the key already exists, the fresh recompile is never
+    written back. One stale entry therefore poisons the cache permanently:
+    every run on host B pays full compile cost forever (measured: the same
+    15 s test re-compiles on every invocation). Keying the cache *directory*
+    by the host's CPU-flags hash gives each machine its own valid entries.
+    """
+    import hashlib
+    import platform as _plat
+
+    sig = _plat.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    sig += ":" + flags
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache (XLA executables keyed by
     HLO + config + device target, so CPU and TPU entries coexist).
@@ -39,7 +68,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     (~20 min on this host); with the cache a warm re-run skips the XLA
     compile for every unchanged program. Safe for benchmarks too — timing
     always excludes compile via warm-up calls. Default location:
-    ``$DMM_JAX_CACHE_DIR`` or ``<repo>/.jax_cache`` (gitignored).
+    ``$DMM_JAX_CACHE_DIR`` or ``<repo>/.jax_cache/host-<cpu-fingerprint>``
+    (gitignored; per-host subdirectory — see ``_host_cpu_fingerprint``).
     """
     import jax
 
@@ -47,6 +77,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         cache_dir = os.environ.get("DMM_JAX_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             ".jax_cache",
+            "host-" + _host_cpu_fingerprint(),
         )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

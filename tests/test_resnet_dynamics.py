@@ -127,8 +127,10 @@ def test_resnet18_residual_through_nmpc_sqp():
     solver = NMPCSolver(cfg, dyn)
     # a nearer goal + fewer ticks: each tick jacfwd-evaluates ResNet-18 at
     # N stages on CPU (~4 s/tick) — 60 ticks made this the single slowest
-    # test in the suite (243 s) while proving nothing beyond tick ~20
-    goal = jnp.array([0.5, 0.3, 0.0])
+    # test in the suite (243 s) while proving nothing beyond tick ~8: the
+    # linearize-through-conv+BatchNorm claim is exercised identically by
+    # every tick, so run just enough to reach the (nearer) goal
+    goal = jnp.array([0.4, 0.25, 0.0])
     params = OCPParams(
         Q=jnp.diag(jnp.array([10.0, 10.0, 0.5])),
         R=jnp.diag(jnp.array([0.2, 0.05])),
@@ -142,7 +144,7 @@ def test_resnet18_residual_through_nmpc_sqp():
     )
     x = jnp.zeros(3)
     state = solver.init(x)
-    for _ in range(12):
+    for _ in range(8):
         u0, state, aux = solver.solve(params, state, x)
         x = erk_step(dyn, x, u0, dt, num_steps=3)
     err = float(jnp.linalg.norm(x[:2] - goal[:2]))
