@@ -68,17 +68,22 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     (~20 min on this host); with the cache a warm re-run skips the XLA
     compile for every unchanged program. Safe for benchmarks too — timing
     always excludes compile via warm-up calls. Default location:
-    ``$DMM_JAX_CACHE_DIR`` or ``<repo>/.jax_cache/host-<cpu-fingerprint>``
-    (gitignored; per-host subdirectory — see ``_host_cpu_fingerprint``).
+    ``$DMM_JAX_CACHE_DIR/host-<cpu-fingerprint>`` or
+    ``<repo>/.jax_cache/host-<cpu-fingerprint>`` (gitignored). The per-host
+    fingerprint subdirectory is appended in BOTH cases — XLA:CPU entries are
+    AOT executables specialized to the compiling machine, so a cache path
+    shared across hosts (e.g. an env-provided NFS dir) would otherwise be
+    poisoned by the first host to write it (see ``_host_cpu_fingerprint``).
+    An explicit ``cache_dir`` argument is used verbatim (caller owns layout).
     """
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get("DMM_JAX_CACHE_DIR") or os.path.join(
+        base = os.environ.get("DMM_JAX_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             ".jax_cache",
-            "host-" + _host_cpu_fingerprint(),
         )
+        cache_dir = os.path.join(base, "host-" + _host_cpu_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # default thresholds skip sub-second compiles — the suite's cost is the

@@ -4,17 +4,23 @@
 The suite is ~325 tests across 45 files; single-process it costs ~10-11 min
 on this class of host, dominated by Python tracing + x64 CPU execution of a
 handful of heavy solver tests (not XLA compiles — those hit the persistent
-per-host cache, ``utils/platform.py::enable_compilation_cache``). pytest-xdist
-is not in the image, so this script shards test FILES over P worker
-subprocesses (greedy longest-processing-time using measured per-file weights)
-and aggregates results.
+per-host cache, ``utils/platform.py::enable_compilation_cache``). This script
+shards test FILES over P worker subprocesses (greedy longest-processing-time
+using measured per-file weights) and aggregates results. ``pytest-xdist`` is
+also available in the image (``pytest -n 4 -m "not slow" tests/``) — this
+runner exists because file-level sharding with per-file weights balances this
+particular suite better than xdist's per-test round-robin with its
+many-minute solver files, and its shard logs keep heavy-file output separate.
 
     python runtests.py            # P = min(8, cpu_count), not-slow suite
     python runtests.py -p 4
     python runtests.py --slow     # include the slow marker (long gates)
+    python runtests.py -k sqp -x  # unknown flags forward to every worker
 
 Exit code 0 iff every worker passed (pytest exit 5 = "no tests collected in
-this shard" counts as pass, e.g. an all-slow file in the not-slow run).
+this shard" counts as pass, e.g. an all-slow file in the not-slow run) AND at
+least one shard actually collected tests — if every shard exits 5 (e.g. a
+``-k`` filter typo matched nothing) the run fails with exit 3.
 """
 
 from __future__ import annotations
@@ -70,9 +76,12 @@ def main() -> int:
                     default=min(8, os.cpu_count() or 4))
     ap.add_argument("--slow", action="store_true",
                     help="include tests marked slow")
-    ap.add_argument("pytest_args", nargs="*",
-                    help="extra args forwarded to every pytest worker")
-    args = ap.parse_args()
+    # No positional bucket: a positional nargs="*" steals the VALUE of an
+    # unknown flag (`-k expr` -> unknown=['-k'], positional=['expr'],
+    # order lost). parse_known_args with no positional keeps unknown args
+    # in order, and they all forward to every pytest worker.
+    args, pytest_args = ap.parse_known_args()
+    args.pytest_args = pytest_args
 
     root = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(root, "tests", "test_*.py")))
@@ -99,17 +108,24 @@ def main() -> int:
     dt = time.time() - t0
 
     ok = True
+    collected_any = False
     for i, (code, log) in enumerate(zip(codes, logs)):
         log.close()
         with open(log.name) as f:
             tail = [l.rstrip() for l in f.readlines()[-3:]]
         summary = tail[-1] if tail else "(no output)"
         status = "ok" if code in (0, 5) else f"FAIL rc={code}"
+        if code == 0:
+            collected_any = True
         print(f"shard {i}: {status:10s} {summary}")
         if code not in (0, 5):
             ok = False
             print(f"  see {log.name}")
     print(f"total wall: {dt:.0f}s over {len(shards)} workers")
+    if ok and not collected_any:
+        print("ERROR: every shard exited 5 (no tests collected) — check any "
+              "-k/-m filter you forwarded", file=sys.stderr)
+        return 3
     return 0 if ok else 1
 
 
