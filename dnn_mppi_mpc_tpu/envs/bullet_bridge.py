@@ -8,27 +8,58 @@ to wheel commands → apply motor controls → step the physics.
 
 PyBullet is host-side I/O: the controller itself stays a compiled JAX function
 fed with a (3,)/(4,) state vector per tick, exactly like the real-robot path.
-This module raises a clear ImportError at construction when pybullet is not
-installed (it is not part of the baked TPU image).
+
+The engine module is resolved at *construction* time (``sys.modules`` first,
+then a regular import), so tests inject
+:mod:`..testing.mock_pybullet` as ``sys.modules["pybullet"]`` and execute
+these classes end-to-end in CI without the real engine
+(tests/test_bullet_bridge.py); when neither the real nor a mock engine is
+present, construction raises a clear ImportError (pybullet is not part of
+the baked TPU image).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+import importlib
+import importlib.util
+import sys
+from typing import Callable, Sequence
 
 import numpy as np
 
 from .kinematics import diff_drive_wheel_speeds
 
-try:  # pragma: no cover - exercised only where pybullet exists
-    import pybullet as p
-    import pybullet_data
 
-    HAS_PYBULLET = True
-except ImportError:  # pragma: no cover
-    p = None
-    pybullet_data = None
-    HAS_PYBULLET = False
+def _resolve_pybullet():
+    """Return the (pybullet, pybullet_data) modules, honoring sys.modules
+    injection (the mock path) before falling back to a real import."""
+    try:
+        p = sys.modules.get("pybullet") or importlib.import_module("pybullet")
+        pd = sys.modules.get("pybullet_data") or importlib.import_module(
+            "pybullet_data"
+        )
+    except ImportError as e:
+        raise ImportError(
+            "pybullet is not installed; the Bullet envs require it (or an "
+            "injected mock — see testing.mock_pybullet). Use "
+            "envs.plants.Plant / WheelPlant for the pure-JAX loop instead."
+        ) from e
+    return p, pd
+
+
+def has_pybullet() -> bool:
+    """True when a real or injected pybullet module is resolvable now."""
+    return "pybullet" in sys.modules or (
+        importlib.util.find_spec("pybullet") is not None
+    )
+
+
+def __getattr__(name: str):
+    # Back-compat: HAS_PYBULLET evaluated dynamically so a mock injected
+    # after this module's import is still seen.
+    if name == "HAS_PYBULLET":
+        return has_pybullet()
+    raise AttributeError(name)
 
 
 class BulletDiffDriveEnv:
@@ -47,11 +78,8 @@ class BulletDiffDriveEnv:
         wheel_joint_indices: Sequence[int] = (2, 3, 4, 5),
         max_wheel_force: float = 20.0,
     ) -> None:
-        if not HAS_PYBULLET:
-            raise ImportError(
-                "pybullet is not installed; BulletDiffDriveEnv requires it. "
-                "Use envs.plants.Plant for the pure-JAX loop instead."
-            )
+        p, pybullet_data = _resolve_pybullet()
+        self._p = p
         self.client = p.connect(p.GUI if gui else p.DIRECT)
         p.setAdditionalSearchPath(pybullet_data.getDataPath())
         p.setGravity(0, 0, -9.81)
@@ -64,11 +92,13 @@ class BulletDiffDriveEnv:
 
     def get_state(self) -> np.ndarray:
         """(x, y, yaw) base state (the read at bullet_differential_drive_dnn.py:421-424)."""
+        p = self._p
         pos, orn = p.getBasePositionAndOrientation(self.robot)
         yaw = p.getEulerFromQuaternion(orn)[2]
         return np.array([pos[0], pos[1], yaw])
 
     def apply_control(self, v: float, omega: float) -> None:
+        p = self._p
         speeds = np.asarray(diff_drive_wheel_speeds(v, omega))
         for joint, s in zip(self.wheel_joints, speeds):
             p.setJointMotorControl2(
@@ -81,7 +111,7 @@ class BulletDiffDriveEnv:
 
     def step(self, n_substeps: int = 1) -> None:
         for _ in range(n_substeps):
-            p.stepSimulation()
+            self._p.stepSimulation()
 
     def run(
         self,
@@ -101,7 +131,7 @@ class BulletDiffDriveEnv:
         return np.asarray(states)
 
     def close(self) -> None:
-        p.disconnect(self.client)
+        self._p.disconnect(self.client)
 
 
 class BulletAckermannEnv:
@@ -121,10 +151,8 @@ class BulletAckermannEnv:
         track_width: float = 0.2,
         max_force: float = 20.0,
     ) -> None:
-        if not HAS_PYBULLET:
-            raise ImportError(
-                "pybullet is not installed; BulletAckermannEnv requires it."
-            )
+        p, pybullet_data = _resolve_pybullet()
+        self._p = p
         self.client = p.connect(p.GUI if gui else p.DIRECT)
         p.setAdditionalSearchPath(pybullet_data.getDataPath())
         p.setGravity(0, 0, -9.81)
@@ -146,6 +174,7 @@ class BulletAckermannEnv:
 
     def get_state(self) -> np.ndarray:
         """(x, y, yaw, v) base state."""
+        p = self._p
         pos, orn = p.getBasePositionAndOrientation(self.robot)
         yaw = p.getEulerFromQuaternion(orn)[2]
         lin, _ = p.getBaseVelocity(self.robot)
@@ -155,6 +184,7 @@ class BulletAckermannEnv:
     def apply_control(self, steer: float, v: float) -> None:
         from .kinematics import ackermann_wheel_speeds
 
+        p = self._p
         for j in self.steer_joints:
             p.setJointMotorControl2(
                 self.robot, j, p.POSITION_CONTROL, targetPosition=float(steer)
@@ -173,10 +203,33 @@ class BulletAckermannEnv:
 
     def step(self, n_substeps: int = 1) -> None:
         for _ in range(n_substeps):
-            p.stepSimulation()
+            self._p.stepSimulation()
+
+    def run(
+        self,
+        controller: Callable[[np.ndarray], np.ndarray],
+        num_ticks: int,
+        control_hz: float = 20.0,
+    ) -> np.ndarray:
+        """Closed loop: read state → controller(x) -> (steer, v) → actuate →
+        step physics (bullet_mpc_race_car_obstacle.py:396-528)."""
+        substeps = max(1, int(self.physics_hz / control_hz))
+        states = []
+        for _ in range(num_ticks):
+            x = self.get_state()
+            u = np.asarray(controller(x))
+            self.apply_control(float(u[0]), float(u[1]))
+            self.step(substeps)
+            states.append(x)
+        return np.asarray(states)
 
     def close(self) -> None:
-        p.disconnect(self.client)
+        self._p.disconnect(self.client)
 
 
-__all__ = ["BulletDiffDriveEnv", "BulletAckermannEnv", "HAS_PYBULLET"]
+__all__ = [
+    "BulletDiffDriveEnv",
+    "BulletAckermannEnv",
+    "HAS_PYBULLET",
+    "has_pybullet",
+]
