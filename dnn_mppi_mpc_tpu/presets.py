@@ -388,8 +388,16 @@ def racecar_nmpc(
 def four_wheel_nmpc(
     goal: jnp.ndarray, N: int = 20, dt: float = 0.1, sqp_iters: int = 2, **overrides
 ) -> Tuple[NMPCSolver, OCPParams]:
-    """Four-wheel torque-input NMPC (mpc_differential_dynamics.py:71-131)."""
+    """Four-wheel torque-input NMPC (mpc_differential_dynamics.py:71-131).
+
+    Defaults to the implicit Gauss-Legendre integrator exactly as the
+    reference deploys this model (integrator_type='IRK',
+    mpc_differential_dynamics.py:198); pass ``integrator='erk'`` for the
+    explicit engine. Per-tick IRK parity vs the f64 acados-semantics oracle
+    is gated in tests/test_oracle_nmpc.py.
+    """
     cfg = SQPConfig(N=N, dim_x=5, dim_u=4, dt=dt, sqp_iters=sqp_iters,
+                    integrator=overrides.pop("integrator", "irk"),
                     qp_iters=overrides.pop("qp_iters", 12), **overrides)
     solver = NMPCSolver(cfg, four_wheel_torque)
     params = _ls_params(

@@ -85,28 +85,107 @@ def erk43_np(f, x: Array, u: Array, dt: float, num_steps: int = 3) -> Array:
     return x
 
 
+def four_wheel_np(x: Array, u: Array) -> Array:
+    """xdot of the four-wheel torque model (mpc_differential_dynamics.py:98-105,
+    params :72-77: m=2.0, I=2.0296, r=0.17775, L=0.5708); complex-safe twin of
+    models.dynamics.four_wheel_torque."""
+    m, inertia, r, L = 2.0, 2.0296, 0.17775, 0.5708
+    theta, v, omega = x[2], x[3], x[4]
+    dv = (r / (4.0 * m)) * (u[0] + u[1] + u[2] + u[3])
+    domega = (r / (L * inertia)) * ((u[0] + u[2]) - (u[1] + u[3])) / 2.0
+    return np.stack([v * np.cos(theta), v * np.sin(theta), omega, dv, domega])
+
+
+def _gl_tableau_np(num_stages: int):
+    """Gauss-Legendre collocation tableau via order conditions.
+
+    Independent derivation from models/integrators.py's Lagrange-integration
+    route: solve the Vandermonde systems  Σ_j a_ij c_j^{k-1} = c_i^k / k and
+    Σ_j b_j c_j^{k-1} = 1/k  (k = 1..s), which uniquely determine the
+    collocation weights on the Gauss nodes.
+    """
+    nodes, _ = np.polynomial.legendre.leggauss(num_stages)
+    c = 0.5 * (nodes + 1.0)
+    s = num_stages
+    V = np.vander(c, s, increasing=True).T  # V[k-1, j] = c_j^(k-1)
+    b = np.linalg.solve(V, np.array([1.0 / k for k in range(1, s + 1)]))
+    A = np.empty((s, s))
+    for i in range(s):
+        A[i] = np.linalg.solve(
+            V, np.array([c[i] ** k / k for k in range(1, s + 1)])
+        )
+    return c, A, b
+
+
+def irk_np(
+    f,
+    x: Array,
+    u: Array,
+    dt: float,
+    num_stages: int = 4,
+    num_steps: int = 3,
+    picard_iters: int = 60,
+) -> Array:
+    """Gauss-Legendre IRK step by Picard (fixed-point) iteration.
+
+    f64 twin of acados' IRK as configured by the four-wheel dynamic NMPC
+    (mpc_differential_dynamics.py:198: sim_method_num_stages=4,
+    sim_method_num_steps=3). Deliberately NOT Newton (the engine's
+    models/integrators.irk_step solves the stage equations with Newton):
+    the fixed-point map K_i ← f(x + hΣ_j a_ij K_j, u) is a composition of
+    analytic operations, so it is complex-safe — ``step_with_jacobians``'s
+    complex-step differentiation goes straight through it, which a Newton
+    inner loop (needing its own real Jacobian) would break. Contraction
+    factor ≈ h·L·‖A‖; with h = dt/num_steps small and the reference's
+    non-stiff-at-h torque model, 60 iterations converge far below f64
+    rounding (asserted in tests/test_oracle_nmpc.py).
+    """
+    _, A, b = _gl_tableau_np(num_stages)
+    h = dt / num_steps
+    for _ in range(num_steps):
+        K = np.broadcast_to(f(x, u), (num_stages, x.shape[0])).copy()
+        for _ in range(picard_iters):
+            X_st = x[None, :] + h * (A @ K)
+            K = np.stack([f(X_st[i], u) for i in range(num_stages)])
+        x = x + h * (b @ K)
+    return x
+
+
 def step_with_jacobians(
-    f, x: Array, u: Array, dt: float, num_steps: int = 3
+    f,
+    x: Array,
+    u: Array,
+    dt: float,
+    num_steps: int = 3,
+    integrator: str = "erk",
+    num_stages: int = 4,
 ) -> Tuple[Array, Array, Array]:
     """(F, A, B) of the discrete step via complex-step differentiation.
 
     d/dz g(x + ih e_z) / h is exact to f64 rounding for holomorphic g — the
     trig/polynomial dynamics here qualify. This replaces acados' generated
-    forward-sensitivity ERK without sharing any code with jax.jacfwd.
+    forward-sensitivity ERK/IRK without sharing any code with jax.jacfwd.
+    ``integrator='irk'`` differentiates through the converged Picard fixed
+    point of :func:`irk_np` — the exact sensitivity of the implicit step,
+    the ruler for the engine's jacfwd-through-Newton (tests/test_oracle_nmpc.py).
     """
+    if integrator == "irk":
+        stepper = lambda ff, xx, uu: irk_np(ff, xx, uu, dt, num_stages, num_steps)
+    else:
+        stepper = lambda ff, xx, uu: erk43_np(ff, xx, uu, dt, num_steps)
     nx, nu = x.shape[0], u.shape[0]
     h = 1.0e-100
-    F = erk43_np(f, x.astype(np.float64), u.astype(np.float64), dt, num_steps)
+    F = stepper(f, x.astype(np.float64), u.astype(np.float64))
     A = np.empty((nx, nx))
     B = np.empty((nx, nu))
     for j in range(nx):
         xc = x.astype(np.complex128)
         xc[j] += 1j * h
-        A[:, j] = erk43_np(f, xc, u.astype(np.complex128), dt, num_steps).imag / h
+        A[:, j] = stepper(f, xc, u.astype(np.complex128)).imag / h
     for j in range(nu):
         uc = u.astype(np.complex128)
         uc[j] += 1j * h
-        B[:, j] = erk43_np(f, x.astype(np.complex128), uc, dt, num_steps).imag / h
+        B[:, j] = stepper(f, x.astype(np.complex128), uc).imag / h
     return F, A, B
 
 
@@ -249,6 +328,8 @@ class OracleOCP:
     h_fn: Optional[Callable[[Array, Array], Array]] = None
     p: Optional[Array] = None  # h-constraint parameters, e.g. (n_obs, 3)
     h_terminal: bool = False  # acados default: con_h_expr at 0..N-1 only
+    integrator: str = "erk"  # 'erk' | 'irk' (mpc_differential_dynamics.py:198)
+    num_stages: int = 4  # IRK collocation stages (sim_method_num_stages=4)
 
     @property
     def nx(self) -> int:
@@ -259,6 +340,10 @@ class OracleOCP:
         return self.R.shape[0]
 
     def step(self, x: Array, u: Array) -> Array:
+        if self.integrator == "irk":
+            return irk_np(
+                self.f, x, u, self.dt, self.num_stages, self.num_rk4_steps
+            )
         return erk43_np(self.f, x, u, self.dt, self.num_rk4_steps)
 
 
@@ -286,7 +371,10 @@ def rti_tick(
         B = np.empty((N, nx, nu))
         c = np.empty((N, nx))
         for i in range(N):
-            F, Ai, Bi = step_with_jacobians(ocp.f, X[i], U[i], ocp.dt, ocp.num_rk4_steps)
+            F, Ai, Bi = step_with_jacobians(
+                ocp.f, X[i], U[i], ocp.dt, ocp.num_rk4_steps,
+                integrator=ocp.integrator, num_stages=ocp.num_stages,
+            )
             A[i], B[i] = Ai, Bi
             c[i] = F - X[i + 1]
 
@@ -400,7 +488,9 @@ __all__ = [
     "solve_dense_qp",
     "unicycle_np",
     "kinematic_bicycle_np",
+    "four_wheel_np",
     "circle_obstacle_h_np",
     "erk43_np",
+    "irk_np",
     "step_with_jacobians",
 ]
