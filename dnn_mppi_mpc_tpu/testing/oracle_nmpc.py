@@ -4,7 +4,12 @@ An independent re-derivation of the NMPC tick the reference runs through
 acados (controllers/mpc_differential_drive_obstacle_static.py:236-331):
 
 * ERK integration, 4 stages x 3 substeps per shooting interval
-  (sim_method_num_stages=4, sim_method_num_steps=3, :241-242);
+  (sim_method_num_stages=4, sim_method_num_steps=3, :241-242), or IRK
+  (Gauss-Legendre collocation via complex-safe Picard iteration — the
+  integrator of mpc_differential_dynamics.py:198);
+* optional acados explicit slack variables on the h-rows (dims.ns/nsh with
+  Zl/zl cost, test_diff_mpc_dyna_slack.py:158-182) solved exactly in a
+  slack-augmented QP — the ruler for the engine's relaxed-barrier soft_h;
 * exact discrete-step sensitivities A = dF/dx, B = dF/du via complex-step
   differentiation (machine-precision, the role of acados' generated ERK
   sensitivity C code);
@@ -330,6 +335,14 @@ class OracleOCP:
     h_terminal: bool = False  # acados default: con_h_expr at 0..N-1 only
     integrator: str = "erk"  # 'erk' | 'irk' (mpc_differential_dynamics.py:198)
     num_stages: int = 4  # IRK collocation stages (sim_method_num_stages=4)
+    # acados explicit slack variables on the h-rows (dims.ns/nsh with
+    # cost.Zl/zl, test_diff_mpc_dyna_slack.py:158-182): each softened row
+    # becomes  h + s >= 0, s >= 0  with cost  zl·s + ½·Zl·s²  — solved
+    # EXACTLY in the slack-augmented QP, the ruler for the engine's
+    # relaxed-barrier soft_h approximation (SQPConfig.slack_weight_l2/_l1).
+    soft_h: bool = False
+    Zl: float = 1.0e4
+    zl: float = 0.0
 
     @property
     def nx(self) -> int:
@@ -421,17 +434,38 @@ def rti_tick(
             rows_w.append(ocp.ubx - X[i] - ev[i])
             rows_G.append(-Gam[i])
             rows_w.append(X[i] - ocp.lbx + ev[i])
+        n_soft = 0
         if ocp.h_fn is not None and ocp.p is not None:
             last = N if ocp.h_terminal else N - 1
             for i in range(1, last + 1):  # stage 0 is a constant in dU
                 h0, Jh = h_with_jacobian(ocp.h_fn, X[i], ocp.p)
                 rows_G.append(-Jh @ Gam[i])
                 rows_w.append(h0 + Jh @ ev[i])
+                if ocp.soft_h:
+                    n_soft += h0.shape[0]
         G = np.concatenate(rows_G, axis=0)
         w = np.concatenate([np.atleast_1d(r) for r in rows_w], axis=0)
 
-        dU_flat, _ = solve_dense_qp(H, g, G, w)
-        qp_viol = max(qp_viol, float((G @ dU_flat - w).max(initial=0.0)))
+        if n_soft:
+            # Slack-augmented QP over z = [dU; s]: the h-rows (appended
+            # last) become  Gh·dU − s ≤ wh  with  s ≥ 0  and slack cost
+            # zl·Σs + ½·Zl·‖s‖² — the exact acados ns/nsh semantics.
+            m = G.shape[0]
+            H = np.block([
+                [H, np.zeros((nz, n_soft))],
+                [np.zeros((n_soft, nz)), ocp.Zl * np.eye(n_soft)],
+            ])
+            g = np.concatenate([g, ocp.zl * np.ones(n_soft)])
+            G_aug = np.zeros((m + n_soft, nz + n_soft))
+            G_aug[:m, :nz] = G
+            G_aug[m - n_soft : m, nz:] = -np.eye(n_soft)  # h rows get −s
+            G_aug[m:, nz:] = -np.eye(n_soft)  # s ≥ 0
+            G = G_aug
+            w = np.concatenate([w, np.zeros(n_soft)])
+
+        z_flat, _ = solve_dense_qp(H, g, G, w)
+        qp_viol = max(qp_viol, float((G @ z_flat - w).max(initial=0.0)))
+        dU_flat = z_flat[:nz]
         dU = dU_flat.reshape(N, nu)
         dX = ev + np.einsum("ixz,z->ix", Gam, dU_flat)
 

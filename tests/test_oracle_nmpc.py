@@ -338,6 +338,65 @@ def test_four_wheel_irk_per_tick_parity():
     assert worst_recov < 5e-3, worst_recov
 
 
+@pytest.mark.parametrize("zl", [0.0, 5.0])
+def test_soft_h_matches_explicit_slack_oracle(zl):
+    """The relaxed-barrier soft_h path vs acados-style EXPLICIT slack
+    variables (dims.ns/nsh, cost Zl/zl — test_diff_mpc_dyna_slack.py:158-182),
+    solved exactly in the oracle's slack-augmented QP. The goal sits INSIDE
+    an obstacle, so the converged loop must ride h < 0 with active slacks —
+    the regime where the two formulations could genuinely diverge. Gates u0
+    and the violated-row set per tick; closes the round-4 'equivalence
+    asserted in comments but never measured' gap (solvers/sqp.py soft_h)."""
+    N, dt, ticks = 10, 0.05, 60
+    Zl = 1.0e3
+    Q = np.diag([20.0, 20.0, 2.0])
+    R = np.diag([1.0, 0.5])
+    goal = np.array([2.0, 0.0, 0.0])
+    yref = np.concatenate([goal, [0.0, 0.0]])[None, :].repeat(N, axis=0)
+    lbx = np.array([-10.0, -10.0, -3.14])
+    lbu = np.array([-3.0, -3.0])
+    obs = np.array([[2.0, 0.0, 0.5]])  # goal is inside this circle
+
+    ocp = onp.OracleOCP(
+        N=N, dt=dt, f=onp.unicycle_np, Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+        lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu,
+        h_fn=onp.circle_obstacle_h_np, p=obs,
+        soft_h=True, Zl=Zl, zl=zl,
+    )
+    rec = onp.closed_loop(ocp, np.zeros(3), ticks=ticks)
+    assert max(rec["qp_viol"]) < 1e-9  # slacks keep every QP feasible
+    # slacks genuinely activate: the loop converges into the obstacle
+    end_margin = onp.circle_obstacle_h_np(rec["x"][-1], obs).min()
+    assert end_margin < -1e-3, end_margin
+
+    cfg = dataclasses.replace(
+        _parity_cfg(N, 3, 2, dt, 1),
+        soft_h=True, slack_weight_l2=Zl, slack_weight_l1=zl, ip_delta=1e-8,
+    )
+    solver = NMPCSolver(cfg, unicycle, h_fn=circle_obstacle_h)
+    params = _params(Q=Q, R=R, Qe=Q, yref=yref, yref_e=goal,
+                     lbx=lbx, ubx=-lbx, lbu=lbu, ubu=-lbu, p=obs)
+    worst = 0.0
+    set_disagreements = 0
+    for t in range(ticks):
+        st = NMPCState(
+            X=jnp.asarray(rec["warm_X"][t], jnp.float64),
+            U=jnp.asarray(rec["warm_U"][t], jnp.float64),
+        )
+        u0, st2, aux = solver._solve(params, st, jnp.asarray(rec["x"][t], jnp.float64))
+        worst = max(worst, float(np.abs(np.asarray(u0) - rec["u0"][t]).max()))
+        # violated-row (active-slack) agreement at the solutions, stages 1..N-1
+        for i in range(1, N):
+            h_o = onp.circle_obstacle_h_np(rec["X"][t][i], obs)
+            h_e = onp.circle_obstacle_h_np(np.asarray(st2.X)[i], obs)
+            # margin band: rows within 1e-3 of the boundary may tip either
+            # way between the exact QP and the O(δ) barrier
+            if ((h_o < -1e-3) != (h_e < -1e-3)).any() and (np.abs(h_o) > 1e-3).all():
+                set_disagreements += 1
+    assert worst < 2e-3, worst
+    assert set_disagreements == 0, set_disagreements
+
+
 def test_oracle_qp_kkt():
     """The oracle's dense IP solves a random strictly convex QP to KKT."""
     rng = np.random.default_rng(0)
