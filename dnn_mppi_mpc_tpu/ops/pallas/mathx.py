@@ -76,3 +76,55 @@ def sincos_poly(x: jnp.ndarray):
 
 
 __all__ = ["sincos_poly"]
+
+
+# ---------------------------------------------------------------------------
+# Counter-based Gaussian stand-in for the Mosaic hardware PRNG.
+# ---------------------------------------------------------------------------
+
+
+def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """SplitMix-style u32 finalizer (avalanche hash; plain VPU/CPU ops)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def hash_normal_pair(seed, block_id, shape):
+    """Two N(0,1) tensors as a pure function of (seed, block_id, position).
+
+    The blocked fused tick's stream contract is "ε depends only on
+    (seed, global block id)" — phase 2 of the sharded tick regenerates
+    phase 1's noise from the same pair, and shard-count invariance follows
+    because the global block partition is mesh-independent. The hardware
+    path (``pltpu.prng_seed(seed, block) + prng_random_bits``) honors this
+    contract but has no CPU lowering, so the virtual-mesh dryrun could
+    never execute the production kernels. This stand-in honors the SAME
+    contract with a counter-based splitmix hash + Box-Muller — ordinary
+    jnp ops only, so it runs under Pallas interpret mode on CPU (and
+    compiles on TPU for contract A/B). Select with ``gaussian="hash"``;
+    the hardware modes ("popcount"/"box_muller") remain the perf path.
+    """
+    import jax
+
+    s = jnp.asarray(seed).astype(jnp.uint32)
+    b = jnp.asarray(block_id).astype(jnp.uint32)
+    base = _splitmix32(
+        s * jnp.uint32(0x9E3779B9) ^ _splitmix32(b + jnp.uint32(0x85EBCA6B))
+    )
+    t = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    l = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    ctr = (t * jnp.uint32(shape[1]) + r) * jnp.uint32(shape[2]) + l
+    bits1 = _splitmix32(base ^ (ctr * jnp.uint32(0x9E3779B1)))
+    bits2 = _splitmix32(base ^ (ctr * jnp.uint32(0xC2B2AE35) + jnp.uint32(0x1234567)))
+    # top 24 bits -> (0, 1]: u = 1 - k/2^24 with k in [0, 2^24)
+    scale = jnp.float32(1.0 / 16777216.0)
+    u1 = 1.0 - (bits1 >> jnp.uint32(8)).astype(jnp.float32) * scale
+    u2 = (bits2 >> jnp.uint32(8)).astype(jnp.float32) * scale
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = jnp.float32(2.0 * _np.pi) * u2
+    return rad * jnp.cos(ang), rad * jnp.sin(ang)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mathx import sincos_poly
+from .mathx import hash_normal_pair, sincos_poly
 from .mppi_tick import (
     LANES,
     effective_robot_radius,
@@ -75,11 +75,18 @@ def _gen_eps_block(seed, block_id, T, RB, chol, gaussian, eps0, eps1):
 
     Seeding with (seed, block_id) gives each K block an independent,
     *reproducible* stream — phase 2 of the sharded tick regenerates identical
-    ε by reusing the same pair.
+    ε by reusing the same pair. ``gaussian="hash"`` draws from the
+    counter-based splitmix stand-in (mathx.hash_normal_pair) instead of the
+    hardware PRNG: same (seed, block) stream contract, but CPU-lowerable, so
+    the production kernels run under interpret mode on the virtual mesh
+    (__graft_entry__.dryrun_multichip's shard-count invariance sweep).
     """
     l00, l10, l11 = chol
-    pltpu.prng_seed(seed, block_id)
-    z0, z1 = standard_normal_pair((T, RB, LANES), gaussian)
+    if gaussian == "hash":
+        z0, z1 = hash_normal_pair(seed, block_id, (T, RB, LANES))
+    else:
+        pltpu.prng_seed(seed, block_id)
+        z0, z1 = standard_normal_pair((T, RB, LANES), gaussian)
     eps0[:, :, :] = l00 * z0
     eps1[:, :, :] = l10 * z0 + l11 * z1
 
@@ -357,7 +364,7 @@ def diffdrive_mppi_tick_blocked(
     regenerated noise via ``weighted_noise_reduce``'s emit mode, and by
     distributional closed-loop checks; see tests/test_mppi_tick_blocked.py).
     """
-    assert gaussian in ("popcount", "box_muller"), gaussian
+    assert gaussian in ("popcount", "box_muller", "hash"), gaussian
     assert collision in ("circle", "soft"), collision
     assert K % K_BLK == 0, f"K={K} must be a multiple of K_BLK={K_BLK}"
     assert K_BLK % LANES == 0
@@ -652,7 +659,7 @@ def fleet_mppi_tick(
     per-member parity oracle (tests/test_fleet_tick.py). Returns
     ``(S (B, K), w (B, K), w_eps (B, T, 2))``.
     """
-    assert gaussian in ("popcount", "box_muller"), gaussian
+    assert gaussian in ("popcount", "box_muller", "hash"), gaussian
     assert collision in ("circle", "soft"), collision
     assert K % LANES == 0
     RB = K // LANES

@@ -147,6 +147,9 @@ def make_sharded_fused_mppi_step(
     phase1: Optional[Callable] = None,
     phase2: Optional[Callable] = None,
     iso_xy: bool = False,
+    gaussian: str = "popcount",
+    interpret: bool = False,
+    k_blk: Optional[int] = None,
 ) -> Callable:
     """Sample-sharded MPPI tick with per-shard ON-CHIP noise (two-phase).
 
@@ -168,9 +171,17 @@ def make_sharded_fused_mppi_step(
     Shards share one seed (derived from the replicated carried key); stream
     disjointness comes from the traced global block offset
     ``axis_index · blocks_per_shard``. Diff-drive tracking semantics (the
-    kernels embed the cost); TPU-only — the Mosaic PRNG has no CPU lowering,
-    so the virtual-mesh structural test injects pure-JAX ``phase1``/``phase2``
-    stand-ins with the same contract (tests/test_sharded_fused.py).
+    kernels embed the cost). The hardware PRNG modes are TPU-only (no
+    Mosaic-PRNG CPU lowering); ``gaussian="hash"`` + ``interpret=True``
+    runs the SAME production kernel pair off-TPU with the counter-hash
+    stand-in honoring the identical (seed, global block) stream contract —
+    this is what ``__graft_entry__.dryrun_multichip`` certifies on the
+    virtual mesh (shard-count invariance of the real phases). Injected
+    pure-JAX ``phase1``/``phase2`` closures remain supported for
+    structural tests (tests/test_sharded_fused.py). ``k_blk`` overrides
+    the per-shard K block size — the invariance sweep pins it so the
+    global block partition (and thus every (seed, block) stream) is
+    identical across mesh factorizations.
 
     ``phase1(seed, block_offset, u, a, chol, x0, window, params, k_offset)``
     → local ``S (K/n,)``; ``phase2(seed, block_offset, w_local, chol)`` →
@@ -200,8 +211,12 @@ def make_sharded_fused_mppi_step(
             weighted_noise_reduce,
         )
 
-        k_blk = _pick_k_block(local_K, T)
-        blocks_per_shard = local_K // k_blk
+        kb = k_blk if k_blk is not None else _pick_k_block(local_K, T)
+        if local_K % kb != 0:
+            raise ValueError(
+                f"k_blk={kb} must divide the per-shard sample count {local_K}"
+            )
+        blocks_per_shard = local_K // kb
 
         def phase1(seed, block_offset, u, a, chol, x0, window, params, k_offset):
             return diffdrive_mppi_tick_blocked(
@@ -217,15 +232,16 @@ def make_sharded_fused_mppi_step(
                 soft_weight=soft_weight,
                 k_offset=k_offset,
                 block_offset=block_offset,
-                K=local_K, T=T, W=window.shape[0], K_BLK=k_blk,
+                K=local_K, T=T, W=window.shape[0], K_BLK=kb,
                 last_only=False, s_only=True, collision=collision,
-                iso_xy=iso_xy,
+                iso_xy=iso_xy, gaussian=gaussian, interpret=interpret,
             )
 
         def phase2(seed, block_offset, w_local, chol):
             return weighted_noise_reduce(
                 seed, w_local, chol, block_offset,
-                K=local_K, T=T, K_BLK=k_blk,
+                K=local_K, T=T, K_BLK=kb,
+                gaussian=gaussian, interpret=interpret,
             )
     else:
         blocks_per_shard = 1  # injected stand-ins define their own layout

@@ -83,6 +83,55 @@ def measure(step, params, state0, x0, n1, n2, reps):
     return slope_timing(make_runner, n1, n2, reps).tau
 
 
+def measure_collectives(mesh, local_K, horizon, n1, n2, reps):
+    """Per-tick cost of JUST the sharded tick's cross-device exchanges.
+
+    The two-phase tick's only cross-chip traffic is ρ = pmin(min S),
+    η = psum(Σ exp) and one psum of a (T, nu) partial (SURVEY §2.10); this
+    times that exact pattern on synthetic per-shard data so the scaling
+    artifact separates collective latency from rollout compute — the number
+    a real-pod run diffs against the virtual-mesh rehearsal.
+    """
+    axis = "k"
+    spec_s = PartitionSpec(axis)
+
+    def tick(S_local, carry):
+        rho = jax.lax.pmin(jnp.min(S_local), axis)
+        eta = jax.lax.psum(jnp.sum(jnp.exp(rho - S_local)), axis)
+        weps = jax.lax.psum(
+            jnp.full((horizon, 2), eta / local_K, S_local.dtype), axis
+        )
+        return S_local + carry * 1e-9 + weps[0, 0] * 1e-9
+
+    inner = jax.shard_map(
+        lambda S, c: tick(S, c), mesh=mesh,
+        in_specs=(spec_s, PartitionSpec()), out_specs=spec_s,
+    )
+
+    n_dev = mesh.devices.size
+    S0 = jax.device_put(
+        jnp.linspace(0.0, 1.0, local_K * n_dev, dtype=jnp.float32),
+        NamedSharding(mesh, spec_s),
+    )
+
+    def make_runner(n):
+        def body(S, _):
+            S = inner(S, S[0])
+            return S, S[0]
+
+        @jax.jit
+        def chain(S):
+            _, ys = jax.lax.scan(body, S, None, length=n)
+            return jnp.sum(ys)
+
+        def run():
+            float(chain(S0))
+
+        return run
+
+    return slope_timing(make_runner, n1, n2, reps).tau
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k-per-device", type=int, default=1280)
@@ -99,6 +148,9 @@ def main():
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the summary JSON to this path "
+                    "(process 0 only) — the checked-in scaling artifact")
     args = ap.parse_args()
 
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -161,9 +213,13 @@ def main():
         x0 = jax.device_put(jnp.zeros(3, jnp.float32), rep)
         params = jax.device_put(params, rep)
         tau = measure(step, params, state0, x0, n1, n2, reps)
+        tau_coll = measure_collectives(
+            mesh, args.k_per_device, args.horizon, n1, n2, reps
+        )
         taus.append(tau)
         results.append({"devices": n_dev, "K": K, "per_solve_ms": round(tau * 1e3, 4),
-                        "solves_per_s": round(1 / tau, 1)})
+                        "solves_per_s": round(1 / tau, 1),
+                        "collective_per_tick_ms": round(tau_coll * 1e3, 4)})
         if jax.process_index() == 0:
             print(json.dumps(results[-1]), flush=True)
 
@@ -182,6 +238,9 @@ def main():
                            for r, t in zip(results, taus)},
         }
         print(json.dumps(summary))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -197,3 +197,61 @@ def test_sharded_fused_real_kernels_one_shard_matches_blocked_tick():
     np.testing.assert_allclose(
         np.asarray(st_s.u_prev), np.asarray(st_r.u_prev), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+def test_production_phases_interpret_invariance_and_scan_truth():
+    """The PRODUCTION kernel pair (blocked tick s_only + weighted_noise_reduce)
+    executed off-TPU: gaussian='hash' (counter-hash stand-in, same
+    (seed, global block) stream contract as the Mosaic PRNG) under Pallas
+    interpret mode. Certifies (a) shard-count invariance of u0 with the
+    global block partition pinned via k_blk, and (b) numerical agreement
+    with the unsharded scan engine fed the kernels' own regenerated ε —
+    the round-4 verdict #4 gap (dryrun ran injected closures, not this code).
+    """
+    from dnn_mppi_mpc_tpu.ops.pallas.mppi_tick_blocked import (
+        weighted_noise_reduce,
+    )
+    from dnn_mppi_mpc_tpu.ops.sampling import small_cholesky
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)  # explicit-f32 kernels
+    try:
+        cfg, params, step_fn, stage, terminal = _setup()
+        KB = 128
+        state = MPPIState.init(cfg)
+        x0 = jnp.array([0.05, 0.1, 0.2], jnp.float32)
+        sweep = []
+        for n_sh in (2, 4, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:n_sh]), ("k",))
+            f2 = make_sharded_fused_mppi_step(
+                cfg, step_fn, mesh, axis="k",
+                gaussian="hash", interpret=True, k_blk=KB,
+            )
+            u0_s, _, _ = f2(params, state, x0)
+            sweep.append(np.asarray(jax.block_until_ready(u0_s)))
+        np.testing.assert_allclose(sweep[1], sweep[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(sweep[2], sweep[0], rtol=1e-4, atol=1e-5)
+
+        # scan-engine truth on the kernels' own ε (same seed derivation as
+        # the sharded inner: XOR of the carried key words)
+        kd = (
+            jax.random.key_data(state.key)
+            if jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+            else state.key
+        )
+        seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
+        chol = small_cholesky(params.sigma)
+        _, eps = weighted_noise_reduce(
+            seed, jnp.zeros((K,), jnp.float32), chol, 0,
+            K=K, T=T, K_BLK=KB, interpret=True, gaussian="hash",
+            emit_eps=True,
+        )
+        u0_r, _, _ = jax.jit(
+            lambda p, s, x, n_: mppi_step(cfg, step_fn, stage, terminal, p, s, x, n_)
+        )(params, state, x0, eps)
+        np.testing.assert_allclose(
+            sweep[0], np.asarray(u0_r), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
