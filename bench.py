@@ -88,6 +88,24 @@ def _make_runner(solver, params, st0, x0, n):
     return scan_chain_runner(body, params, st0, x0, n, _sync)
 
 
+def _bench_tick_kwargs(K: int, T: int, on_tpu: bool) -> dict:
+    """Fastest validated tick config for the flagship rows (round 5).
+
+    Single-block shapes get the lean kernel (auto via fuse_epilogue) plus
+    the lane-anchor fold and the 3-word popcount Gaussian — all
+    parity-gated on hardware in tests/test_lean_tick.py. The K-blocked
+    kernel (pod-scale K) takes neither knob."""
+    from dnn_mppi_mpc_tpu.solvers.mppi import (
+        _EPS_BYTES_PER_SAMPLE_STEP,
+        _SINGLE_BLOCK_VMEM_BUDGET,
+    )
+
+    blocked = _EPS_BYTES_PER_SAMPLE_STEP * T * K > _SINGLE_BLOCK_VMEM_BUDGET
+    if on_tpu and not blocked:
+        return dict(fold_anchor=True, gaussian="popcount3")
+    return {}
+
+
 def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
     """Slope-time the flagship tick at one K; returns a result row dict."""
     from __graft_entry__ import _flagship
@@ -97,7 +115,7 @@ def _measure_k(K: int, T: int, on_tpu: bool, reps: int):
     cfg, params, step_fn, stage, terminal = _flagship(K, T)
     solver = MPPISolver(
         cfg, step_fn, stage, terminal, use_pallas=False, fused_tick=on_tpu,
-        iso_xy=True,
+        iso_xy=True, **_bench_tick_kwargs(K, T, on_tpu),
     )
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)
@@ -221,7 +239,7 @@ def main() -> None:
         # the flagship tracking weights are x/y-symmetric ((5, 5, 10) —
         # the reference's own defaults), so the exact iso_xy kernel
         # specialization applies (parity: tests/test_mppi_tick.py)
-        iso_xy=True,
+        iso_xy=True, **_bench_tick_kwargs(K, T, on_tpu),
     )
     st0 = solver.init()
     x0 = jnp.zeros((3,), jnp.float32)

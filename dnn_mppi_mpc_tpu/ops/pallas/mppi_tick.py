@@ -78,16 +78,36 @@ def standard_normal_pair(shape, gaussian: str):
     Both modes' moments and the tick self-consistency (emit ε → re-inject →
     identical outputs) are verified on hardware by tests/test_tick_prng.py.
     """
-    if gaussian == "popcount":
+    if gaussian in ("popcount", "popcount3"):
         inv_sig = jnp.float32(1.0 / 2.8431203515386634)  # 1/√(8 + 1/12)
+
+        def pc_f32(b):
+            return pltpu.bitcast(
+                jax.lax.population_count(b), jnp.int32
+            ).astype(jnp.float32)
+
+        if gaussian == "popcount3":
+            # 3 PRNG words per normal PAIR instead of 4: the two smoothing
+            # uniforms come from ONE word and its 16-bit rotation. The
+            # shared bits land in disjoint significance ranges (low mantissa
+            # of u1 vs high of u2 and vice versa), so corr(u1, u2) ≈ 2^-18
+            # and corr(z0, z1) ≈ 2^-21 — far below the estimator noise any
+            # MPPI reduction sees. Saves one (T, R, 128) hardware-PRNG draw
+            # per pair (~4% of the lean flagship kernel, A/B in
+            # docs/PERF.md); moments/independence spot-checked on hardware
+            # in tests/test_tick_prng.py.
+            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            b3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            b3r = (b3 << jnp.uint32(16)) | (b3 >> jnp.uint32(16))
+            z0 = (pc_f32(b1) - 16.5 + _uniform_01(b3)) * inv_sig
+            z1 = (pc_f32(b2) - 16.5 + _uniform_01(b3r)) * inv_sig
+            return z0, z1
 
         def normal():
             b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
             bu = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            pc = pltpu.bitcast(jax.lax.population_count(b), jnp.int32).astype(
-                jnp.float32
-            )
-            return (pc - 16.5 + _uniform_01(bu)) * inv_sig
+            return (pc_f32(b) - 16.5 + _uniform_01(bu)) * inv_sig
 
         return normal(), normal()
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -186,10 +206,10 @@ def pick_r_blk(R: int, target: int = 40) -> int:
 
 
 def _tick_kernel(
-    seed_ref,  # SMEM (1,) int32 PRNG seed (unused when gen_noise=False)
-    scal_ref,  # SMEM (26,) packed f32 scalars (layout below)
-    u_ref,  # VMEM (T, 2) nominal controls
-    a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows (energy-term coefficients)
+    seed_ref,  # SMEM (1,) int32 PRNG seed — LEAN: (2,) uint32 carried key
+    scal_ref,  # SMEM (26,) packed f32 scalars — LEAN: (2, 2) f32 Σ
+    u_ref,  # VMEM (T, 2) nominal controls — LEAN: (2, T) row layout
+    a_ref,  # VMEM (T, 2) γ·u_tᵀΣ⁻¹ rows — LEAN: SMEM (3,) x0
     win_ref,  # VMEM (W, 3) waypoint window (x, y, yaw)
     obs_ref,  # VMEM (n_obs, 5) obstacles (x, y, r, vx, vy) — may be zero rows
     *rest,  # [ft, u_rows] | [eps0_in, eps1_in] | outputs | [eps scratch ×2]
@@ -214,13 +234,27 @@ def _tick_kernel(
     fold_anchor: bool = False,  # tick-level anchor search runs IN-kernel
     P: int = 0,  # path length (fold_anchor mode: win_ref is the full path)
     span: int = 0,  # anchor search span (ops/waypoints.nearest_waypoint)
+    lean: bool = False,  # minimum-prologue mode (see wrapper docstring)
+    lean_consts: tuple = (),  # (dt, n_exploit, inv_temp, gamma) statics
 ):
     rest = list(rest)
+    if lean:
+        # Lean slot map (docstring of diffdrive_mppi_tick): the XLA-side
+        # scalar packing, Cholesky/Σ⁻¹, energy rows and threefry/Weyl seed
+        # chain all collapse into in-kernel scalar work, so the per-tick
+        # device program is [anchor ops, transpose, kernel] only.
+        key_ref = seed_ref  # (2,) uint32 carried key words
+        sig_ref = scal_ref  # (2, 2) f32 Σ
+        x0_ref = a_ref  # (3,) x0  (u_ref keeps the classic (T, 2) layout)
+        umin_ref = rest.pop(0)  # SMEM (2,)
+        umax_ref = rest.pop(0)  # SMEM (2,)
+        sw_ref = rest.pop(0)  # SMEM (3,)
+        tw_ref = rest.pop(0)  # SMEM (3,)
     if fold_anchor:
         prev_ref = rest.pop(0)  # SMEM (1,) int32: previous tick anchor
     if fuse_epilogue:
         ft_ref = rest.pop(0)  # VMEM (T, T) transposed filter matrix Fᵀ
-        urows_ref = rest.pop(0)  # VMEM (2, T) nominal controls, row layout
+        urows_ref = rest.pop(0)  # VMEM (2, T) nominal controls, rows
     if not gen_noise:
         eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) inputs
     S_ref, w_ref, weps_ref = rest.pop(0), rest.pop(0), rest.pop(0)
@@ -231,31 +265,66 @@ def _tick_kernel(
     if fuse_epilogue:
         unew_ref, ushift_ref = rest.pop(0), rest.pop(0)  # (2, T) each
         ok_ref = rest.pop(0)  # SMEM (1,) f32: 1.0 = finite update applied
+    if lean:
+        knext_ref = rest.pop(0)  # SMEM (2,) uint32: Weyl-advanced key out
     if emit_eps:
         eps0_out, eps1_out = rest.pop(0), rest.pop(0)
     if gen_noise:
         eps0, eps1 = rest.pop(0), rest.pop(0)  # (T, R, 128) scratch
+    if lean and fold_anchor:
+        win_scr = rest.pop(0)  # VMEM (3, PL) rolled-window scratch
 
-    # scalar layout
-    dt = scal_ref[0]
-    umin0, umax0 = scal_ref[1], scal_ref[2]
-    umin1, umax1 = scal_ref[3], scal_ref[4]
-    n_exploit = scal_ref[5]
-    sw0, sw1, sw2 = scal_ref[6], scal_ref[7], scal_ref[8]
-    tw0, tw1, tw2 = scal_ref[9], scal_ref[10], scal_ref[11]
-    x0, y0, yaw0 = scal_ref[12], scal_ref[13], scal_ref[14]
-    obs_pen_radius = scal_ref[15]  # robot radius; < 0 → obstacles off
-    k_offset = scal_ref[16]  # global sample-index offset
-    inv_temp = scal_ref[17]
-    l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ), nu=2
-    soft_dist, soft_w = scal_ref[21], scal_ref[22]  # soft obstacle params
-    rc0, rc1 = scal_ref[23], scal_ref[24]  # diag action-cost weights
+    if lean:
+        dt_c, n_exploit_c, inv_temp_c, gamma_c = lean_consts
+        dt = jnp.float32(dt_c)
+        n_exploit = jnp.float32(n_exploit_c)
+        inv_temp = jnp.float32(inv_temp_c)
+        umin0, umax0 = umin_ref[0], umax_ref[0]
+        umin1, umax1 = umin_ref[1], umax_ref[1]
+        sw0, sw1, sw2 = sw_ref[0], sw_ref[1], sw_ref[2]
+        tw0, tw1, tw2 = tw_ref[0], tw_ref[1], tw_ref[2]
+        x0, y0, yaw0 = x0_ref[0], x0_ref[1], x0_ref[2]
+        obs_pen_radius = jnp.float32(-1.0)  # lean mode: no obstacles
+        k_offset = jnp.float32(0.0)
+        soft_dist = soft_w = jnp.float32(0.0)
+        rc0 = rc1 = jnp.float32(0.0)
+        # 2×2 Cholesky + inverse from Σ, in-kernel (scalar unit)
+        s00, s01, s11 = sig_ref[0, 0], sig_ref[0, 1], sig_ref[1, 1]
+        l00 = jnp.sqrt(s00)
+        l10 = s01 / l00
+        l11 = jnp.sqrt(s11 - l10 * l10)
+        det = s00 * s11 - s01 * s01
+        i00, i01, i11 = s11 / det, -s01 / det, s00 / det
+        gam = jnp.float32(gamma_c)
+    else:
+        # scalar layout
+        dt = scal_ref[0]
+        umin0, umax0 = scal_ref[1], scal_ref[2]
+        umin1, umax1 = scal_ref[3], scal_ref[4]
+        n_exploit = scal_ref[5]
+        sw0, sw1, sw2 = scal_ref[6], scal_ref[7], scal_ref[8]
+        tw0, tw1, tw2 = scal_ref[9], scal_ref[10], scal_ref[11]
+        x0, y0, yaw0 = scal_ref[12], scal_ref[13], scal_ref[14]
+        obs_pen_radius = scal_ref[15]  # robot radius; < 0 → obstacles off
+        k_offset = scal_ref[16]  # global sample-index offset
+        inv_temp = scal_ref[17]
+        l00, l10, l11 = scal_ref[18], scal_ref[19], scal_ref[20]  # chol(Σ)
+        soft_dist, soft_w = scal_ref[21], scal_ref[22]  # soft obstacle params
+        rc0, rc1 = scal_ref[23], scal_ref[24]  # diag action-cost weights
 
     if gen_noise:
         # On-chip ε ~ N(0, Σ): standard normals colored by the
         # lower-triangular Cholesky factor of Σ. Bulk PRNG calls; all
         # transforms are full-tensor VPU ops over (T, R, 128).
-        pltpu.prng_seed(seed_ref[0])
+        if lean:
+            # seed = XOR of the carried key words; the Weyl advance writes
+            # the next key out — the whole XLA seed chain of mppi_step
+            # (xor/bitcast/add fusions) collapses to 4 scalar ops here
+            pltpu.prng_seed(key_ref[0] ^ key_ref[1])
+            knext_ref[0] = key_ref[0] + jnp.uint32(0x9E3779B9)
+            knext_ref[1] = key_ref[1] + jnp.uint32(0x85EBCA6B)
+        else:
+            pltpu.prng_seed(seed_ref[0])
         z0, z1 = standard_normal_pair((T, R, LANES), gaussian)
         eps0[:, :, :] = l00 * z0
         eps1[:, :, :] = l10 * z0 + l11 * z1
@@ -265,7 +334,38 @@ def _tick_kernel(
 
     # Hoist waypoint/obstacle scalars out of the T loop (VMEM scalar reads in
     # the loop cost thousands of scalar loads — docs/PERF.md Mosaic lessons).
-    if fold_anchor:
+    if fold_anchor and lean:
+        # VECTORIZED in-kernel anchor advance (round-5). The scalar-serial
+        # fold below costs ~2.7 µs at the flagship shape (≈100 dynamic SMEM
+        # loads) — more than the XLA ops it removes. This path instead gets
+        # the path in LANE layout (win_ref is (3, PL): x/y/yaw rows, one
+        # waypoint per lane) and runs the whole search on the VPU:
+        # masked-distance min over lanes → first-argmin extraction →
+        # pltpu.roll so the clipped W-window starts at lane 0 → one scratch
+        # store, after which the cost chain reads the SAME static-index
+        # scalars as the classic mode. Semantics identical to
+        # ops/waypoints.nearest_waypoint + the wrapper clip.
+        assert not rollout_carry, "fold_anchor is tick-anchored by definition"
+        PL = win_ref.shape[1]
+        prev = prev_ref[0]
+        s0 = jnp.clip(prev, jnp.int32(0), jnp.int32(max(P - span, 0)))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, PL), 1)
+        px = win_ref[0:1, :]
+        py = win_ref[1:2, :]
+        dxv = px - x0
+        dyv = py - y0
+        d2 = dxv * dxv + dyv * dyv
+        inwin = (lane >= s0) & (lane < s0 + jnp.int32(span))
+        d2m = jnp.where(inwin, d2, jnp.float32(3.0e38))
+        dmin_v = jnp.min(d2m)
+        anchor = jnp.min(
+            jnp.where((d2m == dmin_v) & inwin, lane, jnp.int32(PL))
+        )
+        anchor_ref[0] = anchor
+        wstart = jnp.clip(anchor, jnp.int32(0), jnp.int32(max(P - W, 0)))
+        win_scr[:, :] = pltpu.roll(win_ref[:, :], -wstart, 1)
+        win = [(win_scr[0, w], win_scr[1, w], win_scr[2, w]) for w in range(W)]
+    elif fold_anchor:
         # The tick-level anchor advance (ops/waypoints.nearest_waypoint +
         # the wrapper's window clip) runs HERE, killing two XLA ops + their
         # launch gaps per tick (docs/PERF.md trace attribution). win_ref is
@@ -303,6 +403,22 @@ def _tick_kernel(
     ]
     shape = (R_BLK, LANES)
 
+    if lean:
+        # Expanded-distance coefficients, precomputed ONCE per launch
+        # (scalar unit): ‖p − q_w‖² = (xc²+yc²) + (−2wx)·xc + (−2wy)·yc
+        # + (wx²+wy²). The base xc²+yc² is w-independent, so it cancels in
+        # every comparison of the running-min chain — each waypoint costs
+        # TWO fused multiply-adds instead of the 4-5 sub/mul ops of the
+        # naive form, in the loop that dominates the whole kernel
+        # (W·T·K evaluations). The base is re-added once per step for the
+        # cost value. Rounding differs from the naive form by ~1 ulp of
+        # |p|² (tie-break flips possible on exact ties) — lean mode is
+        # PRNG-only, where parity is tolerance-based by construction.
+        win2 = [
+            (-2.0 * wx, -2.0 * wy, wx * wx + wy * wy, wyaw)
+            for (wx, wy, wyaw) in win
+        ]
+
     def window_refs(xc, yc):
         """Running-min nearest-waypoint lookup (first-argmin tie rule).
 
@@ -311,6 +427,25 @@ def _tick_kernel(
         is sw0·dmin + sw2·(yaw−ryaw)² EXACTLY, so the rx/ry select chains —
         2 of the 4 selects in the kernel's dominant W-deep loop — vanish.
         """
+        if lean:
+            wx2, wy2, r2, wyaw0 = win2[0]
+            dmin = wx2 * xc + (wy2 * yc + r2)
+            ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
+            if not iso_xy:
+                rx = jnp.full(shape, win[0][0], dtype=jnp.float32)
+                ry = jnp.full(shape, win[0][1], dtype=jnp.float32)
+            for w in range(1, W):
+                wx2, wy2, r2, wyaw = win2[w]
+                d = wx2 * xc + (wy2 * yc + r2)
+                better = d < dmin
+                dmin = jnp.where(better, d, dmin)
+                ryaw = jnp.where(better, wyaw, ryaw)
+                if not iso_xy:
+                    rx = jnp.where(better, win[w][0], rx)
+                    ry = jnp.where(better, win[w][1], ry)
+            if iso_xy:
+                return dmin + (xc * xc + yc * yc), ryaw
+            return rx, ry, ryaw
         wx0, wy0, wyaw0 = win[0]
         dmin = (xc - wx0) * (xc - wx0) + (yc - wy0) * (yc - wy0)
         ryaw = jnp.full(shape, wyaw0, dtype=jnp.float32)
@@ -394,13 +529,31 @@ def _tick_kernel(
     assert R % R_BLK == 0
     for blk in range(R // R_BLK):
         r0 = blk * R_BLK
-        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        k_idx = ((r0 + rows) * LANES + cols).astype(jnp.float32) + k_offset
-        exploit = k_idx < n_exploit
+        # lean mode: k_offset and n_exploit are compile-time constants, so
+        # blocks that sit entirely below the exploration split skip the
+        # per-step exploit mask and its two selects (the flagship's
+        # exploration=1e-4 leaves every block but the last fully exploiting)
+        all_exploit = lean and (r0 + R_BLK) * LANES <= lean_consts[1]
+        if all_exploit:
+            exploit = None
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            k_idx = ((r0 + rows) * LANES + cols).astype(jnp.float32) + k_offset
+            exploit = k_idx < n_exploit
 
         def body(t, carry, exploit=exploit):
-            if rollout_carry:
+            if sincos == "rot":
+                # incremental rotation (lean-only): carry (cos, sin) of yaw
+                # and rotate by the small per-step increment b = v1·dt with
+                # 3rd/2nd-order minimax-free Taylor kernels — |b| ≤
+                # |u_max[1]|·dt is small at control rates (flagship ≤ 0.063
+                # rad → error ≤ b^5/120 ≈ 8e-9), replacing the per-step
+                # shared-reduction polynomial pair (~4 fewer VPU ops in the
+                # dominant loop). Drift over T steps is ~T·ulp — far inside
+                # the fused tick's f32 parity tolerances.
+                x, y, yaw, cos_y, sin_y, S = carry
+            elif rollout_carry:
                 x, y, yaw, S, idx = carry
             else:
                 x, y, yaw, S = carry
@@ -408,18 +561,35 @@ def _tick_kernel(
             e1 = eps1[t, r0 : r0 + R_BLK]
             u0 = u_ref[t, 0]
             u1 = u_ref[t, 1]
-            v0 = jnp.where(exploit, u0 + e0, e0)
-            v1 = jnp.where(exploit, u1 + e1, e1)
+            if exploit is None:
+                v0 = u0 + e0
+                v1 = u1 + e1
+            else:
+                v0 = jnp.where(exploit, u0 + e0, e0)
+                v1 = jnp.where(exploit, u1 + e1, e1)
             v0 = jnp.clip(v0, umin0, umax0)
             v1 = jnp.clip(v1, umin1, umax1)
 
-            if sincos == "poly":
+            if sincos == "rot":
+                pass  # carried cos_y/sin_y are already cos/sin(yaw_t)
+            elif sincos == "poly":
                 sin_y, cos_y = sincos_poly(yaw)
             else:
                 sin_y, cos_y = jnp.sin(yaw), jnp.cos(yaw)
             x = x + v0 * cos_y * dt
             y = y + v0 * sin_y * dt
-            yaw = yaw + v1 * dt
+            if sincos == "rot":
+                b = v1 * dt
+                yaw = yaw + b
+                b2 = b * b
+                sb = b * (1.0 - b2 * jnp.float32(1.0 / 6.0))
+                cb = 1.0 - 0.5 * b2
+                cos_y, sin_y = (
+                    cos_y * cb - sin_y * sb,
+                    sin_y * cb + cos_y * sb,
+                )
+            else:
+                yaw = yaw + v1 * dt
 
             if rollout_carry:
                 if iso_xy:
@@ -442,7 +612,14 @@ def _tick_kernel(
                     + sw1 * (y - ry) * (y - ry)
                     + sw2 * (yaw - ryaw) * (yaw - ryaw)
                 )
-            c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
+            if lean:
+                # energy row γ·u_tᵀΣ⁻¹ computed from the (already-read)
+                # nominal controls — the XLA-side a-matmul disappears
+                c = c + (gam * (u0 * i00 + u1 * i01)) * v0 + (
+                    gam * (u0 * i01 + u1 * i11)
+                ) * v1
+            else:
+                c = c + a_ref[t, 0] * v0 + a_ref[t, 1] * v1
             if control_cost:
                 # pytorch_mppi spec: + vᵀRv of the clamped action
                 # (test/test_mppi_diff_obs.py:48-53)
@@ -453,6 +630,8 @@ def _tick_kernel(
                 S = c  # reference overwrite quirk (mppi_differential_drive.py:124)
             else:
                 S = S + c
+            if sincos == "rot":
+                return x, y, yaw, cos_y, sin_y, S
             if rollout_carry:
                 return x, y, yaw, S, idx
             return x, y, yaw, S
@@ -485,7 +664,14 @@ def _tick_kernel(
                     + tw2 * (yaw - ryaw) * (yaw - ryaw)
                 )
         else:
-            x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
+            if sincos == "rot":
+                cy0 = jnp.cos(jnp.full(shape, yaw0, dtype=jnp.float32))
+                sy0 = jnp.sin(jnp.full(shape, yaw0, dtype=jnp.float32))
+                x, y, yaw, _, _, S = jax.lax.fori_loop(
+                    0, T, body, (x, y, yaw, cy0, sy0, S)
+                )
+            else:
+                x, y, yaw, S = jax.lax.fori_loop(0, T, body, (x, y, yaw, S))
 
             if iso_xy:
                 dmin, ryaw = window_refs(x, y)
@@ -540,6 +726,8 @@ def _tick_kernel(
         "sincos",
         "fold_anchor",
         "span",
+        "lean",
+        "lean_consts",
     ),
 )
 def diffdrive_mppi_tick(
@@ -582,9 +770,25 @@ def diffdrive_mppi_tick(
     fold_anchor: bool = False,
     span: int = 0,
     prev_idx: Optional[jnp.ndarray] = None,  # () int32 (fold_anchor mode)
+    lean: bool = False,
+    lean_consts: Optional[tuple] = None,  # (dt, n_exploit, inv_temp, gamma)
 ):
     """One fused MPPI tick. Returns ``(S (K,), w (K,), w_eps (T, 2))`` — plus
     ``eps (K, T, 2)`` when ``emit_eps`` — with K on a single (K/128, 128) block.
+
+    ``lean`` (round-5): minimum-prologue mode for the obstacle-free
+    fused-epilogue tick. The XLA-side scalar concatenate, Cholesky/Σ⁻¹, the
+    γ·uᵀΣ⁻¹ energy matmul, and the whole threefry/Weyl seed chain move
+    in-kernel (scalar-unit work), cutting the per-tick device program to
+    [anchor ops, u-transpose, kernel] — each removed XLA op costs ~0.3-1.5 µs
+    plus a ~1 µs launch gap on v5e (docs/PERF.md round-5 trace). Argument
+    reinterpretation in this mode: ``seed`` is the (2,) uint32 carried key
+    (the kernel XORs the words to seed the Mosaic PRNG and returns the
+    Weyl-advanced next key as an extra trailing output); ``chol_sigma`` is
+    Σ ITSELF (not its factor); ``a`` is ignored. Requires fuse_epilogue +
+    PRNG mode + no obstacles / control cost / emit / fold_anchor /
+    rollout_carry; ``lean_consts`` pins (dt, n_exploit, inv_temperature,
+    gamma) as compile-time constants.
 
     ``gaussian`` selects the on-chip normal generator (PRNG mode only):
     ``"popcount"`` (default — transcendental-free binomial+uniform, see the
@@ -599,9 +803,11 @@ def diffdrive_mppi_tick(
     rollout (stage costs; terminal uses initial positions — the scan-engine
     rule in solvers/mppi.py::make_tracking_costs).
     """
-    assert gaussian in ("popcount", "box_muller"), gaussian
+    assert gaussian in ("popcount", "popcount3", "box_muller"), gaussian
     assert collision in ("circle", "soft"), collision
-    assert sincos in ("native", "poly"), sincos
+    assert sincos in ("native", "poly", "rot"), sincos
+    if sincos == "rot":
+        assert lean and not rollout_carry, "sincos=rot is a lean-mode option"
     if fold_anchor:
         # ``window`` is then the FULL (P, ≥3) path and ``W`` the rollout
         # window length; the anchor search (span) + window clip run in-kernel.
@@ -611,8 +817,14 @@ def diffdrive_mppi_tick(
     R_BLK = pick_r_blk(R)
     gen_noise = eps is None
     emit = bool(emit_eps and gen_noise)
+    if lean:
+        assert (
+            fuse_epilogue and gen_noise and not emit
+            and not rollout_carry and obstacles is None
+            and control_weight is None and lean_consts is not None
+        ), "lean mode: fuse_epilogue + PRNG + no obstacles/cw/emit/carry"
 
-    scal = jnp.concatenate(
+    scal = None if lean else jnp.concatenate(
         [
             jnp.asarray([dt], jnp.float32),
             jnp.asarray([u_min[0], u_max[0], u_min[1], u_max[1]], jnp.float32),
@@ -669,6 +881,8 @@ def diffdrive_mppi_tick(
         fold_anchor=fold_anchor,
         P=window.shape[0] if fold_anchor else 0,
         span=span,
+        lean=lean,
+        lean_consts=tuple(float(c) for c in lean_consts) if lean else (),
     )
 
     out_shape = [
@@ -694,6 +908,9 @@ def diffdrive_mppi_tick(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
+    if lean:
+        out_shape += [jax.ShapeDtypeStruct((2,), jnp.uint32)]  # next key
+        out_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if emit:
         out_shape += [
             jax.ShapeDtypeStruct((T, R, LANES), jnp.float32),
@@ -705,31 +922,87 @@ def diffdrive_mppi_tick(
         ]
     out_specs = tuple(out_specs)
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # u
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # window
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
-    ]
-    args = [
-        jnp.reshape(seed.astype(jnp.int32), (1,)),
-        scal,
-        u.astype(jnp.float32),
-        a.astype(jnp.float32),
-        window.astype(jnp.float32),
-        obs,
-    ]
-    if fold_anchor:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        args += [jnp.reshape(prev_idx.astype(jnp.int32), (1,))]
-    if fuse_epilogue:
+    if lean:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) uint32 key words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (2, 2) Σ
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (T, 2) u
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (3,) x0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # window
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles (zero row)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # u_min
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # u_max
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # stage_w
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # term_w
+        ]
+        if fold_anchor:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]  # prev idx
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Fᵀ
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # u rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u rows (epilogue)
         ]
-        args += [filter_t.astype(jnp.float32), u.astype(jnp.float32).T]
+        uf = u.astype(jnp.float32)
+        if fold_anchor:
+            # lane layout: (3, PL) with one waypoint per lane, PL = P padded
+            # to a lane-tile multiple (the kernel masks lanes >= P)
+            PL = -(-window.shape[0] // LANES) * LANES
+            win_arg = jnp.pad(
+                window[:, :3].astype(jnp.float32),
+                ((0, PL - window.shape[0]), (0, 0)),
+            ).T
+        else:
+            win_arg = window.astype(jnp.float32)
+        args = [
+            jnp.reshape(seed, (2,)).astype(jnp.uint32),
+            chol_sigma.astype(jnp.float32),  # Σ itself in lean mode
+            uf,
+            x0.astype(jnp.float32),
+            win_arg,
+            obs,
+            u_min.astype(jnp.float32),
+            u_max.astype(jnp.float32),
+            stage_w.astype(jnp.float32),
+            term_w.astype(jnp.float32),
+        ]
+        if fold_anchor:
+            args += [jnp.reshape(prev_idx.astype(jnp.int32), (1,))]
+        args += [
+            filter_t.astype(jnp.float32),
+            uf.T,
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a
+            # fold_anchor reads the path with DYNAMIC row indices (prev-anchor
+            # search + clipped window gather). From VMEM each such read lowers
+            # to a vector dynamic-slice (+~10 µs/tick at the flagship shape —
+            # the round-4 negative A/B); from SMEM they are scalar-core loads,
+            # which is what makes in-kernel anchor folding profitable (round-5
+            # A/B: see docs/PERF.md). Static-index reads (normal mode) stay in
+            # VMEM.
+            pl.BlockSpec(memory_space=pltpu.SMEM if fold_anchor else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # obstacles
+        ]
+        args = [
+            jnp.reshape(seed.astype(jnp.int32), (1,)),
+            scal,
+            u.astype(jnp.float32),
+            a.astype(jnp.float32),
+            window.astype(jnp.float32),
+            obs,
+        ]
+        if fold_anchor:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            args += [jnp.reshape(prev_idx.astype(jnp.int32), (1,))]
+        if fuse_epilogue:
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Fᵀ
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # u rows
+            ]
+            args += [filter_t.astype(jnp.float32), u.astype(jnp.float32).T]
     scratch_shapes = []
     if gen_noise:
         scratch_shapes += [
@@ -746,6 +1019,9 @@ def diffdrive_mppi_tick(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         args += [eps_t[:, 0], eps_t[:, 1]]
+    if lean and fold_anchor:
+        PL = -(-window.shape[0] // LANES) * LANES
+        scratch_shapes += [pltpu.VMEM((3, PL), jnp.float32)]
 
     result = pl.pallas_call(
         kernel,
@@ -768,6 +1044,7 @@ def diffdrive_mppi_tick(
         u_shift = result.pop(0).T  # (T, 2)
         finite = result.pop(0)[0]
         epi = (u_new, u_shift, finite)
+    knext = result.pop(0) if lean else None  # (2,) uint32
     out = [S, w, w_eps]
     if fuse_epilogue:
         out.append(epi)
@@ -778,6 +1055,8 @@ def diffdrive_mppi_tick(
         out.append(wp_adv)
     if fold_anchor:
         out.append(anchor)
+    if lean:
+        out.append(knext)
     return tuple(out)
 
 

@@ -333,18 +333,33 @@ def mppi_step(
         # nearly free. The scan path below keeps real threefry sampling.
         typed = jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
         kd = jax.random.key_data(state.key) if typed else state.key
-        seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
-        kd_next = kd + jnp.asarray([0x9E3779B9, 0x85EBCA6B], jnp.uint32)
-        key = (
-            jax.random.wrap_key_data(kd_next, impl="threefry2x32")
-            if typed
-            else kd_next
-        )
+        lean_tick = getattr(tick_fn, "lean", False)
+        if lean_tick:
+            # lean tick: the kernel XORs the key words itself and returns
+            # the Weyl-advanced next key — no XLA seed chain at all
+            seed = kd
+            key = None  # filled from the kernel's trailing output below
+        else:
+            seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
+            kd_next = kd + jnp.asarray([0x9E3779B9, 0x85EBCA6B], jnp.uint32)
+            key = (
+                jax.random.wrap_key_data(kd_next, impl="threefry2x32")
+                if typed
+                else kd_next
+            )
         kernel_carry = cfg.waypoint_carry == "rollout"
         if getattr(tick_fn, "fused_epilogue", False):
             # Kernel already applied filter + update + finite-hold + shift;
             # only diagnostics and the waypoint/status carry remain in XLA.
             out = tick_fn(params, ctx, u, x0, seed, noise)
+            if lean_tick:
+                out = list(out)
+                kd_next = out.pop()  # (2,) uint32 from the kernel
+                key = (
+                    jax.random.wrap_key_data(kd_next, impl="threefry2x32")
+                    if typed
+                    else kd_next
+                )
             if folds_anchor:
                 out = list(out)
                 wp_idx = out.pop()  # the in-kernel-advanced anchor
@@ -749,6 +764,7 @@ def make_pallas_diffdrive_tick(
     sincos: str = "poly",
     fold_anchor: Optional[bool] = None,
     safety_margin_rate: float = 1.5,
+    lean: Optional[bool] = None,
 ):
     """Bind the fully-fused tick kernel (ops/pallas/mppi_tick.py) as tick_fn.
 
@@ -827,6 +843,20 @@ def make_pallas_diffdrive_tick(
             "fold_anchor is tick-anchored; waypoint_carry='rollout' carries "
             "in-kernel already"
         )
+    # lean mode (round-5): minimum-prologue tick — seed chain, scalar
+    # packing, Cholesky/Σ⁻¹ and the energy matmul all move in-kernel (see
+    # diffdrive_mppi_tick's docstring). Auto-enabled where applicable; the
+    # per-call fallback below keeps injected-ε parity and obstacle/control-
+    # cost configs on the classic path (the None-ness of params fields is
+    # static at trace time).
+    lean_mode = (
+        (fuse_epilogue and not rollout_carry) if lean is None else lean
+    )
+    if lean_mode and not (fuse_epilogue and not rollout_carry):
+        raise ValueError(
+            "lean=True requires fuse_epilogue and excludes "
+            "waypoint_carry='rollout'"
+        )
 
     def tick(
         params: MPPIParams,
@@ -869,7 +899,62 @@ def make_pallas_diffdrive_tick(
             window = jax.lax.dynamic_slice_in_dim(
                 params.ref_path, start, Wlen, axis=0
             )
+        use_lean = (
+            lean_mode
+            and noise is None
+            and params.obstacles is None
+            and params.control_weight is None
+        )
+        if use_lean:
+            # ``seed`` is the (2,) uint32 carried key in this mode (mppi_step
+            # cooperates via tick.lean); Σ goes in raw, everything else the
+            # kernel derives itself. Returns (..., key_next).
+            return diffdrive_mppi_tick(
+                seed,
+                u,
+                u,  # a-slot unused in lean mode
+                params.sigma,  # Σ itself (kernel runs the 2x2 Cholesky)
+                x0,
+                window[:, :3],
+                params.stage_weight,
+                params.terminal_weight,
+                params.u_min,
+                params.u_max,
+                cfg.dt,
+                (1.0 - cfg.exploration) * cfg.num_samples,
+                cfg.inv_temperature,
+                filter_t=filter_t,
+                K=cfg.num_samples,
+                T=cfg.horizon,
+                W=Wlen,
+                last_only=(cfg.accumulation == CostAccumulation.LAST),
+                interpret=interpret,
+                gaussian=gaussian,
+                collision=collision,
+                fuse_epilogue=True,
+                iso_xy=iso_xy,
+                sincos=sincos,
+                lean=True,
+                lean_consts=(
+                    cfg.dt,
+                    (1.0 - cfg.exploration) * cfg.num_samples,
+                    cfg.inv_temperature,
+                    cfg.gamma,
+                ),
+                fold_anchor=fold_anchor,
+                span=span if fold_anchor else 0,
+                prev_idx=ctx.waypoint_start if fold_anchor else None,
+            )
         a = cfg.gamma * (u @ sigma_inverse(params.sigma))
+        if lean_mode:
+            # fallback inside a lean tick (injected ε / obstacles / control
+            # cost): derive the classic i32 seed from the key words and
+            # advance the key XLA-side so the return shape stays uniform
+            kd = seed
+            seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[1], jnp.int32)
+            kd_next = kd + jnp.asarray(
+                [0x9E3779B9, 0x85EBCA6B], jnp.uint32
+            )
         out = diffdrive_mppi_tick(
             seed,
             u,
@@ -909,6 +994,8 @@ def make_pallas_diffdrive_tick(
             span=span if fold_anchor else 0,
             prev_idx=ctx.waypoint_start if fold_anchor else None,
         )
+        if lean_mode:
+            out = tuple(out) + (kd_next,)
         if not rollout_carry:
             return out
         # kernel returns the max LOCAL carried row; map to a global path
@@ -922,6 +1009,7 @@ def make_pallas_diffdrive_tick(
     tick.supports_rollout_carry = rollout_carry
     tick.folds_anchor = fold_anchor
     tick.supports_control_cost = True
+    tick.lean = lean_mode
     return tick
 
 
@@ -1613,6 +1701,8 @@ class MPPISolver:
         soft_weight: float = 100.0,
         fuse_epilogue: bool = True,
         iso_xy: bool = False,
+        fold_anchor: Optional[bool] = None,
+        lean: Optional[bool] = None,
     ) -> None:
         self.cfg = cfg
         self.dynamics_step = dynamics_step
@@ -1692,6 +1782,8 @@ class MPPISolver:
                     fuse_epilogue=fuse_epilogue,
                     iso_xy=iso_xy,
                     safety_margin_rate=safety_margin_rate,
+                    fold_anchor=fold_anchor,
+                    lean=lean,
                 )
         if rollout_fn is None and use_pallas and tick_fn is None:
             rollout_fn = make_pallas_diffdrive_rollout(
