@@ -171,12 +171,100 @@ class Standardizer:
         return z * self.std + self.mean
 
 
+def _bn_affine(bn_params, bn_stats, eps: float = 1e-5):
+    """Inference BatchNorm as an affine pair (scale, shift)."""
+    s = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    return s, bn_params["bias"] - bn_stats["mean"] * s
+
+
+def fold_resnet1d_l1(
+    model: "ResNet1D", variables, compute_dtype=None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Constant-fold a ResNet1D at L=1 into a pure dense-matmul chain.
+
+    The reference (and this port) runs the conv ResNets on LENGTH-1 inputs —
+    the state vector with a fake length axis (dnn/resnet18.py:79-82,
+    train/train_diff_resnet18.py:30-35). At L=1 every Conv1d sees exactly one
+    input element: with kernel width k and padding k//2 (all the convs used
+    here), only the CENTER tap multiplies real data — the rest hit zero
+    padding — so each conv IS a dense matmul by its center-tap slice, the
+    stride-2 stem and max-pool are identities (flax pads max_pool with −inf),
+    and the adaptive average pool is a no-op. Inference BatchNorm is affine
+    and folds into the adjacent matmul. This function extracts the folded
+    (W', b') chain ONCE at bind time and returns a (B, C) → (B, out)
+    function that is a plain chain of MXU matmuls. Exact-equivalence
+    gate: tests/test_resnet_dynamics.py::test_folded_resnet_matches_conv_path.
+
+    Measured caveat (round 5, docs/PERF.md): XLA already simplifies the
+    L=1 conv graph to the same matmuls, so the fold alone is
+    throughput-neutral — the ResNet-50 MPPI row sits AT the f32 MXU compute
+    roofline (~410 GFLOP/solve at K=1024, T=25 ≈ the measured 4 ms).
+    ``compute_dtype=jnp.bfloat16`` is the remaining physical lever: weights
+    are cast once at fold time and the chain runs bf16 with f32 head
+    output (~2× peak). Default f32 preserves exact conv-path parity.
+    """
+    p = variables["params"]
+    st = variables.get("batch_stats", {})
+
+    dt = compute_dtype
+
+    def conv_bn(pp, ss, i):
+        W = pp[f"Conv_{i}"]["kernel"]  # (k, c_in, c_out)
+        Wc = W[W.shape[0] // 2]
+        s, b = _bn_affine(pp[f"BatchNorm_{i}"], ss[f"BatchNorm_{i}"])
+        Wf, bf = Wc * s[None, :], b
+        return (Wf.astype(dt), bf.astype(dt)) if dt is not None else (Wf, bf)
+
+    if model.variant == "18":
+        block_prefix, n_blocks, n_convs = "BasicBlock1D", 8, 2
+    elif model.variant == "50":
+        block_prefix, n_blocks, n_convs = "BottleneckBlock1D", 16, 3
+    else:
+        raise ValueError(f"unknown variant {model.variant!r}")
+
+    stem = conv_bn(p, st, 0)
+    blocks = []
+    for i in range(n_blocks):
+        bp = p[f"{block_prefix}_{i}"]
+        bs = st[f"{block_prefix}_{i}"]
+        convs = [conv_bn(bp, bs, c) for c in range(n_convs)]
+        down = (
+            conv_bn(bp, bs, n_convs)
+            if f"Conv_{n_convs}" in bp
+            else None
+        )
+        blocks.append((convs, down))
+    head_W = p["Dense_0"]["kernel"]
+    head_b = p["Dense_0"]["bias"]
+    if dt is not None:
+        head_W, head_b = head_W.astype(dt), head_b.astype(dt)
+
+    def f(x: jnp.ndarray) -> jnp.ndarray:
+        out_dtype = x.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        h = nn.relu(x @ stem[0] + stem[1])
+        for convs, down in blocks:
+            r = h if down is None else h @ down[0] + down[1]
+            y = h
+            for c, (W, b) in enumerate(convs):
+                y = y @ W + b
+                if c < len(convs) - 1:
+                    y = nn.relu(y)
+            h = nn.relu(y + r)
+        y = jnp.tanh(h @ head_W + head_b)
+        return y.astype(out_dtype) if dt is not None else y
+
+    return f
+
+
 def make_residual_fn(
     model: nn.Module,
     params,
     in_scaler: Optional[Standardizer] = None,
     out_scaler: Optional[Standardizer] = None,
     needs_length_axis: bool = False,
+    compute_dtype=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Bind a Flax module into a plain feature→residual function.
 
@@ -188,13 +276,24 @@ def make_residual_fn(
     expect (the reference feeds (B, C, 1) tensors, dnn/resnet18.py:79-82).
     """
 
+    folded = None
+    if needs_length_axis:
+        # conv ResNet on L=1 inputs: fold the whole network into a dense
+        # matmul chain once at bind time (see fold_resnet1d_l1) — measured
+        # several× faster in-rollout than the L=1 conv graph on TPU
+        # (docs/PERF.md round-5 ResNet row)
+        folded = fold_resnet1d_l1(model, params, compute_dtype=compute_dtype)
+
     def f(feats: jnp.ndarray) -> jnp.ndarray:
         z = in_scaler.transform(feats) if in_scaler is not None else feats
         batch_shape = z.shape[:-1]
         z2 = z.reshape((-1, z.shape[-1]))
-        if needs_length_axis:
-            z2 = z2[:, None, :]  # (B, L=1, C)
-        out = model.apply(params, z2)
+        if folded is not None:
+            out = folded(z2)
+        else:
+            if needs_length_axis:
+                z2 = z2[:, None, :]  # (B, L=1, C)
+            out = model.apply(params, z2)
         out = out.reshape(batch_shape + (out.shape[-1],))
         return out_scaler.inverse(out) if out_scaler is not None else out
 
@@ -222,6 +321,7 @@ def residual_from_train_state(model: nn.Module, tstate) -> Callable:
 
 __all__ = [
     "MLP",
+    "fold_resnet1d_l1",
     "BasicBlock1D",
     "BottleneckBlock1D",
     "ResNet1D",

@@ -169,3 +169,38 @@ def test_resnet50_residual_mppi_step_runs():
     assert u0.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(u0)))
     assert bool(jnp.all(jnp.isfinite(aux.costs)))
+
+
+def test_folded_resnet_matches_conv_path():
+    """The L=1 constant-fold (models/learned.fold_resnet1d_l1): the dense
+    matmul chain must equal the conv forward exactly (BatchNorm running
+    stats folded affinely, center-tap conv slices, identity pool/stride) —
+    the round-4 'conv at L=1 is a matmul in conv clothes' fix, gated for
+    both variants with non-trivial batch_stats."""
+    import jax.tree_util as jtu
+
+    from dnn_mppi_mpc_tpu.models.learned import ResNet1D, fold_resnet1d_l1
+
+    for variant in ("18", "50"):
+        model = ResNet1D(out_dim=3, variant=variant)
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, 1, 5)))
+        # perturb every leaf so running stats/scales are non-trivial
+        leaves, treedef = jtu.tree_flatten(variables)
+        leaves = [
+            l + 0.05 * jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i), l.shape, l.dtype)
+            for i, l in enumerate(leaves)
+        ]
+        variables = jtu.tree_unflatten(treedef, leaves)
+
+        def fix_var(d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    fix_var(v)
+                elif k == "var":
+                    d[k] = jnp.abs(v) + 0.5
+
+        fix_var(variables["batch_stats"])
+        xb = jax.random.normal(jax.random.PRNGKey(3), (16, 5), jnp.float32)
+        ref = model.apply(variables, xb[:, None, :])
+        out = fold_resnet1d_l1(model, variables)(xb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
