@@ -108,6 +108,13 @@ def _traced_pace_check(loop, n: int) -> dict:
     }
 
 
+def _p99_excluding_stalls(ack_ms: np.ndarray, thresh_ms: float = 5.0):
+    """p99 of the per-tick ack with ±2-tick stall neighborhoods removed."""
+    stall = np.convolve((ack_ms > thresh_ms).astype(float), np.ones(5), "same") > 0
+    keep = ack_ms[~stall]
+    return round(float(np.percentile(keep, 99)), 4) if keep.size else None
+
+
 def run_realtime_e2e(
     hz: float = 50.0,
     ticks: int = 10_000,
@@ -259,6 +266,12 @@ def run_realtime_e2e(
         "ack_p50_ms": round(float(np.percentile(ack_ms, 50)), 4),
         "ack_p99_ms": round(float(np.percentile(ack_ms, 99)), 4),
         "ack_max_ms": round(float(ack_ms.max()), 4),
+        # the same tail with tunnel-stall neighborhoods excluded (every tick
+        # within ±2 of a >5 ms ack): the host loop's OWN tail, separated
+        # from the remote-attach transport's multi-ms bursts, which a
+        # co-located deployment does not have. Both numbers stay in the
+        # artifact so neither story hides the other.
+        "ack_p99_ex_stall_ms": _p99_excluding_stalls(ack_ms),
         "late_p50_ms": round(float(np.percentile(late_ns, 50)) / 1e6, 4),
         "late_p99_ms": round(float(np.percentile(late_ns, 99)) / 1e6, 4),
         "late_max_ms": round(float(late_ns.max()) / 1e6, 4),
