@@ -2,7 +2,7 @@
 
 ``python bench.py --suite`` measures each headline workload in a single
 process/session and checks the raw rows in as a JSON artifact
-(docs/assets/bench_suite_r4.json), so cross-row comparisons are not
+(docs/assets/bench_suite_r5.json), so cross-row comparisons are not
 session-to-session tunnel artifacts and every number the docs claim is
 reproducible from the repo (the round-2 advisor finding about unreproducible
 fleet-serving claims, generalized to the whole table).
@@ -482,7 +482,7 @@ def run_suite(
     """Measure the selected rows; print one JSON line each; return the rows.
 
     On TPU the full-row run also writes ``artifact`` (default
-    docs/assets/bench_suite_r4.json). CPU runs never touch the artifact.
+    docs/assets/bench_suite_r5.json). CPU runs never touch the artifact.
     """
     on_tpu = jax.devices()[0].platform != "cpu"
     if reps is None:
@@ -521,7 +521,7 @@ def run_suite(
             artifact = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))),
-                "docs", "assets", "bench_suite_r4.json",
+                "docs", "assets", "bench_suite_r5.json",
             )
         out = {
             "device": str(jax.devices()[0]),
