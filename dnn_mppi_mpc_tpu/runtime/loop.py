@@ -115,10 +115,47 @@ class RealtimeLoop:
         # and FIFO priority can starve sibling CFS threads on the core).
         self.rt_scheduling = rt_scheduling
         self.pacer: Optional[RatePacer] = None
+        self._stop = None  # set by install_kill_switch (threading.Event)
         self.telemetry = TelemetryRing(telemetry_capacity, TELEMETRY_DTYPE)
 
+    def install_kill_switch(self, signals: tuple = None) -> "threading.Event":
+        """Operator kill-switch: arm signal handlers that request a graceful
+        stop of ``run()`` at the next tick boundary.
+
+        The reference's deployment loop uses a pynput keyboard listener for
+        this (controllers/bullet_mpc_race_car_obstacle.py:23-29 — press a
+        key, the loop flag flips, the car stops). A listener thread needs an
+        X display; the headless-native equivalent is SIGINT/SIGTERM (Ctrl-C
+        on an interactive run, the supervisor's stop on a deployed one).
+        Returns the ``threading.Event`` so embedding code (or a real
+        keyboard listener, where one exists) can also set it directly.
+        Handlers are installed once; ``run()`` honors the event whether it
+        came from a signal or a programmatic ``.set()``.
+        """
+        import signal as _signal
+        import threading
+
+        if self._stop is None:
+            self._stop = threading.Event()
+        for sig in signals or (_signal.SIGINT, _signal.SIGTERM):
+            prev = _signal.getsignal(sig)
+
+            def _handler(signum, frame, prev=prev):
+                self._stop.set()
+                # chain: a second Ctrl-C reaches the previous handler so a
+                # wedged loop can still be interrupted the hard way
+                _signal.signal(signum, prev)
+
+            _signal.signal(sig, _handler)
+        return self._stop
+
     def run(self, num_ticks: int) -> dict:
-        """Run the loop; returns pacing statistics (overruns, worst lateness)."""
+        """Run the loop; returns pacing statistics (overruns, worst lateness).
+
+        Stops early (gracefully, at a tick boundary) when the kill-switch
+        event from :meth:`install_kill_switch` is set; the returned stats
+        carry ``stopped_by_operator`` and ``ticks_run``.
+        """
         conv = np.asarray if self.convert_arrays else (lambda a: a)
         x = conv(self.read_state())
         u = conv(self.controller(x))  # warm-up / compile
@@ -130,9 +167,12 @@ class RealtimeLoop:
             if self.rt_scheduling
             else contextlib.nullcontext({"rt_scheduling": False})
         )
+        ticks_run = 0
         with sched as rt:
             self.pacer = RatePacer(self.hz)
             for tick in range(num_ticks):
+                if self._stop is not None and self._stop.is_set():
+                    break
                 late_ns = self.pacer.wait()
                 x = conv(self.read_state())
                 t0 = time.perf_counter_ns()
@@ -153,8 +193,13 @@ class RealtimeLoop:
                     rec["state"][:nx] = x.ravel()[:nx]
                     rec["control"][:nu] = u.ravel()[:nu]
                 self.telemetry.push(rec)
+                ticks_run += 1
             stats = dict(self.pacer.stats)
             stats.update(rt)
+            stats["ticks_run"] = ticks_run
+            stats["stopped_by_operator"] = bool(
+                self._stop is not None and self._stop.is_set()
+            )
         self.pacer.close()
         return stats
 

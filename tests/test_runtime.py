@@ -202,3 +202,48 @@ def test_realtime_e2e_cpu_smoke():
     assert out["ticks"] == 40
     assert out["device_pace"] is None  # CPU: no traced pace segment
     assert out["solver_path"] == "xla_scan"
+
+
+def test_kill_switch_stops_loop_gracefully():
+    """Operator kill-switch (the reference's pynput interrupt,
+    bullet_mpc_race_car_obstacle.py:23-29, done headless-native): SIGINT
+    mid-run stops the paced loop at a tick boundary, stats record the
+    early stop, and telemetry holds exactly the executed ticks."""
+    import os
+    import signal
+    import threading
+
+    from dnn_mppi_mpc_tpu.runtime.loop import RealtimeLoop
+
+    ticked = []
+
+    def controller(x):
+        ticked.append(1)
+        return np.zeros(2)
+
+    loop = RealtimeLoop(
+        controller, lambda: np.zeros(3), lambda u: None,
+        hz=200.0, rt_scheduling=False,
+    )
+    stop = loop.install_kill_switch()
+    killer = threading.Timer(0.15, lambda: os.kill(os.getpid(), signal.SIGINT))
+    killer.start()
+    try:
+        stats = loop.run(100_000)  # would take ~8 min without the switch
+    finally:
+        killer.cancel()
+        loop.close()
+    assert stats["stopped_by_operator"] is True
+    assert 0 < stats["ticks_run"] < 100_000
+    assert stop.is_set()
+    # a second run with the event pre-set exits immediately
+    loop2 = RealtimeLoop(
+        controller, lambda: np.zeros(3), lambda u: None,
+        hz=200.0, rt_scheduling=False,
+    )
+    loop2._stop = stop
+    try:
+        stats2 = loop2.run(50)
+    finally:
+        loop2.close()
+    assert stats2["ticks_run"] == 0 and stats2["stopped_by_operator"]
