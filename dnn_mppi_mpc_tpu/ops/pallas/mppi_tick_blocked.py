@@ -364,7 +364,7 @@ def diffdrive_mppi_tick_blocked(
     regenerated noise via ``weighted_noise_reduce``'s emit mode, and by
     distributional closed-loop checks; see tests/test_mppi_tick_blocked.py).
     """
-    assert gaussian in ("popcount", "box_muller", "hash"), gaussian
+    assert gaussian in ("popcount", "popcount3", "box_muller", "hash"), gaussian
     assert collision in ("circle", "soft"), collision
     assert K % K_BLK == 0, f"K={K} must be a multiple of K_BLK={K_BLK}"
     assert K_BLK % LANES == 0
@@ -659,7 +659,7 @@ def fleet_mppi_tick(
     per-member parity oracle (tests/test_fleet_tick.py). Returns
     ``(S (B, K), w (B, K), w_eps (B, T, 2))``.
     """
-    assert gaussian in ("popcount", "box_muller", "hash"), gaussian
+    assert gaussian in ("popcount", "popcount3", "box_muller", "hash"), gaussian
     assert collision in ("circle", "soft"), collision
     assert K % LANES == 0
     RB = K // LANES
