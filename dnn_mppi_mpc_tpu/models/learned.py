@@ -177,6 +177,44 @@ def _bn_affine(bn_params, bn_stats, eps: float = 1e-5):
     return s, bn_params["bias"] - bn_stats["mean"] * s
 
 
+def fold_resnet1d_l1_arrays(model: "ResNet1D", variables):
+    """The folded (stem, blocks, head) weight arrays of the L=1 dense chain.
+
+    Shared extraction for :func:`fold_resnet1d_l1` (XLA matmul chain) and
+    the Pallas weight-streaming chain kernel
+    (:func:`..ops.pallas.dense_chain.make_resnet_chain_fn`). Returns
+    ``(stem, blocks, head)`` where stem/head are (W, b) pairs and blocks is
+    a list of ``(convs, down)`` with convs a list of (W, b) and down an
+    optional (W, b).
+    """
+    p = variables["params"]
+    st = variables.get("batch_stats", {})
+
+    def conv_bn(pp, ss, i):
+        W = pp[f"Conv_{i}"]["kernel"]  # (k, c_in, c_out)
+        Wc = W[W.shape[0] // 2]
+        s, b = _bn_affine(pp[f"BatchNorm_{i}"], ss[f"BatchNorm_{i}"])
+        return Wc * s[None, :], b
+
+    if model.variant == "18":
+        block_prefix, n_blocks, n_convs = "BasicBlock1D", 8, 2
+    elif model.variant == "50":
+        block_prefix, n_blocks, n_convs = "BottleneckBlock1D", 16, 3
+    else:
+        raise ValueError(f"unknown variant {model.variant!r}")
+
+    stem = conv_bn(p, st, 0)
+    blocks = []
+    for i in range(n_blocks):
+        bp = p[f"{block_prefix}_{i}"]
+        bs = st[f"{block_prefix}_{i}"]
+        convs = [conv_bn(bp, bs, c) for c in range(n_convs)]
+        down = conv_bn(bp, bs, n_convs) if f"Conv_{n_convs}" in bp else None
+        blocks.append((convs, down))
+    head = (p["Dense_0"]["kernel"], p["Dense_0"]["bias"])
+    return stem, blocks, head
+
+
 def fold_resnet1d_l1(
     model: "ResNet1D", variables, compute_dtype=None
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -203,40 +241,15 @@ def fold_resnet1d_l1(
     are cast once at fold time and the chain runs bf16 with f32 head
     output (~2× peak). Default f32 preserves exact conv-path parity.
     """
-    p = variables["params"]
-    st = variables.get("batch_stats", {})
-
     dt = compute_dtype
-
-    def conv_bn(pp, ss, i):
-        W = pp[f"Conv_{i}"]["kernel"]  # (k, c_in, c_out)
-        Wc = W[W.shape[0] // 2]
-        s, b = _bn_affine(pp[f"BatchNorm_{i}"], ss[f"BatchNorm_{i}"])
-        Wf, bf = Wc * s[None, :], b
-        return (Wf.astype(dt), bf.astype(dt)) if dt is not None else (Wf, bf)
-
-    if model.variant == "18":
-        block_prefix, n_blocks, n_convs = "BasicBlock1D", 8, 2
-    elif model.variant == "50":
-        block_prefix, n_blocks, n_convs = "BottleneckBlock1D", 16, 3
-    else:
-        raise ValueError(f"unknown variant {model.variant!r}")
-
-    stem = conv_bn(p, st, 0)
-    blocks = []
-    for i in range(n_blocks):
-        bp = p[f"{block_prefix}_{i}"]
-        bs = st[f"{block_prefix}_{i}"]
-        convs = [conv_bn(bp, bs, c) for c in range(n_convs)]
-        down = (
-            conv_bn(bp, bs, n_convs)
-            if f"Conv_{n_convs}" in bp
-            else None
-        )
-        blocks.append((convs, down))
-    head_W = p["Dense_0"]["kernel"]
-    head_b = p["Dense_0"]["bias"]
+    stem, blocks, (head_W, head_b) = fold_resnet1d_l1_arrays(model, variables)
     if dt is not None:
+        cast = lambda wb: (wb[0].astype(dt), wb[1].astype(dt))
+        stem = cast(stem)
+        blocks = [
+            ([cast(c) for c in convs], cast(down) if down is not None else None)
+            for convs, down in blocks
+        ]
         head_W, head_b = head_W.astype(dt), head_b.astype(dt)
 
     def f(x: jnp.ndarray) -> jnp.ndarray:

@@ -204,3 +204,25 @@ def test_folded_resnet_matches_conv_path():
         ref = model.apply(variables, xb[:, None, :])
         out = fold_resnet1d_l1(model, variables)(xb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_weight_streaming_chain_kernel_matches_fold():
+    """The Pallas weight-streaming dense-chain kernel (one launch per net
+    evaluation, double-buffered HBM->VMEM weight DMA, bf16 matmuls with f32
+    accumulation) reproduces the f32 XLA fold to bf16 resolution for both
+    ResNet variants — interpret mode, so the DMA choreography and the
+    transposed-storage matmul paths run in CI."""
+    from dnn_mppi_mpc_tpu.models.learned import ResNet1D, fold_resnet1d_l1
+    from dnn_mppi_mpc_tpu.ops.pallas.dense_chain import make_resnet_chain_fn
+
+    for variant in ("18", "50"):
+        model = ResNet1D(out_dim=3, variant=variant)
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, 1, 5)))
+        xb = jax.random.normal(jax.random.PRNGKey(3), (300, 5), jnp.float32)
+        ref = fold_resnet1d_l1(model, variables)(xb)
+        fn = make_resnet_chain_fn(model, variables, b_block=256, interpret=True)
+        out = fn(xb)
+        assert out.shape == (300, 3)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2
+        )
